@@ -1,0 +1,269 @@
+"""Public engine API: ``load_model`` and ``generate_audio``.
+
+Observable-contract parity with the mlx_audio functions the reference app
+consumes (SURVEY.md §1 EXT):
+
+- ``load_model(model_path) -> model``                  (reference io.py:111-112)
+- ``generate_audio(model=, text=, voice=, instruct=, speed=, ref_audio=,
+  ref_text=, output_path=, ...)`` writing ``audio_000.wav`` into
+  ``output_path``                                       (reference io.py:156,
+  custom.py:163-170, design.py:76-81, clone.py:218-224)
+
+plus engine-level extras the reference couldn't offer (returned metrics with
+RTF/TTFA, streaming callbacks, synthetic model specs for CI/bench).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from . import configs
+from .configs import ModelConfig
+from .tokenizer import load_tokenizer
+
+_SYNTH_RE = re.compile(r"^synthetic:(tiny|flagship)(?::(custom|design|base))?$")
+
+
+@dataclass
+class Qwen3TTSModel:
+    """A loaded model: config + device parameter pytrees + tokenizer + the
+    jit-stage cache (inside ``Generator``)."""
+
+    cfg: ModelConfig
+    params: Any                       # talker
+    cp_params: Any                    # code predictor
+    codec_params: Any
+    tokenizer: Any
+    name: str = "qwen3-tts"
+    _generator: Any = field(default=None, repr=False)
+    _enc_fn: Any = field(default=None, repr=False)
+
+    @property
+    def generator(self):
+        from ..runtime.generate import Generator
+
+        if self._generator is None:
+            self._generator = Generator(
+                cfg=self.cfg,
+                params=self.params,
+                cp_params=self.cp_params,
+                codec_params=self.codec_params,
+            )
+        return self._generator
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def synthetic(cls, cfg: ModelConfig, seed: int = 0) -> "Qwen3TTSModel":
+        """Random-initialised model with the production pytree layout —
+        used by CI, benchmarks and when no checkpoint is on disk."""
+        import jax
+
+        from ..models.code_predictor import init_code_predictor
+        from ..models.codec import init_codec
+        from ..models.talker import init_talker
+
+        params = jax.device_put(init_talker(cfg, seed))
+        cp_params = jax.device_put(init_code_predictor(cfg, seed + 1))
+        codec_params = jax.device_put(init_codec(cfg, seed + 2))
+        return cls(
+            cfg=cfg,
+            params=params,
+            cp_params=cp_params,
+            codec_params=codec_params,
+            tokenizer=load_tokenizer(None, cfg.talker.vocab_size),
+            name=f"synthetic-{cfg.mode}",
+        )
+
+    # -- cloning frontend --------------------------------------------------
+
+    def encode_reference(self, wav: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Reference waveform (24 kHz mono float32) -> (codes [Q, T_ref],
+        speaker vector [D_talker]) via the codec encoder (jitted)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.codec import encode_waveform, rvq_quantize, speaker_embedding
+
+        hop = self.cfg.codec.hop
+        n = len(wav)
+        # pad to a whole number of frames (and at least one)
+        T = max(1, -(-n // hop))
+        padded = np.zeros(T * hop, dtype=np.float32)
+        padded[:n] = wav
+
+        if self._enc_fn is None:
+            @jax.jit
+            def enc(codec_params, w):
+                latent = encode_waveform(codec_params, self.cfg, w)
+                codes = rvq_quantize(codec_params, self.cfg, latent)
+                spk = speaker_embedding(codec_params, self.cfg, latent)
+                return codes, spk
+
+            self._enc_fn = enc
+
+        codes, spk = self._enc_fn(self.codec_params, jnp.asarray(padded)[None])
+        return np.asarray(codes[0]), np.asarray(spk[0])
+
+
+# --------------------------------------------------------------------------
+# load_model
+# --------------------------------------------------------------------------
+
+def load_model(model_path: str, **kwargs) -> Qwen3TTSModel:
+    """Load a model from a checkpoint directory (HF snapshot layout), or
+    build a synthetic one from a ``synthetic:tiny``/``synthetic:flagship``
+    spec string (used by tests, benchmarks and offline environments).
+    """
+    m = _SYNTH_RE.match(model_path or "")
+    if m:
+        size, mode = m.group(1), m.group(2) or "custom"
+        cfg = configs.tiny(mode, quant=True) if size == "tiny" else configs.flagship(mode)
+        return Qwen3TTSModel.synthetic(cfg, seed=kwargs.get("seed", 0))
+
+    if not os.path.isdir(model_path):
+        raise FileNotFoundError(f"model path does not exist: {model_path}")
+
+    from .weights import load_checkpoint
+
+    return load_checkpoint(model_path, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# generate_audio
+# --------------------------------------------------------------------------
+
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?。！？；;])\s+")
+_MAX_SEGMENT_CHARS = 600
+_SEGMENT_GAP_S = 0.15
+
+
+def _split_segments(text: str) -> list[str]:
+    """Prosody-safe long-text chunking (SURVEY.md §5 long-context): split on
+    sentence boundaries, packing sentences into ≤600-char segments."""
+    sentences = [s for s in _SENTENCE_SPLIT.split(text.strip()) if s]
+    segments: list[str] = []
+    cur = ""
+    for s in sentences:
+        while len(s) > _MAX_SEGMENT_CHARS:  # pathological unbroken run
+            if cur:
+                segments.append(cur)
+                cur = ""
+            segments.append(s[:_MAX_SEGMENT_CHARS])
+            s = s[_MAX_SEGMENT_CHARS:]
+        if not cur:
+            cur = s
+        elif len(cur) + 1 + len(s) <= _MAX_SEGMENT_CHARS:
+            cur = f"{cur} {s}"
+        else:
+            segments.append(cur)
+            cur = s
+    if cur:
+        segments.append(cur)
+    return segments or [""]
+
+
+def _estimate_frames(text: str, frame_rate: float) -> int:
+    """Frame budget heuristic: ~15 chars/sec speech, 60% headroom."""
+    est_seconds = max(1.0, len(text) / 15.0)
+    return int(est_seconds * frame_rate * 1.6) + 24
+
+
+def generate_audio(
+    *,
+    model: Qwen3TTSModel,
+    text: str,
+    voice: str | None = None,
+    instruct: str | None = None,
+    speed: float = 1.0,
+    ref_audio: str | None = None,
+    ref_text: str | None = None,
+    output_path: str,
+    max_frames: int | None = None,
+    seed: int = 0,
+    on_chunk: Callable[[np.ndarray], None] | None = None,
+    file_name: str = "audio_000.wav",
+) -> dict:
+    """Synthesise ``text`` and write ``output_path/audio_000.wav``.
+
+    The three call shapes match the reference exactly (custom.py:163-170,
+    design.py:76-81, clone.py:218-224). Returns a metrics dict
+    {rtf, ttfa_s, frames, audio_s, wall_s, segments} — the observability the
+    reference lacks (SURVEY.md §5 metrics).
+    """
+    from ..runtime.prompts import build_prompt
+
+    cfg = model.cfg
+    sr = cfg.codec.sample_rate
+
+    # cloning frontend: encode the reference sample once per call
+    acoustic_codes = None
+    speaker_vector = None
+    if ref_audio is not None:
+        from ..audio import read_wav, resample
+        from ..audio.wavio import to_mono
+
+        data, rate = read_wav(ref_audio)
+        wav_ref = resample(to_mono(data), rate, sr)
+        # bound the acoustic prompt (prompt bucket budget)
+        max_ref_s = 30.0
+        if len(wav_ref) > max_ref_s * sr:
+            wav_ref = wav_ref[: int(max_ref_s * sr)]
+        acoustic_codes, speaker_vector = model.encode_reference(wav_ref)
+
+    segments = _split_segments(text)
+    pieces: list[np.ndarray] = []
+    total_frames = 0
+    ttfa = None
+    wall = 0.0
+
+    for seg_idx, segment in enumerate(segments):
+        prompt = build_prompt(
+            model.tokenizer,
+            cfg.mode,
+            segment,
+            voice=voice,
+            speakers=cfg.speakers,
+            instruct=instruct,
+            speed=speed,
+            ref_text=ref_text,
+            acoustic_codes=acoustic_codes,
+            speaker_vector=speaker_vector,
+        )
+        budget = max_frames if max_frames is not None else _estimate_frames(
+            segment, cfg.codec.frame_rate
+        )
+        result = model.generator.synthesize(
+            prompt, max_frames=budget, seed=seed + seg_idx, on_chunk=on_chunk
+        )
+        pieces.append(result.wav)
+        total_frames += result.frames
+        wall += result.wall_s
+        if ttfa is None:
+            ttfa = result.ttfa_s
+
+    gap = np.zeros(int(_SEGMENT_GAP_S * sr), dtype=np.float32)
+    out = pieces[0] if len(pieces) == 1 else np.concatenate(
+        [p for pair in zip(pieces, [gap] * len(pieces)) for p in pair][:-1]
+    )
+
+    from ..audio import write_wav
+
+    os.makedirs(output_path, exist_ok=True)
+    write_wav(os.path.join(output_path, file_name), out, sr)
+
+    audio_s = len(out) / sr
+    return {
+        "frames": total_frames,
+        "audio_s": audio_s,
+        "wall_s": wall,
+        "ttfa_s": ttfa or 0.0,
+        "rtf": (audio_s / wall) if wall > 0 else 0.0,
+        "segments": len(segments),
+        "sample_rate": sr,
+    }

@@ -1,0 +1,178 @@
+"""Model architecture configuration dataclasses.
+
+The reference exposes no model configuration at all (MLX hides it); here the
+whole engine is config-driven so the same code runs the flagship 1.7B
+checkpoints and tiny CPU-testable models. When real Hugging Face checkpoints
+are present, ``weights.load_checkpoint`` populates these from the repo's
+``config.json``; the flagship presets below encode the Qwen3-TTS-12Hz-1.7B
+family (1.7B-param Qwen3 backbone, 12 Hz multi-codebook neural codec,
+24 kHz output — reference README.md:37, config.py:17,26,35).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class TalkerConfig:
+    """The autoregressive "talker" transformer (Qwen3-style backbone).
+
+    It consumes a text/conditioning prompt and emits one semantic codec token
+    (codebook 0) per 12 Hz frame.
+    """
+
+    vocab_size: int = 151_936          # text vocabulary (Qwen3 tokenizer)
+    hidden: int = 2048
+    n_layers: int = 28
+    n_heads: int = 16
+    n_kv_heads: int = 8
+    head_dim: int = 128
+    ffn: int = 6144
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    # codec-side vocabulary: codebook-0 tokens + control tokens (BOS/EOS/PAD)
+    codec_vocab: int = 2051            # 2048 codes + bos/eos/pad
+    codec_bos: int = 2048
+    codec_eos: int = 2049
+    codec_pad: int = 2050
+    n_speakers: int = 16               # built-in speaker embedding table
+    tie_embeddings: bool = True
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+
+@dataclass(frozen=True)
+class CodePredictorConfig:
+    """Small depth transformer predicting residual codebooks 1..Q-1 per frame
+    from the talker's last hidden state + codebook-0 embedding (MTP-style)."""
+
+    hidden: int = 1024
+    n_layers: int = 4
+    n_heads: int = 8
+    head_dim: int = 128
+    ffn: int = 3072
+    rms_eps: float = 1e-6
+    rope_theta: float = 10_000.0
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """The 12 Hz residual-VQ neural codec (decoder = vocoder to 24 kHz,
+    encoder used for voice-cloning acoustic prompts)."""
+
+    sample_rate: int = 24_000
+    frame_rate: float = 12.0
+    num_codebooks: int = 16            # codebook 0 = semantic + 15 residual
+    codebook_size: int = 2048          # entries per codebook (codebook 0)
+    residual_codebook_size: int = 1024  # entries per residual codebook
+    latent_dim: int = 512
+    # decoder upsampling: prod(rates) == sample_rate / frame_rate == 2000
+    upsample_rates: tuple[int, ...] = (5, 5, 5, 4, 4)
+    decoder_channels: tuple[int, ...] = (512, 512, 256, 128, 96, 64)
+    decoder_kernel: int = 7
+    n_transformer_layers: int = 6      # pre-upsample latent transformer
+    transformer_heads: int = 8
+
+    @property
+    def hop(self) -> int:
+        hop = self.sample_rate / self.frame_rate
+        assert hop == int(hop), "sample_rate must be a multiple of frame_rate"
+        return int(hop)
+
+    def __post_init__(self) -> None:
+        assert len(self.decoder_channels) == len(self.upsample_rates) + 1
+        assert math.prod(self.upsample_rates) == self.hop, (
+            f"upsample rates {self.upsample_rates} must multiply to {self.hop}"
+        )
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Weight-only affine quantization (MLX-compatible layout: per-group
+    scale+bias along the input dimension, uint8 codes)."""
+
+    bits: int = 8
+    group_size: int = 64
+    enabled: bool = True
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Everything needed to build one Qwen3-TTS model variant."""
+
+    mode: str = "custom"               # custom | design | base (cloning)
+    talker: TalkerConfig = field(default_factory=TalkerConfig)
+    code_predictor: CodePredictorConfig = field(default_factory=CodePredictorConfig)
+    codec: CodecConfig = field(default_factory=CodecConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    dtype: str = "bfloat16"
+    max_seq_len: int = 3072            # prompt + generated frames budget
+    speakers: tuple[str, ...] = (
+        "ryan", "aiden", "serena", "vivian", "uncle_fu",
+        "dylan", "eric", "ono_anna", "sohee",
+    )
+
+    @property
+    def frames_per_second(self) -> float:
+        return self.codec.frame_rate
+
+
+def flagship(mode: str = "custom") -> ModelConfig:
+    """The 1.7B production configuration (one per reference model registry
+    entry, reference config.py:14-42)."""
+    return ModelConfig(mode=mode)
+
+
+def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:
+    """A CPU-testable miniature with the same structure as the flagship.
+
+    Small enough for fast jit on one CPU core, but exercises every code path:
+    GQA (heads != kv_heads), multi-codebook RVQ, upsampling vocoder, quant.
+    """
+    return ModelConfig(
+        mode=mode,
+        talker=TalkerConfig(
+            vocab_size=256,
+            hidden=64,
+            n_layers=2,
+            n_heads=4,
+            n_kv_heads=2,
+            head_dim=16,
+            ffn=128,
+            codec_vocab=67,
+            codec_bos=64,
+            codec_eos=65,
+            codec_pad=66,
+            n_speakers=4,
+        ),
+        code_predictor=CodePredictorConfig(
+            hidden=32, n_layers=1, n_heads=2, head_dim=16, ffn=64
+        ),
+        codec=CodecConfig(
+            sample_rate=24_000,
+            frame_rate=12.0,
+            num_codebooks=4,
+            codebook_size=64,
+            residual_codebook_size=32,
+            latent_dim=32,
+            upsample_rates=(5, 5, 5, 4, 4),
+            decoder_channels=(32, 24, 16, 12, 8, 8),
+            decoder_kernel=3,
+            n_transformer_layers=1,
+            transformer_heads=2,
+        ),
+        quant=QuantConfig(bits=8, group_size=16, enabled=quant),
+        max_seq_len=256,
+    )
+
+
+def with_quant(cfg: ModelConfig, enabled: bool) -> ModelConfig:
+    return replace(cfg, quant=replace(cfg.quant, enabled=enabled))

@@ -1,0 +1,143 @@
+"""Residual-codebook predictor: a small depth transformer that, given the
+talker's hidden state for a frame and its sampled codebook-0 token, predicts
+the remaining RVQ codebooks 1..Q-1 for that frame (MTP-style).
+
+TPU-first design decision (SURVEY.md §7): the talker autoregresses only on
+codebook-0 embeddings, so residual prediction for a whole chunk of frames is
+*batched over frames* — the depth loop runs Q-1 steps once per chunk instead
+of once per frame, turning many tiny matvecs into chunk-sized matmuls and
+cutting its HBM weight traffic by the chunk length.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.configs import ModelConfig
+from .layers import rmsnorm, rope_tables, transformer_block
+from .talker import _init_linear, _stack
+
+Params = dict[str, Any]
+
+
+def init_code_predictor(cfg: ModelConfig, seed: int = 1) -> Params:
+    cp = cfg.code_predictor
+    t = cfg.talker
+    cc = cfg.codec
+    rng = np.random.default_rng(seed)
+    dtype = np.dtype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    qz = dict(
+        quantize=cfg.quant.enabled,
+        group_size=min(cfg.quant.group_size, cp.hidden),
+        bits=cfg.quant.bits,
+        dtype=dtype,
+    )
+    n_res = cc.num_codebooks - 1
+    q_dim = cp.n_heads * cp.head_dim
+
+    def block() -> Params:
+        return {
+            "attn": {
+                "q": _init_linear(rng, q_dim, cp.hidden, **qz),
+                "k": _init_linear(rng, q_dim, cp.hidden, **qz),
+                "v": _init_linear(rng, q_dim, cp.hidden, **qz),
+                "o": _init_linear(rng, cp.hidden, q_dim, **qz),
+                "q_norm": np.ones(cp.head_dim, dtype=dtype),
+                "k_norm": np.ones(cp.head_dim, dtype=dtype),
+            },
+            "mlp": {
+                "gate": _init_linear(rng, cp.ffn, cp.hidden, **qz),
+                "up": _init_linear(rng, cp.ffn, cp.hidden, **qz),
+                "down": _init_linear(rng, cp.hidden, cp.ffn, **qz),
+            },
+            "ln1": np.ones(cp.hidden, dtype=dtype),
+            "ln2": np.ones(cp.hidden, dtype=dtype),
+        }
+
+    return {
+        # talker hidden -> depth-transformer width
+        "in_proj": _init_linear(rng, cp.hidden, t.hidden, **qz),
+        # codebook-0 token embedding in depth-transformer width
+        "cb0_emb": rng.normal(0, 0.02, (cc.codebook_size, cp.hidden)).astype(dtype),
+        # input embeddings for residual codes fed back at depth d
+        "res_emb": rng.normal(
+            0, 0.02, (n_res, cc.residual_codebook_size, cp.hidden)
+        ).astype(dtype),
+        # output heads: one per residual codebook
+        "heads": rng.normal(
+            0, 0.02, (n_res, cc.residual_codebook_size, cp.hidden)
+        ).astype(dtype),
+        "blocks": _stack([block() for _ in range(cp.n_layers)]),
+        "ln_f": np.ones(cp.hidden, dtype=dtype),
+    }
+
+
+def predict_residuals(
+    params: Params,
+    cfg: ModelConfig,
+    talker_hidden: jnp.ndarray,   # [B, D_talker] — B is (batch*frames_in_chunk)
+    cb0_tokens: jnp.ndarray,      # [B] sampled codebook-0 ids
+) -> jnp.ndarray:
+    """Depth-autoregressive greedy prediction of residual codebooks.
+
+    Returns codes [B, Q-1] (int32). The whole depth loop is one lax.scan,
+    jit-friendly and batched over frames.
+    """
+    cp = cfg.code_predictor
+    cc = cfg.codec
+    n_res = cc.num_codebooks - 1
+    B = talker_hidden.shape[0]
+    depth_len = n_res + 1  # position 0 = (hidden+cb0), positions 1.. = residuals
+
+    from ..ops.linear import linear
+
+    cos_t, sin_t = rope_tables(depth_len, cp.head_dim, cp.rope_theta)
+
+    h0 = linear(talker_hidden[:, None, :], params["in_proj"])  # [B,1,H]
+    h0 = h0 + jnp.take(params["cb0_emb"], cb0_tokens, axis=0)[:, None, :]
+
+    q_dim_kv = cp.n_heads  # depth transformer uses MHA (n_kv == n_heads)
+    cache_shape = (cp.n_layers, B, depth_len, q_dim_kv, cp.head_dim)
+    cache_k = jnp.zeros(cache_shape, dtype=h0.dtype)
+    cache_v = jnp.zeros(cache_shape, dtype=h0.dtype)
+
+    def run_blocks(x, ck, cv, d):
+        cos = jax.lax.dynamic_slice(cos_t, (d, 0), (1, cp.head_dim // 2))
+        sin = jax.lax.dynamic_slice(sin_t, (d, 0), (1, cp.head_dim // 2))
+
+        def body(xc, layer):
+            bp, k_l, v_l = layer
+            out = transformer_block(
+                bp, xc,
+                cos=cos, sin=sin,
+                cache_k=k_l, cache_v=v_l, pos=d,
+                n_heads=cp.n_heads, n_kv_heads=cp.n_heads,
+                head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=True,
+            )
+            return out.x, (out.cache_k, out.cache_v)
+
+        x, (nk, nv) = jax.lax.scan(body, x, (params["blocks"], ck, cv))
+        return rmsnorm(x, params["ln_f"], cp.rms_eps), nk, nv
+
+    def depth_step(carry, d):
+        x_in, ck, cv = carry
+        h, ck, cv = run_blocks(x_in, ck, cv, d)
+        head = jax.lax.dynamic_index_in_dim(params["heads"], d, axis=0,
+                                            keepdims=False)
+        logits = jnp.einsum(
+            "bod,vd->bov", h, head, preferred_element_type=jnp.float32
+        )[:, 0, :]
+        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B]
+        emb_tab = jax.lax.dynamic_index_in_dim(params["res_emb"], d, axis=0,
+                                               keepdims=False)
+        next_in = jnp.take(emb_tab, code, axis=0)[:, None, :].astype(x_in.dtype)
+        return (next_in, ck, cv), code
+
+    (_, _, _), codes = jax.lax.scan(
+        depth_step, (h0, cache_k, cache_v), jnp.arange(n_res)
+    )
+    return jnp.transpose(codes, (1, 0))  # [B, Q-1]

@@ -1,0 +1,297 @@
+"""The 12 Hz residual-VQ neural codec: decoder (codes -> 24 kHz waveform) and
+encoder (waveform -> codes, used for voice-cloning acoustic prompts).
+
+This replaces the codec hidden inside ``mlx_audio`` (SURVEY.md §7 "hard
+parts" #1). TPU-first choices:
+
+- all convolutions are causal 1-D convs expressed as XLA
+  ``conv_general_dilated`` over ``[B, T, C]`` (MXU-tiled by XLA);
+- upsampling is nearest-repeat + causal conv (no transposed-conv
+  checkerboard, identical FLOPs, better XLA lowering);
+- the latent transformer is causal so the decoder can stream chunk-by-chunk
+  during generation (TTFA streaming, BASELINE.md target <300 ms);
+- everything is batched over frames — per-frame work is matmul-shaped, not
+  scalar-loop-shaped.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.configs import CodecConfig, ModelConfig
+from .layers import rmsnorm, rope_tables, transformer_block
+
+Params = dict[str, Any]
+
+_MAX_FRAMES = 4096  # RoPE table budget for the latent transformer
+
+
+# --------------------------------------------------------------------------
+# conv primitives
+# --------------------------------------------------------------------------
+
+def causal_conv1d(
+    x: jnp.ndarray,          # [B, T, C_in]
+    w: jnp.ndarray,          # [k, C_in, C_out]
+    b: jnp.ndarray | None,   # [C_out]
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Left-padded (causal) 1-D convolution."""
+    k = w.shape[0]
+    pad_left = dilation * (k - 1)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(pad_left, 0)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def upsample_repeat(x: jnp.ndarray, rate: int) -> jnp.ndarray:
+    """Nearest-neighbour upsample along T: [B, T, C] -> [B, T*rate, C]."""
+    B, T, C = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (B, T, rate, C)).reshape(
+        B, T * rate, C
+    )
+
+
+# --------------------------------------------------------------------------
+# initialisation
+# --------------------------------------------------------------------------
+
+def _conv_init(rng, k: int, c_in: int, c_out: int, dtype) -> Params:
+    std = (2.0 / (k * c_in)) ** 0.5
+    return {
+        "w": rng.normal(0, std, (k, c_in, c_out)).astype(dtype),
+        "b": np.zeros(c_out, dtype=dtype),
+    }
+
+
+def _resunit_init(rng, c: int, k: int, dtype) -> Params:
+    return {
+        "c1": _conv_init(rng, k, c, c, dtype),
+        "c2": _conv_init(rng, k, c, c, dtype),
+    }
+
+
+def _tf_block_init(rng, d: int, heads: int, head_dim: int, ffn: int, dtype) -> Params:
+    def lin(o, i):
+        return {"w": rng.normal(0, 0.02, (o, i)).astype(dtype)}
+
+    q_dim = heads * head_dim
+    return {
+        "attn": {
+            "q": lin(q_dim, d), "k": lin(q_dim, d), "v": lin(q_dim, d),
+            "o": lin(d, q_dim),
+        },
+        "mlp": {"gate": lin(ffn, d), "up": lin(ffn, d), "down": lin(d, ffn)},
+        "ln1": np.ones(d, dtype=dtype),
+        "ln2": np.ones(d, dtype=dtype),
+    }
+
+
+def _stack_trees(trees: list[Params]) -> Params:
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def init_codec(cfg: ModelConfig, seed: int = 2) -> Params:
+    cc = cfg.codec
+    rng = np.random.default_rng(seed)
+    dtype = np.dtype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    head_dim = cc.latent_dim // cc.transformer_heads
+    ffn = 4 * cc.latent_dim
+    n_res = cc.num_codebooks - 1
+
+    # decoder upsample stages
+    dec_stages = []
+    for i, rate in enumerate(cc.upsample_rates):
+        c_in, c_out = cc.decoder_channels[i], cc.decoder_channels[i + 1]
+        dec_stages.append(
+            {
+                "up": _conv_init(rng, 2 * rate + 1, c_in, c_out, dtype),
+                "res": _resunit_init(rng, c_out, cc.decoder_kernel, dtype),
+            }
+        )
+
+    # encoder: mirror of the decoder (strided causal convs, reversed rates)
+    enc_stages = []
+    enc_channels = list(reversed(cc.decoder_channels))
+    for i, rate in enumerate(reversed(cc.upsample_rates)):
+        c_in, c_out = enc_channels[i], enc_channels[i + 1]
+        enc_stages.append(
+            {
+                "down": _conv_init(rng, 2 * rate + 1, c_in, c_out, dtype),
+                "res": _resunit_init(rng, c_out, cc.decoder_kernel, dtype),
+            }
+        )
+
+    return {
+        "dec": {
+            "cb0_emb": rng.normal(0, 0.02, (cc.codebook_size, cc.latent_dim)).astype(dtype),
+            "res_emb": rng.normal(
+                0, 0.02, (n_res, cc.residual_codebook_size, cc.latent_dim)
+            ).astype(dtype),
+            "tf_blocks": _stack_trees(
+                [
+                    _tf_block_init(
+                        rng, cc.latent_dim, cc.transformer_heads, head_dim, ffn, dtype
+                    )
+                    for _ in range(cc.n_transformer_layers)
+                ]
+            ),
+            "ln": np.ones(cc.latent_dim, dtype=dtype),
+            "in_proj": _conv_init(rng, 1, cc.latent_dim, cc.decoder_channels[0], dtype),
+            "stages": dec_stages,
+            "out_conv": _conv_init(rng, cc.decoder_kernel, cc.decoder_channels[-1], 1, dtype),
+        },
+        "enc": {
+            "in_conv": _conv_init(rng, 7, 1, enc_channels[0], dtype),
+            "stages": enc_stages,
+            "proj": _conv_init(rng, 1, enc_channels[-1], cc.latent_dim, dtype),
+            "ln": np.ones(cc.latent_dim, dtype=dtype),
+        },
+        # latent -> talker-hidden projection for cloning conditioning
+        "spk_proj": {
+            "w": rng.normal(0, 0.02, (cfg.talker.hidden, cc.latent_dim)).astype(dtype)
+        },
+    }
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+def codes_to_latent(dec: Params, cc: CodecConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """RVQ de-embedding: codes [B, Q, T] -> latent [B, T, D] (sum over books)."""
+    latent = jnp.take(dec["cb0_emb"], codes[:, 0, :], axis=0)
+    for qb in range(cc.num_codebooks - 1):
+        latent = latent + jnp.take(dec["res_emb"][qb], codes[:, qb + 1, :], axis=0)
+    return latent
+
+
+def _latent_transformer(
+    dec: Params, cc: CodecConfig, latent: jnp.ndarray, pos0: jnp.ndarray
+) -> jnp.ndarray:
+    """Causal self-attention over frames at absolute positions pos0..pos0+T."""
+    B, T, D = latent.shape
+    head_dim = D // cc.transformer_heads
+    cos_t, sin_t = rope_tables(_MAX_FRAMES, head_dim, 10_000.0)
+    cos = jax.lax.dynamic_slice(cos_t, (pos0, 0), (T, head_dim // 2))
+    sin = jax.lax.dynamic_slice(sin_t, (pos0, 0), (T, head_dim // 2))
+
+    def body(x, layer_p):
+        zeros = jnp.zeros((B, T, cc.transformer_heads, head_dim), dtype=x.dtype)
+        out = transformer_block(
+            layer_p, x,
+            cos=cos, sin=sin,
+            cache_k=zeros, cache_v=zeros, pos=0,
+            n_heads=cc.transformer_heads, n_kv_heads=cc.transformer_heads,
+            head_dim=head_dim, rms_eps=1e-6, qk_norm=False,
+        )
+        return out.x, None
+
+    x, _ = jax.lax.scan(body, latent, dec["tf_blocks"])
+    return rmsnorm(x, dec["ln"], 1e-6)
+
+
+def _res_unit(p: Params, x: jnp.ndarray, kernel_dilations=(1, 3)) -> jnp.ndarray:
+    h = causal_conv1d(jax.nn.gelu(x), p["c1"]["w"], p["c1"]["b"],
+                      dilation=kernel_dilations[0])
+    h = causal_conv1d(jax.nn.gelu(h), p["c2"]["w"], p["c2"]["b"],
+                      dilation=kernel_dilations[1])
+    return x + h
+
+
+def decode_codes(
+    params: Params,
+    cfg: ModelConfig,
+    codes: jnp.ndarray,            # [B, Q, T] int32
+    pos0: jnp.ndarray | int = 0,   # absolute frame offset (for streaming)
+) -> jnp.ndarray:
+    """Full codec decode: codes -> waveform [B, T * hop] float32 in [-1, 1]."""
+    cc = cfg.codec
+    dec = params["dec"]
+    pos0 = jnp.asarray(pos0, dtype=jnp.int32)
+
+    latent = codes_to_latent(dec, cc, codes)
+    latent = _latent_transformer(dec, cc, latent, pos0)
+
+    x = causal_conv1d(latent, dec["in_proj"]["w"], dec["in_proj"]["b"])
+    for i, rate in enumerate(cc.upsample_rates):
+        stage = dec["stages"][i]
+        x = upsample_repeat(x, rate)
+        x = causal_conv1d(x, stage["up"]["w"], stage["up"]["b"])
+        x = _res_unit(stage["res"], x)
+    wav = causal_conv1d(jax.nn.gelu(x), dec["out_conv"]["w"], dec["out_conv"]["b"])
+    return jnp.tanh(wav[..., 0].astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# encoder + RVQ (voice-cloning acoustic prompt)
+# --------------------------------------------------------------------------
+
+def encode_waveform(
+    params: Params, cfg: ModelConfig, wav: jnp.ndarray
+) -> jnp.ndarray:
+    """Waveform [B, N] -> latents [B, T, D] at the 12 Hz frame rate.
+
+    N must be a multiple of ``cc.hop`` (callers pad with zeros).
+    """
+    cc = cfg.codec
+    enc = params["enc"]
+    x = wav[..., None].astype(params["dec"]["cb0_emb"].dtype)  # [B, N, 1]
+    x = causal_conv1d(x, enc["in_conv"]["w"], enc["in_conv"]["b"])
+    for stage, rate in zip(enc["stages"], reversed(cc.upsample_rates)):
+        x = causal_conv1d(x, stage["down"]["w"], stage["down"]["b"],
+                          stride=rate)
+        x = _res_unit(stage["res"], x)
+    latent = causal_conv1d(x, enc["proj"]["w"], enc["proj"]["b"])
+    return rmsnorm(latent, enc["ln"], 1e-6)
+
+
+def rvq_quantize(
+    params: Params, cfg: ModelConfig, latent: jnp.ndarray
+) -> jnp.ndarray:
+    """Nearest-neighbour residual VQ: latent [B, T, D] -> codes [B, Q, T]."""
+    cc = cfg.codec
+    dec = params["dec"]
+
+    def nearest(resid: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+        rf = resid.astype(jnp.float32)
+        tf = table.astype(jnp.float32)
+        # argmin_v |r - e_v|^2 == argmin_v (|e_v|^2 - 2 r·e_v)
+        dots = jnp.einsum("btd,vd->btv", rf, tf, preferred_element_type=jnp.float32)
+        norms = jnp.sum(tf * tf, axis=-1)
+        return jnp.argmin(norms[None, None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
+
+    resid = latent
+    idx0 = nearest(resid, dec["cb0_emb"])
+    resid = resid - jnp.take(dec["cb0_emb"], idx0, axis=0)
+    codes = [idx0]
+    for qb in range(cc.num_codebooks - 1):
+        table = dec["res_emb"][qb]
+        idx = nearest(resid, table)
+        resid = resid - jnp.take(table, idx, axis=0)
+        codes.append(idx)
+    return jnp.stack(codes, axis=1)  # [B, Q, T]
+
+
+def speaker_embedding(
+    params: Params, cfg: ModelConfig, latent: jnp.ndarray
+) -> jnp.ndarray:
+    """Mean-pooled encoder latent -> talker-hidden speaker vector [B, D_t]."""
+    pooled = jnp.mean(latent.astype(jnp.float32), axis=1)
+    w = params["spk_proj"]["w"].astype(jnp.float32)
+    return (pooled @ w.T).astype(latent.dtype)

@@ -1,0 +1,180 @@
+"""Shared transformer building blocks (Qwen3-style).
+
+Architecture choices follow the Qwen3 backbone that the Qwen3-TTS talker is
+built on: RMSNorm (pre-norm), grouped-query attention with per-head QK
+RMSNorm, rotate-half RoPE, and SwiGLU MLPs. Everything is a pure function of
+(params pytree, inputs); the quantized/dense distinction is hidden behind
+``ops.linear``.
+
+Shape conventions:
+  x          [B, T, D]
+  q/k/v      [B, T, H, hd]
+  KV cache   [B, S_max, H_kv, hd] per layer
+  cos/sin    [T, hd/2] (already sliced to the query positions)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import linear
+
+
+def rmsnorm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_tables(
+    max_len: int, head_dim: int, theta: float, dtype=jnp.float32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute rotate-half RoPE tables: cos/sin [max_len, head_dim/2]."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) / float(half))
+    )
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [max_len, half]
+    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+
+def apply_rope(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotate-half RoPE on x [B, T, H, hd] with cos/sin [T, hd/2]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return jnp.concatenate((x1 * c - x2 * s, x2 * c + x1 * s), axis=-1)
+
+
+class AttnOut(NamedTuple):
+    out: jnp.ndarray          # [B, T, D]
+    cache_k: jnp.ndarray      # updated [B, S_max, H_kv, hd]
+    cache_v: jnp.ndarray
+
+
+def attention(
+    p: dict,
+    x: jnp.ndarray,
+    *,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_heads: int,
+    n_kv_heads: int,
+    head_dim: int,
+    rms_eps: float,
+    qk_norm: bool = True,
+    pad_len: jnp.ndarray | int = 0,
+) -> AttnOut:
+    """GQA attention with KV-cache write at offset ``pos``.
+
+    Works for both prefill (T > 1) and single-token decode (T == 1): queries
+    attend over the whole cache buffer with a position mask
+    ``pad_len <= key_index <= pos + query_index``, so unwritten (future)
+    slots and left-padding slots are masked out regardless of their
+    contents. Left-padding is exact under RoPE (relative positions); padded
+    *queries* are allowed self-attention only, to keep softmax finite.
+    """
+    B, T, _ = x.shape
+    S = cache_k.shape[1]
+    groups = n_heads // n_kv_heads
+
+    q = linear(x, p["q"]).reshape(B, T, n_heads, head_dim)
+    k = linear(x, p["k"]).reshape(B, T, n_kv_heads, head_dim)
+    v = linear(x, p["v"]).reshape(B, T, n_kv_heads, head_dim)
+
+    if qk_norm:  # per-head RMSNorm over head_dim (Qwen3)
+        q = rmsnorm(q, p["q_norm"], rms_eps)
+        k = rmsnorm(k, p["k_norm"], rms_eps)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # cache dtype is authoritative (callers may keep f32 caches for tests)
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, k.astype(cache_k.dtype), (0, pos, 0, 0)
+    )
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, v.astype(cache_v.dtype), (0, pos, 0, 0)
+    )
+
+    # q: [B, T, H_kv, g, hd]; keys: [B, S, H_kv, hd]
+    qg = q.reshape(B, T, n_kv_heads, groups, head_dim)
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, cache_k, preferred_element_type=jnp.float32
+    )
+    scores = scores * (head_dim ** -0.5)
+
+    key_idx = jnp.arange(S)[None, :]                    # [1, S]
+    qry_idx = pos + jnp.arange(T)[:, None]              # [T, 1]
+    causal = key_idx <= qry_idx                         # [T, S] causal w/ offset
+    valid = key_idx >= pad_len                          # mask left-padding
+    allowed = (causal & valid) | (key_idx == qry_idx)
+    scores = jnp.where(allowed[None, None, None], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
+    ctx = jnp.einsum(
+        "bhgts,bshd->bthgd", probs, cache_v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    ctx = ctx.reshape(B, T, n_heads * head_dim)
+    return AttnOut(linear(ctx, p["o"]), cache_k, cache_v)
+
+
+def swiglu_mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    gate = linear(x, p["gate"])
+    up = linear(x, p["up"])
+    return linear(jax.nn.silu(gate) * up, p["down"])
+
+
+class BlockOut(NamedTuple):
+    x: jnp.ndarray
+    cache_k: jnp.ndarray
+    cache_v: jnp.ndarray
+
+
+def transformer_block(
+    p: dict,
+    x: jnp.ndarray,
+    *,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_heads: int,
+    n_kv_heads: int,
+    head_dim: int,
+    rms_eps: float,
+    qk_norm: bool = True,
+    pad_len: jnp.ndarray | int = 0,
+) -> BlockOut:
+    """Pre-norm residual block: x + Attn(LN(x)); x + MLP(LN(x))."""
+    attn_out = attention(
+        p["attn"],
+        rmsnorm(x, p["ln1"], rms_eps),
+        cos=cos,
+        sin=sin,
+        cache_k=cache_k,
+        cache_v=cache_v,
+        pos=pos,
+        n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        head_dim=head_dim,
+        rms_eps=rms_eps,
+        qk_norm=qk_norm,
+        pad_len=pad_len,
+    )
+    x = x + attn_out.out
+    x = x + swiglu_mlp(p["mlp"], rmsnorm(x, p["ln2"], rms_eps))
+    return BlockOut(x, attn_out.cache_k, attn_out.cache_v)

@@ -1,0 +1,155 @@
+"""The talker: a Qwen3-style autoregressive transformer emitting one semantic
+codec token (codebook 0) per 12 Hz frame.
+
+This is the TPU-native replacement for the 1.7B model inside ``mlx_audio``
+(the black box behind the reference's generate_audio call,
+reference sessions/custom.py:163-170). Layers are stacked along a leading
+``L`` axis and driven with ``lax.scan`` so the 28-layer flagship compiles to
+one rolled loop (fast compiles, identical performance).
+
+Prompt embedding composition (text tokens + speaker embedding + codec BOS /
+acoustic-context tokens) lives in ``runtime.prompts``; this module only maps
+embeddings -> hidden states -> codebook-0 logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.configs import ModelConfig, TalkerConfig
+from ..ops.linear import linear
+from ..ops.quant import quantize_weights
+from .layers import rmsnorm, transformer_block
+
+Params = dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# initialisation (synthetic weights — real checkpoints come from
+# engine.weights.load_checkpoint and share this exact pytree layout)
+# --------------------------------------------------------------------------
+
+def _init_linear(
+    rng: np.random.Generator,
+    out_dim: int,
+    in_dim: int,
+    *,
+    quantize: bool,
+    group_size: int,
+    bits: int,
+    dtype,
+    std: float = 0.02,
+) -> Params:
+    w = rng.normal(0.0, std, size=(out_dim, in_dim)).astype(np.float32)
+    if quantize:
+        return quantize_weights(w, group_size=group_size, bits=bits)
+    return {"w": w.astype(dtype)}
+
+
+def _stack(trees: list[Params]) -> Params:
+    """Stack a list of identical pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def init_talker(cfg: ModelConfig, seed: int = 0) -> Params:
+    """Random-init talker parameters with the production pytree layout."""
+    t = cfg.talker
+    rng = np.random.default_rng(seed)
+    dtype = np.dtype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    qz = dict(
+        quantize=cfg.quant.enabled,
+        group_size=cfg.quant.group_size,
+        bits=cfg.quant.bits,
+        dtype=dtype,
+    )
+
+    def block() -> Params:
+        return {
+            "attn": {
+                "q": _init_linear(rng, t.q_dim, t.hidden, **qz),
+                "k": _init_linear(rng, t.kv_dim, t.hidden, **qz),
+                "v": _init_linear(rng, t.kv_dim, t.hidden, **qz),
+                "o": _init_linear(rng, t.hidden, t.q_dim, **qz),
+                "q_norm": np.ones(t.head_dim, dtype=dtype),
+                "k_norm": np.ones(t.head_dim, dtype=dtype),
+            },
+            "mlp": {
+                "gate": _init_linear(rng, t.ffn, t.hidden, **qz),
+                "up": _init_linear(rng, t.ffn, t.hidden, **qz),
+                "down": _init_linear(rng, t.hidden, t.ffn, **qz),
+            },
+            "ln1": np.ones(t.hidden, dtype=dtype),
+            "ln2": np.ones(t.hidden, dtype=dtype),
+        }
+
+    params: Params = {
+        "text_emb": rng.normal(0, 0.02, (t.vocab_size, t.hidden)).astype(dtype),
+        "codec_emb": rng.normal(0, 0.02, (t.codec_vocab, t.hidden)).astype(dtype),
+        "spk_emb": rng.normal(0, 0.02, (t.n_speakers, t.hidden)).astype(dtype),
+        "blocks": _stack([block() for _ in range(t.n_layers)]),
+        "ln_f": np.ones(t.hidden, dtype=dtype),
+        "head": _init_linear(rng, t.codec_vocab, t.hidden, **qz),
+    }
+    return params
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def talker_forward(
+    params: Params,
+    t: TalkerConfig,
+    x_emb: jnp.ndarray,            # [B, T, D] input embeddings
+    cache_k: jnp.ndarray,          # [L, B, S, H_kv, hd]
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,              # scalar int32: write offset into the cache
+    cos_table: jnp.ndarray,        # [S, hd/2] full-length RoPE tables
+    sin_table: jnp.ndarray,
+    pad_len: jnp.ndarray | int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run all layers; returns (hidden [B,T,D], logits [B,T,codec_vocab],
+    new_cache_k, new_cache_v). Works for prefill (T>1) and decode (T=1)."""
+    T = x_emb.shape[1]
+    half = t.head_dim // 2
+    cos = jax.lax.dynamic_slice(cos_table, (pos, 0), (T, half))
+    sin = jax.lax.dynamic_slice(sin_table, (pos, 0), (T, half))
+
+    def body(x, layer):
+        block_p, ck, cv = layer
+        out = transformer_block(
+            block_p,
+            x,
+            cos=cos,
+            sin=sin,
+            cache_k=ck,
+            cache_v=cv,
+            pos=pos,
+            n_heads=t.n_heads,
+            n_kv_heads=t.n_kv_heads,
+            head_dim=t.head_dim,
+            rms_eps=t.rms_eps,
+            qk_norm=True,
+            pad_len=pad_len,
+        )
+        return out.x, (out.cache_k, out.cache_v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x_emb, (params["blocks"], cache_k, cache_v)
+    )
+    hidden = rmsnorm(x, params["ln_f"], t.rms_eps)
+    logits = linear(hidden, params["head"]).astype(jnp.float32)
+    return hidden, logits, new_k, new_v
+
+
+def embed_codec_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Codebook-0 token ids -> talker input embeddings."""
+    return jnp.take(params["codec_emb"], tokens, axis=0)
+
+
+def embed_text_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["text_emb"], tokens, axis=0)

@@ -1,0 +1,67 @@
+"""Linear/matmul ops with quantized-weight support and backend dispatch.
+
+``linear`` is the single entry point the model layers use; it routes to
+- a Pallas fused dequant-matmul on TPU (ops/pallas_matmul.py), or
+- the XLA reference path (dequantize + dot) elsewhere.
+
+Weights follow the ``[out, in]`` convention; activations are ``[..., in]``;
+the contraction is x @ W^T with float32 accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .quant import dequantize, is_quantized
+
+
+def _dense_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x [..., in] @ w[out, in]^T -> [..., out], f32 accumulation."""
+    return jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def quantized_matmul_xla(
+    x: jnp.ndarray,
+    q: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reference implementation: dequantize to the activation dtype, then a
+    dense matmul. Numerically defines what the Pallas kernel must match."""
+    w = dequantize({"q": q, "scale": scale, "bias": bias}, dtype=x.dtype)
+    return _dense_matmul(x, w)
+
+
+def quantized_matmul(
+    x: jnp.ndarray,
+    q: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fused weight-dequant matmul: x [..., in] × affine-quantized W[out, in].
+
+    On TPU this lowers to a Pallas kernel that streams uint8 weights from HBM
+    and dequantizes in VMEM (the decode hot path is HBM-bandwidth-bound, so
+    keeping weights int8 end-to-end is the single biggest perf lever —
+    SURVEY.md §7 "hard parts" #3/#4).
+    """
+    from . import use_pallas
+
+    if use_pallas():
+        from .pallas_matmul import quantized_matmul_pallas
+
+        return quantized_matmul_pallas(x, q, scale, bias)
+    return quantized_matmul_xla(x, q, scale, bias)
+
+
+def linear(x: jnp.ndarray, params: dict) -> jnp.ndarray:
+    """Apply a (possibly quantized) linear layer parameter dict to x."""
+    if is_quantized(params):
+        return quantized_matmul(x, params["q"], params["scale"], params["bias"])
+    return _dense_matmul(x, jnp.asarray(params["w"], dtype=x.dtype))

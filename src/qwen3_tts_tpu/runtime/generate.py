@@ -1,0 +1,342 @@
+"""Jitted synthesis pipeline: prompt embedding -> prefill -> chunked
+autoregressive decode -> residual-codebook prediction -> codec decode.
+
+TPU-first structure (SURVEY.md §7 "hard parts" #4/#5):
+
+- the whole decode loop is ``lax.scan`` chunks inside one jitted function:
+  zero host round-trips per token, KV caches donated in-place;
+- sampling happens on device (runtime.sampling);
+- residual codebooks are predicted once per chunk, batched over the chunk's
+  frames (models.code_predictor);
+- audio streams out chunk-by-chunk (time-to-first-audio = prefill + one
+  chunk + one small codec decode), while the final file is decoded in one
+  full causal pass for best quality;
+- prompts are LEFT-padded to a small set of length buckets so each bucket
+  compiles exactly once. RoPE is relative, so left-padding (with padded keys
+  masked out) is numerically exact.
+
+The EOS check is the only per-chunk host sync, and it overlaps with the next
+chunk's dispatch thanks to JAX async dispatch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.configs import ModelConfig
+from ..models.code_predictor import predict_residuals
+from ..models.codec import decode_codes
+from ..models.talker import talker_forward
+from ..models.layers import rope_tables
+from .prompts import PromptSpec
+from .sampling import SamplingConfig, sample_token
+
+PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+FRAME_BUCKET = 128  # full codec decode pads frame count to a multiple of this
+
+
+def bucket_len(n: int) -> int:
+    for b in PROMPT_BUCKETS:
+        if n <= b:
+            return b
+    return PROMPT_BUCKETS[-1]
+
+
+@dataclass
+class GenerationResult:
+    wav: np.ndarray                   # [n_samples] float32 mono
+    frames: int
+    sample_rate: int
+    ttfa_s: float                     # time to first audio chunk
+    wall_s: float
+    audio_s: float
+
+    @property
+    def rtf(self) -> float:
+        """Real-time factor: audio seconds produced per wall second."""
+        return self.audio_s / self.wall_s if self.wall_s > 0 else 0.0
+
+
+# --------------------------------------------------------------------------
+# jitted stage factories (cached per (config, static-shape) on the model)
+# --------------------------------------------------------------------------
+
+def make_prefill_fn(cfg: ModelConfig) -> Callable:
+    t = cfg.talker
+    S = cfg.max_seq_len
+
+    @partial(jax.jit, donate_argnums=(3, 4))
+    def prefill(params, emb, pad_len, cache_k, cache_v):
+        cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+        hidden, logits, ck, cv = talker_forward(
+            params, t, emb, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
+            pad_len=pad_len,
+        )
+        return hidden[:, -1, :], logits[:, -1, :], ck, cv
+
+    return prefill
+
+
+def make_decode_chunk_fn(
+    cfg: ModelConfig, chunk: int, sampling: SamplingConfig
+) -> Callable:
+    t = cfg.talker
+    S = cfg.max_seq_len
+    cb_size = cfg.codec.codebook_size
+
+    @partial(jax.jit, donate_argnums=(2, 3), static_argnums=())
+    def decode_chunk(params, cp_params, cache_k, cache_v, pos, pad_len,
+                     last_token, key):
+        cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+
+        def step(carry, _):
+            ck, cv, p, tok, k = carry
+            emb = jnp.take(params["codec_emb"], tok, axis=0)[:, None, :]
+            hidden, logits, ck, cv = talker_forward(
+                params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad_len
+            )
+            k, sub = jax.random.split(k)
+            nxt = sample_token(logits[:, -1, :], sub, sampling)
+            return (ck, cv, p + 1, nxt, k), (nxt, hidden[:, -1, :])
+
+        (ck, cv, p, tok, key), (tokens, hiddens) = jax.lax.scan(
+            step, (cache_k, cache_v, pos, last_token, key), None, length=chunk
+        )
+        # tokens: [chunk, B] -> [B, chunk]; hiddens: [chunk, B, D]
+        tokens_bc = jnp.transpose(tokens, (1, 0))
+        B = tokens_bc.shape[0]
+        D = hiddens.shape[-1]
+        flat_h = jnp.transpose(hiddens, (1, 0, 2)).reshape(B * chunk, D)
+        # control tokens (BOS/EOS/PAD >= codebook_size) are clamped for the
+        # predictor; the host masks frames at/after EOS anyway.
+        flat_cb0 = jnp.clip(tokens_bc.reshape(B * chunk), 0, cb_size - 1)
+        residuals = predict_residuals(cp_params, cfg, flat_h, flat_cb0)
+        n_res = residuals.shape[-1]
+        codes = jnp.concatenate(
+            [
+                flat_cb0.reshape(B, chunk, 1),
+                residuals.reshape(B, chunk, n_res),
+            ],
+            axis=-1,
+        )  # [B, chunk, Q]
+        codes = jnp.transpose(codes, (0, 2, 1))  # [B, Q, chunk]
+        return ck, cv, p, tok, key, tokens_bc, codes
+
+    return decode_chunk
+
+
+def make_codec_decode_fn(cfg: ModelConfig) -> Callable:
+    @partial(jax.jit, static_argnums=())
+    def dec(codec_params, codes, pos0):
+        return decode_codes(codec_params, cfg, codes, pos0)
+
+    return dec
+
+
+# --------------------------------------------------------------------------
+# the synthesis driver
+# --------------------------------------------------------------------------
+
+@dataclass
+class Generator:
+    """Owns the jitted stages + cache buffers for one model instance."""
+
+    cfg: ModelConfig
+    params: Any                       # talker params (device)
+    cp_params: Any                    # code-predictor params
+    codec_params: Any
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    chunk: int = 8
+    lookback: int = 8                 # streaming codec left-context frames
+    _fns: dict = field(default_factory=dict)
+
+    def _prefill_fn(self):
+        key = "prefill"
+        if key not in self._fns:
+            self._fns[key] = make_prefill_fn(self.cfg)
+        return self._fns[key]
+
+    def _decode_fn(self):
+        key = ("decode", self.chunk, self.sampling)
+        if key not in self._fns:
+            self._fns[key] = make_decode_chunk_fn(self.cfg, self.chunk, self.sampling)
+        return self._fns[key]
+
+    def _codec_fn(self):
+        key = "codec"
+        if key not in self._fns:
+            self._fns[key] = make_codec_decode_fn(self.cfg)
+        return self._fns[key]
+
+    def _alloc_cache(self, batch: int = 1):
+        t = self.cfg.talker
+        shape = (t.n_layers, batch, self.cfg.max_seq_len, t.n_kv_heads, t.head_dim)
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+    # -- prompt embedding (eager; once per utterance) ----------------------
+
+    def assemble_prompt(self, prompt: PromptSpec) -> tuple[jnp.ndarray, int]:
+        """Compose the prompt embedding sequence and left-pad it to a bucket.
+
+        Returns (emb [1, L_bucket, D], pad_len).
+        """
+        t = self.cfg.talker
+        parts = []
+        if prompt.speaker_id is not None:
+            parts.append(self.params["spk_emb"][prompt.speaker_id][None, :])
+        if prompt.speaker_vector is not None:
+            vec = jnp.asarray(prompt.speaker_vector, dtype=self.params["spk_emb"].dtype)
+            parts.append(vec[None, :])
+        if prompt.text_tokens.size:
+            toks = jnp.asarray(prompt.text_tokens) % t.vocab_size
+            parts.append(jnp.take(self.params["text_emb"], toks, axis=0))
+        if prompt.acoustic_codes is not None and prompt.acoustic_codes.size:
+            cb0 = jnp.asarray(prompt.acoustic_codes[0]) % self.cfg.codec.codebook_size
+            parts.append(jnp.take(self.params["codec_emb"], cb0, axis=0))
+        parts.append(self.params["codec_emb"][t.codec_bos][None, :])
+        emb = jnp.concatenate(parts, axis=0)  # [L, D]
+
+        L = int(emb.shape[0])
+        Lb = bucket_len(L)
+        if L > Lb:  # over-long prompt: keep the tail (BOS must survive)
+            emb = emb[L - Lb:]
+            L = Lb
+        pad = Lb - L
+        padded = jnp.zeros((Lb, emb.shape[1]), emb.dtype)
+        padded = jax.lax.dynamic_update_slice(padded, emb, (pad, 0))
+        return padded[None, :, :], pad
+
+    # -- streaming synthesis ----------------------------------------------
+
+    def stream(
+        self,
+        prompt: PromptSpec,
+        *,
+        max_frames: int,
+        seed: int = 0,
+    ) -> Iterator[tuple[np.ndarray, dict]]:
+        """Yield (wav_chunk float32 [n], info) as audio becomes available.
+
+        The last yield carries info["final"] = True and the full-quality
+        re-decoded waveform for the entire utterance.
+        """
+        cfg = self.cfg
+        t = cfg.talker
+        hop = cfg.codec.hop
+        emb, pad = self.assemble_prompt(prompt)
+        Lb = emb.shape[1]
+        budget = cfg.max_seq_len - Lb
+        max_frames = max(1, min(max_frames, budget))
+
+        start = time.perf_counter()
+        cache_k, cache_v = self._alloc_cache()
+        pad_len = jnp.int32(pad)
+        _, logits, cache_k, cache_v = self._prefill_fn()(
+            self.params, emb, pad_len, cache_k, cache_v
+        )
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        first = sample_token(logits, sub, self.sampling)
+
+        decode = self._decode_fn()
+        codec = self._codec_fn()
+
+        pos = jnp.int32(Lb)
+        tok = first
+        all_codes: list[np.ndarray] = []   # [Q, chunk] slabs (host)
+        n_frames = 0
+        done = False
+        ttfa = None
+
+        while not done and n_frames < max_frames:
+            cache_k, cache_v, pos, tok, key, tokens_bc, codes = decode(
+                self.params, self.cp_params, cache_k, cache_v, pos, pad_len,
+                tok, key,
+            )
+            host_tokens = np.asarray(tokens_bc[0])          # sync point
+            eos_hits = np.nonzero(host_tokens == t.codec_eos)[0]
+            if eos_hits.size:
+                valid = int(eos_hits[0])
+                done = True
+            else:
+                valid = self.chunk
+            remaining = max_frames - n_frames
+            if valid >= remaining:
+                valid = remaining
+                done = True
+            if valid > 0:
+                codes_host = np.asarray(codes[0])           # [Q, chunk]
+                all_codes.append(codes_host[:, :valid])
+                # streaming decode with lookback context
+                ctx = np.concatenate(all_codes, axis=1)
+                lb = min(self.lookback, ctx.shape[1] - valid)
+                window = ctx[:, ctx.shape[1] - valid - lb:]
+                pos0 = n_frames - lb
+                wav = self._codec_decode_padded(codec, window, pos0)
+                wav_chunk = wav[lb * hop: (lb + valid) * hop]
+                n_frames += valid
+                if ttfa is None:
+                    ttfa = time.perf_counter() - start
+                yield wav_chunk, {
+                    "final": False, "frames": n_frames, "ttfa_s": ttfa,
+                }
+
+        # full-quality single-pass decode of the whole utterance
+        if all_codes:
+            full = np.concatenate(all_codes, axis=1)
+            wav_full = self._codec_decode_padded(codec, full, 0)
+            wav_full = wav_full[: n_frames * hop]
+        else:
+            wav_full = np.zeros(0, dtype=np.float32)
+        wall = time.perf_counter() - start
+        yield wav_full, {
+            "final": True,
+            "frames": n_frames,
+            "ttfa_s": ttfa if ttfa is not None else wall,
+            "wall_s": wall,
+        }
+
+    def _codec_decode_padded(self, codec_fn, codes_np: np.ndarray, pos0: int):
+        """Pad the frame axis to a bucket (causal decoder => exact) and
+        decode; returns float32 numpy [T*hop]."""
+        Q, T = codes_np.shape
+        Tb = -(-T // FRAME_BUCKET) * FRAME_BUCKET
+        padded = np.zeros((1, Q, Tb), dtype=np.int32)
+        padded[0, :, :T] = codes_np
+        wav = codec_fn(self.codec_params, jnp.asarray(padded), jnp.int32(max(pos0, 0)))
+        return np.asarray(wav[0, : T * self.cfg.codec.hop])
+
+    def synthesize(
+        self,
+        prompt: PromptSpec,
+        *,
+        max_frames: int,
+        seed: int = 0,
+        on_chunk: Callable[[np.ndarray], None] | None = None,
+    ) -> GenerationResult:
+        """Run the full pipeline; returns the final full-quality waveform."""
+        final_wav = np.zeros(0, dtype=np.float32)
+        info: dict = {"frames": 0, "ttfa_s": 0.0, "wall_s": 0.0}
+        for wav_chunk, meta in self.stream(prompt, max_frames=max_frames, seed=seed):
+            if meta["final"]:
+                final_wav = wav_chunk
+                info = meta
+            elif on_chunk is not None:
+                on_chunk(wav_chunk)
+        sr = self.cfg.codec.sample_rate
+        return GenerationResult(
+            wav=final_wav,
+            frames=info["frames"],
+            sample_rate=sr,
+            ttfa_s=info["ttfa_s"],
+            wall_s=info.get("wall_s", 0.0),
+            audio_s=len(final_wav) / sr,
+        )

@@ -12,13 +12,19 @@ import shutil
 import sys
 import tempfile
 
-# Force CPU with 8 virtual devices BEFORE any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU with 8 virtual devices. NOTE: this image preloads a TPU plugin
+# via sitecustomize before any user code runs, so env vars set here are too
+# late — the jax.config API is the reliable lever (backends aren't
+# initialised until first use, which happens after conftest import).
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # fall back to XLA_FLAGS if this jax version lacks the option
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 

@@ -1,0 +1,163 @@
+"""End-to-end engine API tests on the tiny config: the three generate_audio
+call shapes (reference custom.py:163-170, design.py:76-81, clone.py:218-224),
+the audio_000.wav contract (reference io.py:156), text segmentation, and
+prompt construction."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.engine import load_model, generate_audio
+from qwen3_tts_tpu.engine.api import _estimate_frames, _split_segments
+from qwen3_tts_tpu.runtime.prompts import build_prompt, render_template, speed_bucket
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return load_model("synthetic:tiny")
+
+
+@pytest.fixture(scope="module")
+def tiny_base_model():
+    return load_model("synthetic:tiny:base")
+
+
+def _check_wav(path):
+    import wave
+
+    with wave.open(path) as w:
+        assert w.getframerate() == 24_000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getnframes() > 0
+        return w.getnframes()
+
+
+def test_custom_voice_shape(tiny_model, temp_dir):
+    metrics = generate_audio(
+        model=tiny_model,
+        text="Hello there.",
+        voice="ryan",
+        instruct="Normal tone",
+        speed=1.0,
+        output_path=temp_dir,
+        max_frames=10,
+    )
+    n = _check_wav(os.path.join(temp_dir, "audio_000.wav"))
+    assert metrics["frames"] > 0
+    assert n == metrics["frames"] * tiny_model.cfg.codec.hop
+    assert metrics["rtf"] > 0
+    assert metrics["ttfa_s"] > 0
+
+
+def test_design_shape(tiny_model, temp_dir):
+    generate_audio(
+        model=tiny_model,
+        text="Testing voice design.",
+        instruct="A deep warm narrator voice",
+        output_path=temp_dir,
+        max_frames=8,
+    )
+    _check_wav(os.path.join(temp_dir, "audio_000.wav"))
+
+
+def test_clone_shape(tiny_base_model, temp_dir):
+    from qwen3_tts_tpu.audio import write_wav
+
+    ref = os.path.join(temp_dir, "ref.wav")
+    t = np.arange(24_000) / 24_000.0
+    write_wav(ref, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), 24_000)
+
+    generate_audio(
+        model=tiny_base_model,
+        text="Cloned speech.",
+        ref_audio=ref,
+        ref_text="reference transcript",
+        output_path=temp_dir,
+        max_frames=8,
+    )
+    _check_wav(os.path.join(temp_dir, "audio_000.wav"))
+
+
+def test_streaming_chunks_match_final_length(tiny_model, temp_dir):
+    chunks = []
+    metrics = generate_audio(
+        model=tiny_model,
+        text="Stream me please.",
+        voice="serena",
+        output_path=temp_dir,
+        max_frames=12,
+        on_chunk=chunks.append,
+    )
+    assert chunks, "streaming callback never fired"
+    streamed = sum(len(c) for c in chunks)
+    assert streamed == metrics["frames"] * tiny_model.cfg.codec.hop
+
+
+def test_deterministic_given_seed(tiny_model, temp_dir):
+    from qwen3_tts_tpu.audio import read_wav
+
+    out = {}
+    for name in ("a", "b"):
+        d = os.path.join(temp_dir, name)
+        generate_audio(
+            model=tiny_model, text="Same seed.", voice="ryan",
+            output_path=d, max_frames=6, seed=123,
+        )
+        out[name], _ = read_wav(os.path.join(d, "audio_000.wav"))
+    np.testing.assert_array_equal(out["a"], out["b"])
+
+
+def test_split_segments():
+    assert _split_segments("Short one.") == ["Short one."]
+    text = "First sentence. Second sentence! Third?"
+    assert _split_segments(text) == [text]  # packs under the limit
+    long = ". ".join(["word " * 30] * 12)
+    segs = _split_segments(long)
+    assert len(segs) > 1
+    assert all(len(s) <= 600 for s in segs)
+    # no content lost (modulo whitespace normalisation)
+    assert sum(len(s.replace(" ", "")) for s in segs) == len(long.replace(" ", ""))
+
+
+def test_estimate_frames_scales():
+    short = _estimate_frames("Hi.", 12.0)
+    long = _estimate_frames("x" * 1000, 12.0)
+    assert short < long
+    assert short >= 12
+
+
+def test_render_templates():
+    custom = render_template("custom", "Hi", instruct="Sad tone", speed=1.3)
+    assert "Sad tone" in custom and "fast" in custom and custom.endswith("Hi")
+    design = render_template("design", "Hi", instruct="A robot voice")
+    assert "A robot voice" in design
+    clone = render_template("base", "Hi", ref_text="the transcript")
+    assert "the transcript" in clone
+    # "." placeholder transcript is dropped (reference clone.py:148-150)
+    assert render_template("base", "Hi", ref_text=".") == "Hi"
+
+
+def test_speed_buckets():
+    assert speed_bucket(0.8) == "slow"
+    assert speed_bucket(1.0) == "normal"
+    assert speed_bucket(1.3) == "fast"
+
+
+def test_build_prompt_speaker_resolution(tiny_model):
+    spec = build_prompt(
+        tiny_model.tokenizer, "custom", "Hello",
+        voice="serena", speakers=tiny_model.cfg.speakers,
+    )
+    assert spec.speaker_id == tiny_model.cfg.speakers.index("serena")
+    spec2 = build_prompt(
+        tiny_model.tokenizer, "custom", "Hello",
+        voice="nobody", speakers=tiny_model.cfg.speakers,
+    )
+    assert spec2.speaker_id == 0
+
+
+def test_load_model_missing_path():
+    with pytest.raises(FileNotFoundError):
+        load_model("/nonexistent/model/dir")

@@ -59,17 +59,20 @@ class Qwen3TTSModel:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def synthetic(cls, cfg: ModelConfig, seed: int = 0) -> "Qwen3TTSModel":
+    def synthetic(
+        cls, cfg: ModelConfig, seed: int = 0, fast: bool = False
+    ) -> "Qwen3TTSModel":
         """Random-initialised model with the production pytree layout —
-        used by CI, benchmarks and when no checkpoint is on disk."""
+        used by CI, benchmarks and when no checkpoint is on disk.
+        ``fast=True`` skips the quantization solve (bench/compile checks)."""
         import jax
 
         from ..models.code_predictor import init_code_predictor
         from ..models.codec import init_codec
         from ..models.talker import init_talker
 
-        params = jax.device_put(init_talker(cfg, seed))
-        cp_params = jax.device_put(init_code_predictor(cfg, seed + 1))
+        params = jax.device_put(init_talker(cfg, seed, fast=fast))
+        cp_params = jax.device_put(init_code_predictor(cfg, seed + 1, fast=fast))
         codec_params = jax.device_put(init_codec(cfg, seed + 2))
         return cls(
             cfg=cfg,

@@ -24,7 +24,7 @@ from .talker import _init_linear, _stack
 Params = dict[str, Any]
 
 
-def init_code_predictor(cfg: ModelConfig, seed: int = 1) -> Params:
+def init_code_predictor(cfg: ModelConfig, seed: int = 1, fast: bool = False) -> Params:
     cp = cfg.code_predictor
     t = cfg.talker
     cc = cfg.codec
@@ -35,6 +35,7 @@ def init_code_predictor(cfg: ModelConfig, seed: int = 1) -> Params:
         group_size=min(cfg.quant.group_size, cp.hidden),
         bits=cfg.quant.bits,
         dtype=dtype,
+        fast=fast,
     )
     n_res = cc.num_codebooks - 1
     q_dim = cp.n_heads * cp.head_dim

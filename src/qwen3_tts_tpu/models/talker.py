@@ -43,7 +43,25 @@ def _init_linear(
     bits: int,
     dtype,
     std: float = 0.02,
+    fast: bool = False,
 ) -> Params:
+    if fast and quantize:
+        # benchmark/compile-check path: skip the quantization solve, emit
+        # uniform codes with a centred affine grid (same layouts and value
+        # ranges as the real path, ~50x faster for the 1.7B flagship)
+        g = in_dim // group_size
+        levels = (1 << bits) - 1
+        scale = 2.0 * std / levels
+        return {
+            "q": rng.integers(0, levels + 1, (out_dim, in_dim), dtype=np.uint8),
+            "scale": np.full((out_dim, g), scale, np.float32),
+            "bias": np.full((out_dim, g), -std, np.float32),
+        }
+    if fast:
+        w = (rng.random((out_dim, in_dim), dtype=np.float32) - 0.5) * (
+            2.0 * std * 3.46  # match N(0, std) variance with U(-a, a)
+        )
+        return {"w": w.astype(dtype)}
     w = rng.normal(0.0, std, size=(out_dim, in_dim)).astype(np.float32)
     if quantize:
         return quantize_weights(w, group_size=group_size, bits=bits)
@@ -55,8 +73,13 @@ def _stack(trees: list[Params]) -> Params:
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
 
 
-def init_talker(cfg: ModelConfig, seed: int = 0) -> Params:
-    """Random-init talker parameters with the production pytree layout."""
+def init_talker(cfg: ModelConfig, seed: int = 0, fast: bool = False) -> Params:
+    """Random-init talker parameters with the production pytree layout.
+
+    ``fast=True`` swaps the quantization solve for direct uint8 sampling —
+    identical layouts/dtypes, used for benchmarks and compile checks where
+    weight *values* don't matter.
+    """
     t = cfg.talker
     rng = np.random.default_rng(seed)
     dtype = np.dtype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
@@ -65,6 +88,7 @@ def init_talker(cfg: ModelConfig, seed: int = 0) -> Params:
         group_size=cfg.quant.group_size,
         bits=cfg.quant.bits,
         dtype=dtype,
+        fast=fast,
     )
 
     def block() -> Params:

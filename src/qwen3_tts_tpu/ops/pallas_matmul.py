@@ -34,14 +34,20 @@ _MIN_M = 16  # bf16 sublane minimum
 
 
 def _dequant_matmul_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
-    q = q_ref[:]                       # [TN, K] uint8
-    s = s_ref[:]                       # [TN, G] f32
-    b = b_ref[:]                       # [TN, G] f32
+    """Mosaic-friendly per-group dequant: no reshapes/gathers on the lane
+    axis. The per-group scale/bias are expanded to per-element via a one-hot
+    expansion matmul (E[g, k] = [k//group == g]) built from iota — an MXU op
+    instead of an unsupported lane-splitting reshape."""
+    # u8 -> f32 must widen through i32 on Mosaic
+    q = q_ref[:].astype(jnp.int32).astype(jnp.float32)   # [TN, K]
     tn, k = q.shape
     g = k // group_size
-    w = q.astype(jnp.float32).reshape(tn, g, group_size)
-    w = w * s[:, :, None] + b[:, :, None]
-    w = w.reshape(tn, k).astype(x_ref.dtype)
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (g, k), 1) // group_size
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, k), 0)
+    expand = (col_group == row).astype(jnp.float32)      # [G, K] one-hot
+    s_full = jnp.dot(s_ref[:], expand, preferred_element_type=jnp.float32)
+    b_full = jnp.dot(b_ref[:], expand, preferred_element_type=jnp.float32)
+    w = (q * s_full + b_full).astype(x_ref.dtype)
     # x [M, K] @ w.T [K, TN] -> [M, TN] on the MXU, f32 accumulation
     o_ref[:] = jax.lax.dot_general(
         x_ref[:], w,

@@ -1,0 +1,167 @@
+"""Teacher-forced losses for the talker and the residual-code predictor.
+
+Batch layout (host side, produced by any dataset pipeline):
+
+    text_tokens  [B, T_text]  int32, right-padded with ``pad_id``
+    text_mask    [B, T_text]  bool  (True = real token)
+    codes        [B, Q, T_f]  int32 ground-truth codec codes
+    frame_mask   [B, T_f]     bool  (True = real frame)
+
+The talker consumes [text embeddings][BOS][codec-0 embeddings of frames
+0..T_f-2] and predicts codec-0 ids for frames 0..T_f-1 (next-token CE at the
+frame positions). The code predictor consumes (talker hidden at each frame,
+ground-truth codebook-0) and predicts residual books 1..Q-1 with
+teacher-forced depth inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.configs import ModelConfig
+from ..models.layers import rmsnorm, rope_tables, transformer_block
+from ..models.talker import talker_forward
+from ..ops.linear import linear
+
+
+def _cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean CE. logits [..., V] f32, targets [...] int32, mask bool."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    total = jnp.sum(nll * mask)
+    count = jnp.maximum(jnp.sum(mask), 1.0)
+    return total / count
+
+
+def _talker_hidden_and_logits(
+    params: Any, cfg: ModelConfig, batch: dict
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-sequence forward; returns (hidden, logits) at frame positions.
+
+    Sequence = [text (T_text)] [BOS] [codec0 frames 0..T_f-2]; the logits at
+    positions T_text-1+k predict frame k. Padding text tokens embed pad
+    rows but are masked from the loss; frames are causal so right-padding is
+    harmless for valid positions.
+    """
+    t = cfg.talker
+    text = batch["text_tokens"]                       # [B, Tt]
+    codes0 = batch["codes"][:, 0, :]                  # [B, Tf]
+    B, Tt = text.shape
+    Tf = codes0.shape[1]
+
+    text_emb = jnp.take(params["text_emb"], text, axis=0)
+    bos = jnp.broadcast_to(
+        params["codec_emb"][t.codec_bos][None, None, :], (B, 1, text_emb.shape[-1])
+    )
+    frame_in = jnp.take(params["codec_emb"], codes0[:, :-1], axis=0)
+    x = jnp.concatenate([text_emb, bos, frame_in], axis=1)  # [B, Tt+Tf, D]
+
+    S = x.shape[1]
+    dtype = x.dtype
+    cache_k = jnp.zeros((t.n_layers, B, S, t.n_kv_heads, t.head_dim), dtype)
+    cache_v = jnp.zeros_like(cache_k)
+    cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+    hidden, logits, _, _ = talker_forward(
+        params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t
+    )
+    # positions Tt-1+k+1 = Tt+k hold the prediction for frame k (BOS at Tt)
+    return hidden[:, Tt:, :], logits[:, Tt:, :]
+
+
+def talker_loss(params: Any, cfg: ModelConfig, batch: dict) -> jnp.ndarray:
+    """Codebook-0 next-frame cross entropy."""
+    _, logits = _talker_hidden_and_logits(params, cfg, batch)
+    return _cross_entropy(logits, batch["codes"][:, 0, :], batch["frame_mask"])
+
+
+def code_predictor_teacher_logits(
+    cp_params: Any, cfg: ModelConfig, talker_hidden: jnp.ndarray,
+    codes: jnp.ndarray,
+) -> jnp.ndarray:
+    """Teacher-forced depth transformer.
+
+    talker_hidden [N, D_talker] (N = B*T_f flattened frames),
+    codes [N, Q] ground truth. Returns logits [N, Q-1, V_res]: the depth
+    step d predicts codes[:, d+1] given hidden, cb0 and residuals < d+1.
+    """
+    cp = cfg.code_predictor
+    cc = cfg.codec
+    n_res = cc.num_codebooks - 1
+    N = talker_hidden.shape[0]
+
+    cos_t, sin_t = rope_tables(n_res + 1, cp.head_dim, cp.rope_theta)
+
+    h0 = linear(talker_hidden[:, None, :], cp_params["in_proj"])
+    h0 = h0 + jnp.take(cp_params["cb0_emb"], codes[:, 0], axis=0)[:, None, :]
+    # teacher inputs for depth d>=1: embedding of ground-truth residual d-1
+    tf_in = [h0]
+    for d in range(n_res - 1):
+        emb = jnp.take(cp_params["res_emb"][d], codes[:, d + 1], axis=0)
+        tf_in.append(emb[:, None, :].astype(h0.dtype))
+    x = jnp.concatenate(tf_in, axis=1)                 # [N, n_res, H]
+
+    dtype = x.dtype
+    cache_k = jnp.zeros((cp.n_layers, N, n_res, cp.n_heads, cp.head_dim), dtype)
+    cache_v = jnp.zeros_like(cache_k)
+
+    def body(xc, layer):
+        bp, k_l, v_l = layer
+        out = transformer_block(
+            bp, xc,
+            cos=cos_t[:n_res], sin=sin_t[:n_res],
+            cache_k=k_l, cache_v=v_l, pos=jnp.int32(0),
+            n_heads=cp.n_heads, n_kv_heads=cp.n_heads,
+            head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=True,
+        )
+        return out.x, None
+
+    x, _ = jax.lax.scan(body, x, (cp_params["blocks"], cache_k, cache_v))
+    h = rmsnorm(x, cp_params["ln_f"], cp.rms_eps)      # [N, n_res, H]
+    # head d scores depth position d
+    logits = jnp.einsum(
+        "ndh,dvh->ndv", h, cp_params["heads"],
+        preferred_element_type=jnp.float32,
+    )
+    return logits
+
+
+def code_predictor_loss(
+    params: Any, cp_params: Any, cfg: ModelConfig, batch: dict
+) -> jnp.ndarray:
+    hidden, _ = _talker_hidden_and_logits(params, cfg, batch)
+    B, Tf, D = hidden.shape
+    Q = batch["codes"].shape[1]
+    flat_h = hidden.reshape(B * Tf, D)
+    flat_codes = jnp.transpose(batch["codes"], (0, 2, 1)).reshape(B * Tf, Q)
+    logits = code_predictor_teacher_logits(cp_params, cfg, flat_h, flat_codes)
+    targets = flat_codes[:, 1:]                        # [N, Q-1]
+    mask = jnp.broadcast_to(
+        batch["frame_mask"].reshape(B * Tf, 1), targets.shape
+    )
+    return _cross_entropy(logits, targets, mask)
+
+
+def joint_loss(
+    params: Any, cp_params: Any, cfg: ModelConfig, batch: dict,
+    *, cp_weight: float = 1.0,
+) -> tuple[jnp.ndarray, dict]:
+    """Talker CE + weighted residual-predictor CE, sharing one talker pass."""
+    hidden, logits = _talker_hidden_and_logits(params, cfg, batch)
+    t_loss = _cross_entropy(logits, batch["codes"][:, 0, :], batch["frame_mask"])
+
+    B, Tf, D = hidden.shape
+    Q = batch["codes"].shape[1]
+    flat_h = hidden.reshape(B * Tf, D)
+    flat_codes = jnp.transpose(batch["codes"], (0, 2, 1)).reshape(B * Tf, Q)
+    cp_logits = code_predictor_teacher_logits(cp_params, cfg, flat_h, flat_codes)
+    mask = jnp.broadcast_to(
+        batch["frame_mask"].reshape(B * Tf, 1), flat_codes[:, 1:].shape
+    )
+    cp_loss = _cross_entropy(cp_logits, flat_codes[:, 1:], mask)
+
+    total = t_loss + cp_weight * cp_loss
+    return total, {"talker_loss": t_loss, "cp_loss": cp_loss, "loss": total}

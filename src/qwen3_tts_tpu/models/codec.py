@@ -184,12 +184,19 @@ def codes_to_latent(dec: Params, cc: CodecConfig, codes: jnp.ndarray) -> jnp.nda
 def _latent_transformer(
     dec: Params, cc: CodecConfig, latent: jnp.ndarray, pos0: jnp.ndarray
 ) -> jnp.ndarray:
-    """Causal self-attention over frames at absolute positions pos0..pos0+T."""
+    """Causal self-attention over frames at absolute positions pos0..pos0+T.
+    ``pos0`` is a scalar or a [B] vector (per-stream streaming decode)."""
     B, T, D = latent.shape
     head_dim = D // cc.transformer_heads
     cos_t, sin_t = rope_tables(_MAX_FRAMES, head_dim, 10_000.0)
-    cos = jax.lax.dynamic_slice(cos_t, (pos0, 0), (T, head_dim // 2))
-    sin = jax.lax.dynamic_slice(sin_t, (pos0, 0), (T, head_dim // 2))
+    pos0 = jnp.asarray(pos0)
+    if pos0.ndim == 1:
+        idx = pos0[:, None] + jnp.arange(T)[None, :]
+        cos = jnp.take(cos_t, idx, axis=0, mode="clip")
+        sin = jnp.take(sin_t, idx, axis=0, mode="clip")
+    else:
+        cos = jax.lax.dynamic_slice(cos_t, (pos0, 0), (T, head_dim // 2))
+        sin = jax.lax.dynamic_slice(sin_t, (pos0, 0), (T, head_dim // 2))
 
     def body(x, layer_p):
         zeros = jnp.zeros((B, T, cc.transformer_heads, head_dim), dtype=x.dtype)

@@ -47,11 +47,18 @@ def rope_tables(
 def apply_rope(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:
-    """Rotate-half RoPE on x [B, T, H, hd] with cos/sin [T, hd/2]."""
+    """Rotate-half RoPE on x [B, T, H, hd].
+
+    cos/sin are [T, hd/2] (positions shared across the batch) or
+    [B, T, hd/2] (per-stream positions — continuous batched serving)."""
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
+    if cos.ndim == 2:
+        c = cos[None, :, None, :].astype(x.dtype)
+        s = sin[None, :, None, :].astype(x.dtype)
+    else:
+        c = cos[:, :, None, :].astype(x.dtype)
+        s = sin[:, :, None, :].astype(x.dtype)
     return jnp.concatenate((x1 * c - x2 * s, x2 * c + x1 * s), axis=-1)
 
 
@@ -85,10 +92,17 @@ def attention(
     slots and left-padding slots are masked out regardless of their
     contents. Left-padding is exact under RoPE (relative positions); padded
     *queries* are allowed self-attention only, to keep softmax finite.
+
+    ``pos`` and ``pad_len`` may be scalars (all streams aligned — the
+    single-utterance path) or [B] vectors (each stream at its own offset —
+    continuous batched serving). With vector ``pos``, cos/sin must be
+    per-stream [B, T, hd/2].
     """
     B, T, _ = x.shape
     S = cache_k.shape[1]
     groups = n_heads // n_kv_heads
+    pos = jnp.asarray(pos)
+    vector_pos = pos.ndim == 1
 
     q = linear(x, p["q"]).reshape(B, T, n_heads, head_dim)
     k = linear(x, p["k"]).reshape(B, T, n_kv_heads, head_dim)
@@ -102,12 +116,20 @@ def attention(
     k = apply_rope(k, cos, sin)
 
     # cache dtype is authoritative (callers may keep f32 caches for tests)
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, k.astype(cache_k.dtype), (0, pos, 0, 0)
-    )
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, v.astype(cache_v.dtype), (0, pos, 0, 0)
-    )
+    if vector_pos:  # per-stream write offsets -> batched scatter
+        cache_k = jax.vmap(
+            lambda c, u, p_: jax.lax.dynamic_update_slice(c, u, (p_, 0, 0))
+        )(cache_k, k.astype(cache_k.dtype), pos)
+        cache_v = jax.vmap(
+            lambda c, u, p_: jax.lax.dynamic_update_slice(c, u, (p_, 0, 0))
+        )(cache_v, v.astype(cache_v.dtype), pos)
+    else:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, pos, 0, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, pos, 0, 0)
+        )
 
     # q: [B, T, H_kv, g, hd]; keys: [B, S, H_kv, hd]
     qg = q.reshape(B, T, n_kv_heads, groups, head_dim)
@@ -116,12 +138,18 @@ def attention(
     )
     scores = scores * (head_dim ** -0.5)
 
-    key_idx = jnp.arange(S)[None, :]                    # [1, S]
-    qry_idx = pos + jnp.arange(T)[:, None]              # [T, 1]
-    causal = key_idx <= qry_idx                         # [T, S] causal w/ offset
-    valid = key_idx >= pad_len                          # mask left-padding
+    key_idx = jnp.arange(S)[None, None, :]              # [1, 1, S]
+    if vector_pos:
+        qry_idx = pos[:, None, None] + jnp.arange(T)[None, :, None]  # [B,T,1]
+    else:
+        qry_idx = (pos + jnp.arange(T))[None, :, None]               # [1,T,1]
+    pad_arr = jnp.asarray(pad_len)
+    pad_b = pad_arr[:, None, None] if pad_arr.ndim == 1 else pad_arr
+    causal = key_idx <= qry_idx                         # [B|1, T, S]
+    valid = key_idx >= pad_b                            # mask left-padding
     allowed = (causal & valid) | (key_idx == qry_idx)
-    scores = jnp.where(allowed[None, None, None], scores, -jnp.inf)
+    allowed = jnp.broadcast_to(allowed, (B, T, S))
+    scores = jnp.where(allowed[:, None, None, :, :], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
     ctx = jnp.einsum(

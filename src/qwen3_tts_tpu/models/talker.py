@@ -137,11 +137,20 @@ def talker_forward(
     pad_len: jnp.ndarray | int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run all layers; returns (hidden [B,T,D], logits [B,T,codec_vocab],
-    new_cache_k, new_cache_v). Works for prefill (T>1) and decode (T=1)."""
+    new_cache_k, new_cache_v). Works for prefill (T>1) and decode (T=1).
+
+    ``pos``/``pad_len`` may be scalars or [B] vectors (per-stream offsets,
+    continuous batched serving — see models.layers.attention)."""
     T = x_emb.shape[1]
     half = t.head_dim // 2
-    cos = jax.lax.dynamic_slice(cos_table, (pos, 0), (T, half))
-    sin = jax.lax.dynamic_slice(sin_table, (pos, 0), (T, half))
+    pos = jnp.asarray(pos)
+    if pos.ndim == 1:  # per-stream positions -> per-stream RoPE tables
+        idx = pos[:, None] + jnp.arange(T)[None, :]          # [B, T]
+        cos = jnp.take(cos_table, idx, axis=0, mode="clip")  # [B, T, half]
+        sin = jnp.take(sin_table, idx, axis=0, mode="clip")
+    else:
+        cos = jax.lax.dynamic_slice(cos_table, (pos, 0), (T, half))
+        sin = jax.lax.dynamic_slice(sin_table, (pos, 0), (T, half))
 
     def body(x, layer):
         block_p, ck, cv = layer

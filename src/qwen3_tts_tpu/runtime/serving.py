@@ -1,0 +1,356 @@
+"""Continuous batched multi-stream serving: N concurrent voices on one chip.
+
+The reference serves exactly one blocking request at a time
+(reference custom.py:154-176); MLX on a laptop has no reason to batch. A TPU
+does: the decode step is HBM-bandwidth-bound streaming 1.7 GB of weights per
+token, so stepping 8 streams costs nearly the same as stepping 1 — batching
+is almost-free throughput (BASELINE.md: "8 concurrent voices, continuous
+decode on one v5e chip").
+
+Design (continuous batching, slot model):
+
+- fixed ``max_streams`` decode slots share batched KV caches
+  [L, B, S, H_kv, hd] that live in HBM across the engine's lifetime and are
+  donated through every step (zero realloc);
+- per-slot position/pad vectors: ``models.layers.attention`` masks each
+  stream independently, so streams join/leave at any time without touching
+  other slots (a new prompt simply overwrites the slot's cache range);
+- prefill computes the prompt's K/V into a small bucket-sized scratch cache
+  and scatters it into the slot (bounded data movement, no full-cache copy);
+- one jitted chunk-decode advances ALL slots ``chunk`` tokens with on-device
+  sampling; inactive slots hold position and re-write the same cache row
+  (bounded, no overflow);
+- the codec decodes all slots' new frames in one batched call with
+  per-slot streaming lookback windows and absolute positions.
+
+EOS detection is the only host sync per chunk, same as the single-stream
+path (runtime.generate).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.configs import ModelConfig
+from ..models.code_predictor import predict_residuals
+from ..models.codec import decode_codes
+from ..models.layers import rope_tables
+from ..models.talker import talker_forward
+from .generate import FRAME_BUCKET, bucket_len
+from .prompts import PromptSpec
+from .sampling import SamplingConfig, sample_token
+
+
+@dataclass
+class Stream:
+    """Host-side state of one serving slot."""
+
+    slot: int
+    stream_id: int
+    active: bool = False
+    done: bool = False
+    frames: int = 0
+    max_frames: int = 0
+    codes: list[np.ndarray] = field(default_factory=list)   # [Q, n] slabs
+    wav_chunks: list[np.ndarray] = field(default_factory=list)
+    submitted_at: float = 0.0
+    ttfa_s: float | None = None
+    on_chunk: Callable[[np.ndarray], None] | None = None
+
+
+class ServingEngine:
+    """Continuous batched decoding over ``max_streams`` slots."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        max_streams: int = 8,
+        chunk: int = 8,
+        lookback: int = 8,
+        sampling: SamplingConfig | None = None,
+    ):
+        self.model = model
+        self.cfg: ModelConfig = model.cfg
+        self.B = max_streams
+        self.chunk = chunk
+        self.lookback = lookback
+        self.sampling = sampling or SamplingConfig()
+        t = self.cfg.talker
+        S = self.cfg.max_seq_len
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        shape = (t.n_layers, self.B, S, t.n_kv_heads, t.head_dim)
+        self.cache_k = jnp.zeros(shape, dtype)
+        self.cache_v = jnp.zeros(shape, dtype)
+        self.pos = jnp.zeros((self.B,), jnp.int32)
+        self.pad = jnp.zeros((self.B,), jnp.int32)
+        self.tok = jnp.full((self.B,), t.codec_pad, jnp.int32)
+        self.active_mask = jnp.zeros((self.B,), jnp.bool_)
+        self.key = jax.random.PRNGKey(0)
+        self.streams: dict[int, Stream] = {}
+        self._slots: list[Stream | None] = [None] * self.B
+        self._next_id = 0
+        self._prefill_fns: dict[int, Callable] = {}
+        self._decode_fn_cache: Callable | None = None
+        self._codec_fn_cache: Callable | None = None
+
+    # -- jitted stages ------------------------------------------------------
+
+    def _prefill_fn(self, Lb: int) -> Callable:
+        if Lb in self._prefill_fns:
+            return self._prefill_fns[Lb]
+        cfg = self.cfg
+        t = cfg.talker
+
+        @partial(jax.jit, donate_argnums=(3, 4))
+        def prefill_slot(params, emb, pad_len, cache_k, cache_v, slot):
+            """emb [1, Lb, D] -> K/V written into big caches at (slot, 0);
+            returns (caches, last logits [V])."""
+            dtype = cache_k.dtype
+            scratch_k = jnp.zeros(
+                (t.n_layers, 1, Lb, t.n_kv_heads, t.head_dim), dtype
+            )
+            scratch_v = jnp.zeros_like(scratch_k)
+            cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
+            _, logits, sk, sv = talker_forward(
+                params, t, emb, scratch_k, scratch_v, jnp.int32(0),
+                cos_t, sin_t, pad_len=pad_len,
+            )
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, sk, (0, slot, 0, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, sv, (0, slot, 0, 0, 0)
+            )
+            return cache_k, cache_v, logits[0, -1, :]
+
+        self._prefill_fns[Lb] = prefill_slot
+        return prefill_slot
+
+    def _decode_fn(self) -> Callable:
+        if self._decode_fn_cache is not None:
+            return self._decode_fn_cache
+        cfg = self.cfg
+        t = cfg.talker
+        chunk = self.chunk
+        sampling = self.sampling
+        cb_size = cfg.codec.codebook_size
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def decode_chunk(params, cp_params, cache_k, cache_v, pos, pad,
+                         tok, active, key):
+            cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
+
+            def step(carry, _):
+                ck, cv, p, tk, k = carry
+                emb = jnp.take(params["codec_emb"], tk, axis=0)[:, None, :]
+                hidden, logits, ck, cv = talker_forward(
+                    params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad
+                )
+                k, sub = jax.random.split(k)
+                nxt = sample_token(logits[:, -1, :], sub, sampling)
+                # inactive slots: hold position, emit PAD, re-write same row
+                nxt = jnp.where(active, nxt, t.codec_pad)
+                p = jnp.where(active, p + 1, p)
+                return (ck, cv, p, nxt, k), (nxt, hidden[:, -1, :])
+
+            (ck, cv, p, tk, key), (tokens, hiddens) = jax.lax.scan(
+                step, (cache_k, cache_v, pos, tok, key), None, length=chunk
+            )
+            tokens_bc = jnp.transpose(tokens, (1, 0))            # [B, chunk]
+            B = tokens_bc.shape[0]
+            D = hiddens.shape[-1]
+            flat_h = jnp.transpose(hiddens, (1, 0, 2)).reshape(B * chunk, D)
+            flat_cb0 = jnp.clip(tokens_bc.reshape(B * chunk), 0, cb_size - 1)
+            residuals = predict_residuals(cp_params, cfg, flat_h, flat_cb0)
+            n_res = residuals.shape[-1]
+            codes = jnp.concatenate(
+                [
+                    flat_cb0.reshape(B, chunk, 1),
+                    residuals.reshape(B, chunk, n_res),
+                ],
+                axis=-1,
+            ).transpose(0, 2, 1)                                  # [B, Q, chunk]
+            return ck, cv, p, tk, key, tokens_bc, codes
+
+        self._decode_fn_cache = decode_chunk
+        return decode_chunk
+
+    def _codec_fn(self) -> Callable:
+        if self._codec_fn_cache is None:
+            cfg = self.cfg
+
+            @jax.jit
+            def dec(codec_params, codes, pos0):
+                return decode_codes(codec_params, cfg, codes, pos0)
+
+            self._codec_fn_cache = dec
+        return self._codec_fn_cache
+
+    # -- stream lifecycle ---------------------------------------------------
+
+    def free_slots(self) -> int:
+        return sum(1 for s in self._slots if s is None)
+
+    def submit(
+        self,
+        prompt: PromptSpec,
+        *,
+        max_frames: int,
+        on_chunk: Callable[[np.ndarray], None] | None = None,
+    ) -> int:
+        """Prefill a free slot with ``prompt``; returns the stream id."""
+        slot = next(
+            (i for i, s in enumerate(self._slots) if s is None), None
+        )
+        if slot is None:
+            raise RuntimeError("no free slots; call step() until one frees")
+
+        gen = self.model.generator  # reuse its prompt assembly
+        emb, pad = gen.assemble_prompt(prompt)
+        Lb = emb.shape[1]
+        budget = self.cfg.max_seq_len - Lb
+        max_frames = max(1, min(max_frames, budget))
+
+        self.cache_k, self.cache_v, last_logits = self._prefill_fn(Lb)(
+            self.model.params, emb, jnp.int32(pad),
+            self.cache_k, self.cache_v, jnp.int32(slot),
+        )
+        self.key, sub = jax.random.split(self.key)
+        first = sample_token(last_logits[None], sub, self.sampling)[0]
+
+        onehot = jnp.arange(self.B) == slot
+        self.pos = jnp.where(onehot, Lb, self.pos)
+        self.pad = jnp.where(onehot, pad, self.pad)
+        self.tok = jnp.where(onehot, first, self.tok)
+        self.active_mask = jnp.where(onehot, True, self.active_mask)
+
+        stream = Stream(
+            slot=slot,
+            stream_id=self._next_id,
+            active=True,
+            max_frames=max_frames,
+            submitted_at=time.perf_counter(),
+            on_chunk=on_chunk,
+        )
+        self._next_id += 1
+        self._slots[slot] = stream
+        self.streams[stream.stream_id] = stream
+        return stream.stream_id
+
+    def step(self) -> list[int]:
+        """Advance every active slot one chunk; returns stream ids finished
+        in this step. Decoded audio accumulates on each Stream."""
+        if not any(s is not None for s in self._slots):
+            return []
+        t = self.cfg.talker
+        hop = self.cfg.codec.hop
+
+        (self.cache_k, self.cache_v, self.pos, self.tok, self.key,
+         tokens_bc, codes) = self._decode_fn()(
+            self.model.params, self.model.cp_params,
+            self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
+            self.active_mask, self.key,
+        )
+        tokens_host = np.asarray(tokens_bc)            # [B, chunk] (sync)
+        codes_host = np.asarray(codes)                 # [B, Q, chunk]
+
+        # per-slot validity: frames before EOS, clipped to the budget
+        W = self.lookback + self.chunk
+        Wb = -(-W // FRAME_BUCKET) * FRAME_BUCKET
+        Q = codes_host.shape[1]
+        windows = np.zeros((self.B, Q, Wb), np.int32)
+        pos0 = np.zeros((self.B,), np.int32)
+        lbs = np.zeros((self.B,), np.int32)
+        valids = np.zeros((self.B,), np.int32)
+
+        for slot, stream in enumerate(self._slots):
+            if stream is None or stream.done:
+                continue
+            toks = tokens_host[slot]
+            eos_hits = np.nonzero(toks == t.codec_eos)[0]
+            valid = int(eos_hits[0]) if eos_hits.size else self.chunk
+            remaining = stream.max_frames - stream.frames
+            done = eos_hits.size > 0 or valid >= remaining
+            valid = min(valid, remaining)
+            if valid > 0:
+                stream.codes.append(codes_host[slot][:, :valid])
+                ctx = np.concatenate(stream.codes, axis=1)
+                lb = min(self.lookback, ctx.shape[1] - valid)
+                window = ctx[:, ctx.shape[1] - valid - lb:]
+                windows[slot, :, : window.shape[1]] = window
+                pos0[slot] = stream.frames - lb
+                lbs[slot] = lb
+                valids[slot] = valid
+            if done:
+                stream.done = True
+                stream.active = False
+
+        if valids.any():
+            wav = np.asarray(
+                self._codec_fn()(
+                    self.model.codec_params,
+                    jnp.asarray(windows),
+                    jnp.asarray(np.maximum(pos0, 0)),
+                )
+            )  # [B, Wb*hop]
+            now = time.perf_counter()
+            for slot, stream in enumerate(self._slots):
+                if stream is None or valids[slot] == 0:
+                    continue
+                lb, valid = int(lbs[slot]), int(valids[slot])
+                chunk_wav = wav[slot, lb * hop: (lb + valid) * hop]
+                stream.wav_chunks.append(chunk_wav)
+                stream.frames += valid
+                if stream.ttfa_s is None:
+                    stream.ttfa_s = now - stream.submitted_at
+                if stream.on_chunk is not None:
+                    stream.on_chunk(chunk_wav)
+
+        finished = []
+        for slot, stream in enumerate(self._slots):
+            if stream is not None and stream.done:
+                finished.append(stream.stream_id)
+                self._slots[slot] = None
+                self.active_mask = jnp.where(
+                    jnp.arange(self.B) == slot, False, self.active_mask
+                )
+        return finished
+
+    def collect(self, stream_id: int) -> tuple[np.ndarray, Stream]:
+        """Concatenated waveform + state for a (finished) stream."""
+        stream = self.streams[stream_id]
+        wav = (
+            np.concatenate(stream.wav_chunks)
+            if stream.wav_chunks
+            else np.zeros(0, np.float32)
+        )
+        return wav, stream
+
+    # -- convenience driver -------------------------------------------------
+
+    def run(
+        self, prompts: list[PromptSpec], *, max_frames: int
+    ) -> list[tuple[np.ndarray, Stream]]:
+        """Serve all prompts to completion (continuous batching: new prompts
+        enter as slots free up); returns [(wav, stream), ...] in order."""
+        pending = list(enumerate(prompts))
+        ids: dict[int, int] = {}
+        while pending and self.free_slots():
+            i, p = pending.pop(0)
+            ids[i] = self.submit(p, max_frames=max_frames)
+        while len(ids) < len(prompts) or any(
+            not self.streams[sid].done for sid in ids.values()
+        ):
+            self.step()
+            while pending and self.free_slots():
+                i, p = pending.pop(0)
+                ids[i] = self.submit(p, max_frames=max_frames)
+        return [self.collect(ids[i]) for i in range(len(prompts))]

@@ -1,0 +1,83 @@
+"""Continuous batched serving: multi-stream decode must match the
+single-stream pipeline token-for-token under greedy sampling, and slots must
+recycle (continuous batching)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from qwen3_tts_tpu.engine import configs  # noqa: E402
+from qwen3_tts_tpu.engine.api import Qwen3TTSModel  # noqa: E402
+from qwen3_tts_tpu.runtime.generate import Generator  # noqa: E402
+from qwen3_tts_tpu.runtime.prompts import PromptSpec  # noqa: E402
+from qwen3_tts_tpu.runtime.sampling import SamplingConfig  # noqa: E402
+from qwen3_tts_tpu.runtime.serving import ServingEngine  # noqa: E402
+
+GREEDY = SamplingConfig(greedy=True)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
+
+
+def _prompt(seed: int) -> PromptSpec:
+    rng = np.random.default_rng(seed)
+    return PromptSpec(
+        text_tokens=rng.integers(0, 200, size=6).astype(np.int32),
+        speaker_id=int(seed % 4),
+    )
+
+
+def _single_stream_chunks(model, prompt, max_frames):
+    gen = Generator(
+        cfg=model.cfg,
+        params=model.params,
+        cp_params=model.cp_params,
+        codec_params=model.codec_params,
+        sampling=GREEDY,
+    )
+    chunks = []
+    result = gen.synthesize(
+        prompt, max_frames=max_frames, seed=0, on_chunk=chunks.append
+    )
+    return np.concatenate(chunks) if chunks else np.zeros(0), result
+
+
+def test_serving_matches_single_stream_greedy(model):
+    prompts = [_prompt(1), _prompt(2)]
+    max_frames = 10
+
+    singles = [
+        _single_stream_chunks(model, p, max_frames) for p in prompts
+    ]
+
+    engine = ServingEngine(model, max_streams=2, chunk=8, sampling=GREEDY)
+    served = engine.run(prompts, max_frames=max_frames)
+
+    for (wav_single, res), (wav_served, stream) in zip(singles, served):
+        assert stream.done
+        assert stream.frames == res.frames
+        assert wav_served.shape == wav_single.shape
+        np.testing.assert_allclose(wav_served, wav_single, atol=2e-2)
+
+
+def test_serving_continuous_batching_recycles_slots(model):
+    # 5 streams through 2 slots: slots must recycle, all must finish
+    prompts = [_prompt(i) for i in range(5)]
+    engine = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    results = engine.run(prompts, max_frames=6)
+    assert len(results) == 5
+    for wav, stream in results:
+        assert stream.done
+        assert stream.frames > 0
+        assert len(wav) == stream.frames * model.cfg.codec.hop
+    # all five went through only 2 slots
+    assert all(s.slot in (0, 1) for _, s in results)
+
+
+def test_serving_ttfa_recorded(model):
+    engine = ServingEngine(model, max_streams=1, chunk=4, sampling=GREEDY)
+    (wav, stream), = engine.run([_prompt(3)], max_frames=5)
+    assert stream.ttfa_s is not None and stream.ttfa_s > 0

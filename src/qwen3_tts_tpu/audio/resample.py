@@ -26,9 +26,20 @@ _WAV_EXTS = {".wav", ".wave"}
 
 
 def resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
-    """Polyphase resample float32 mono audio from src_rate to dst_rate."""
+    """Polyphase resample float32 mono audio from src_rate to dst_rate.
+
+    Prefers the native C++ windowed-sinc kernel (native/audio_kernels.cpp);
+    falls back to scipy's resample_poly when no compiler is available.
+    Disable the native path with QWEN3_TTS_NATIVE=never.
+    """
     if src_rate == dst_rate:
         return np.asarray(samples, dtype=np.float32)
+    if os.environ.get("QWEN3_TTS_NATIVE", "auto") != "never":
+        from ..native import resample_native
+
+        out = resample_native(samples, int(src_rate), int(dst_rate))
+        if out is not None:
+            return out
     g = math.gcd(int(src_rate), int(dst_rate))
     up, down = dst_rate // g, src_rate // g
     out = resample_poly(np.asarray(samples, dtype=np.float64), up, down)

@@ -82,8 +82,11 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
     if arr.dtype == np.int16:
         pcm = arr
     else:
-        clipped = np.clip(arr.astype(np.float64), -1.0, 1.0)
-        pcm = (clipped * 32767.0).round().astype(np.int16)
+        # native C++ PCM quantizer when built (native/audio_kernels.cpp),
+        # numpy otherwise — bit-identical results either way
+        from ..native import f32_to_i16
+
+        pcm = f32_to_i16(arr.reshape(-1).astype(np.float32)).reshape(arr.shape)
 
     with wave.open(path, "wb") as w:
         w.setnchannels(ch)

@@ -261,7 +261,7 @@ def generate_audio(
     write_wav(os.path.join(output_path, file_name), out, sr)
 
     audio_s = len(out) / sr
-    return {
+    metrics = {
         "frames": total_frames,
         "audio_s": audio_s,
         "wall_s": wall,
@@ -270,3 +270,15 @@ def generate_audio(
         "segments": len(segments),
         "sample_rate": sr,
     }
+    from ..profiling import emit_metrics
+
+    emit_metrics(
+        "generate_audio",
+        {
+            "mode": cfg.mode,
+            "chars": len(text),
+            **{k: round(v, 4) if isinstance(v, float) else v
+               for k, v in metrics.items()},
+        },
+    )
+    return metrics

@@ -39,7 +39,10 @@ from .prompts import PromptSpec
 from .sampling import SamplingConfig, sample_token
 
 PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
-FRAME_BUCKET = 128  # full codec decode pads frame count to a multiple of this
+# codec decode pads the frame axis to one of these (compile-once per bucket;
+# streaming windows hit the smallest bucket, so per-chunk codec work is
+# proportional to the chunk, not to a fixed large pad)
+FRAME_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
 def bucket_len(n: int) -> int:
@@ -47,6 +50,13 @@ def bucket_len(n: int) -> int:
         if n <= b:
             return b
     return PROMPT_BUCKETS[-1]
+
+
+def frame_bucket(n: int) -> int:
+    for b in FRAME_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // FRAME_BUCKETS[-1]) * FRAME_BUCKETS[-1]
 
 
 @dataclass
@@ -85,15 +95,27 @@ def make_prefill_fn(cfg: ModelConfig) -> Callable:
 
 
 def make_decode_chunk_fn(
-    cfg: ModelConfig, chunk: int, sampling: SamplingConfig
+    cfg: ModelConfig, chunk: int, lookback: int, sampling: SamplingConfig
 ) -> Callable:
+    """One fused dispatch per chunk: AR talker steps + residual prediction +
+    streaming codec decode of a device-resident rolling code window.
+
+    Fusing the codec into the same jit matters off-chip latency-wise: the
+    host sees ONE dispatch and ONE fetch per chunk, and the driver loop can
+    dispatch chunk k+1 before reading chunk k (speculative pipelining) so
+    the host<->device round trip fully overlaps device compute.
+    """
     t = cfg.talker
     S = cfg.max_seq_len
     cb_size = cfg.codec.codebook_size
+    W = lookback + chunk
+    hop = cfg.codec.hop
 
-    @partial(jax.jit, donate_argnums=(2, 3), static_argnums=())
-    def decode_chunk(params, cp_params, cache_k, cache_v, pos, pad_len,
-                     last_token, key):
+    @partial(jax.jit, donate_argnums=(3, 4, 5))
+    def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
+                     ring, pos, pad_len, n_frames, last_token, key):
+        """ring: [B, Q, W] rolling code window (zeros before first frame).
+        n_frames: frames emitted before this chunk (scalar or [B])."""
         cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
 
         def step(carry, _):
@@ -125,9 +147,17 @@ def make_decode_chunk_fn(
                 residuals.reshape(B, chunk, n_res),
             ],
             axis=-1,
-        )  # [B, chunk, Q]
-        codes = jnp.transpose(codes, (0, 2, 1))  # [B, Q, chunk]
-        return ck, cv, p, tok, key, tokens_bc, codes
+        ).transpose(0, 2, 1)                      # [B, Q, chunk]
+
+        # roll the code window and decode it: ring slot j holds absolute
+        # frame f0 + j with f0 = n_frames + chunk - W. f0 goes in as a [B]
+        # vector (possibly negative): real slots keep exact RoPE positions
+        # while the leading zero-fill slots clamp to position 0.
+        ring = jnp.concatenate([ring[:, :, chunk:], codes], axis=2)
+        f0 = jnp.broadcast_to(jnp.asarray(n_frames) + chunk - W, (B,))
+        wav = decode_codes(codec_params, cfg, ring, f0)   # [B, W*hop]
+        wav_chunk = wav[:, (W - chunk) * hop:]            # [B, chunk*hop]
+        return ck, cv, ring, p, tok, key, tokens_bc, codes, wav_chunk
 
     return decode_chunk
 
@@ -164,9 +194,11 @@ class Generator:
         return self._fns[key]
 
     def _decode_fn(self):
-        key = ("decode", self.chunk, self.sampling)
+        key = ("decode", self.chunk, self.lookback, self.sampling)
         if key not in self._fns:
-            self._fns[key] = make_decode_chunk_fn(self.cfg, self.chunk, self.sampling)
+            self._fns[key] = make_decode_chunk_fn(
+                self.cfg, self.chunk, self.lookback, self.sampling
+            )
         return self._fns[key]
 
     def _codec_fn(self):
@@ -249,19 +281,35 @@ class Generator:
         decode = self._decode_fn()
         codec = self._codec_fn()
 
-        pos = jnp.int32(Lb)
-        tok = first
+        W = self.lookback + self.chunk
+        ring = jnp.zeros((1, cfg.codec.num_codebooks, W), jnp.int32)
+        state = (cache_k, cache_v, ring, jnp.int32(Lb), first, key)
         all_codes: list[np.ndarray] = []   # [Q, chunk] slabs (host)
         n_frames = 0
+        dispatched = 0
+        inflight: list[tuple] = []
         done = False
         ttfa = None
 
-        while not done and n_frames < max_frames:
-            cache_k, cache_v, pos, tok, key, tokens_bc, codes = decode(
-                self.params, self.cp_params, cache_k, cache_v, pos, pad_len,
-                tok, key,
+        def dispatch():
+            nonlocal state, dispatched
+            ck, cv, rg, pos, tok, k = state
+            ck, cv, rg, pos, tok, k, tokens, codes, wav = decode(
+                self.params, self.cp_params, self.codec_params,
+                ck, cv, rg, pos, pad_len, jnp.int32(dispatched), tok, k,
             )
-            host_tokens = np.asarray(tokens_bc[0])          # sync point
+            state = (ck, cv, rg, pos, tok, k)
+            inflight.append((tokens, codes, wav))
+            dispatched += self.chunk
+
+        # speculative pipelining: one chunk always in flight ahead of the
+        # one being read, so the device never idles on host round trips
+        dispatch()
+        while inflight:
+            if dispatched < max_frames and not done:
+                dispatch()
+            tokens, codes, wav = inflight.pop(0)
+            host_tokens = np.asarray(tokens[0])             # sync point
             eos_hits = np.nonzero(host_tokens == t.codec_eos)[0]
             if eos_hits.size:
                 valid = int(eos_hits[0])
@@ -273,21 +321,16 @@ class Generator:
                 valid = remaining
                 done = True
             if valid > 0:
-                codes_host = np.asarray(codes[0])           # [Q, chunk]
-                all_codes.append(codes_host[:, :valid])
-                # streaming decode with lookback context
-                ctx = np.concatenate(all_codes, axis=1)
-                lb = min(self.lookback, ctx.shape[1] - valid)
-                window = ctx[:, ctx.shape[1] - valid - lb:]
-                pos0 = n_frames - lb
-                wav = self._codec_decode_padded(codec, window, pos0)
-                wav_chunk = wav[lb * hop: (lb + valid) * hop]
+                all_codes.append(np.asarray(codes[0])[:, :valid])
+                wav_chunk = np.asarray(wav[0])[: valid * hop]
                 n_frames += valid
                 if ttfa is None:
                     ttfa = time.perf_counter() - start
                 yield wav_chunk, {
                     "final": False, "frames": n_frames, "ttfa_s": ttfa,
                 }
+            if done:
+                break
 
         # full-quality single-pass decode of the whole utterance
         if all_codes:
@@ -308,7 +351,7 @@ class Generator:
         """Pad the frame axis to a bucket (causal decoder => exact) and
         decode; returns float32 numpy [T*hop]."""
         Q, T = codes_np.shape
-        Tb = -(-T // FRAME_BUCKET) * FRAME_BUCKET
+        Tb = frame_bucket(T)
         padded = np.zeros((1, Q, Tb), dtype=np.int32)
         padded[0, :, :T] = codes_np
         wav = codec_fn(self.codec_params, jnp.asarray(padded), jnp.int32(max(pos0, 0)))

@@ -43,7 +43,6 @@ from ..models.code_predictor import predict_residuals
 from ..models.codec import decode_codes
 from ..models.layers import rope_tables
 from ..models.talker import talker_forward
-from .generate import FRAME_BUCKET, bucket_len
 from .prompts import PromptSpec
 from .sampling import SamplingConfig, sample_token
 
@@ -89,8 +88,11 @@ class ServingEngine:
         shape = (t.n_layers, self.B, S, t.n_kv_heads, t.head_dim)
         self.cache_k = jnp.zeros(shape, dtype)
         self.cache_v = jnp.zeros(shape, dtype)
+        W = lookback + chunk
+        self.ring = jnp.zeros((self.B, self.cfg.codec.num_codebooks, W), jnp.int32)
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.pad = jnp.zeros((self.B,), jnp.int32)
+        self.frames_dev = jnp.zeros((self.B,), jnp.int32)
         self.tok = jnp.full((self.B,), t.codec_pad, jnp.int32)
         self.active_mask = jnp.zeros((self.B,), jnp.bool_)
         self.key = jax.random.PRNGKey(0)
@@ -99,7 +101,6 @@ class ServingEngine:
         self._next_id = 0
         self._prefill_fns: dict[int, Callable] = {}
         self._decode_fn_cache: Callable | None = None
-        self._codec_fn_cache: Callable | None = None
 
     # -- jitted stages ------------------------------------------------------
 
@@ -142,10 +143,14 @@ class ServingEngine:
         chunk = self.chunk
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
+        W = self.lookback + chunk
+        hop = cfg.codec.hop
 
-        @partial(jax.jit, donate_argnums=(2, 3))
-        def decode_chunk(params, cp_params, cache_k, cache_v, pos, pad,
-                         tok, active, key):
+        @partial(jax.jit, donate_argnums=(3, 4, 5))
+        def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
+                         ring, pos, pad, frames, tok, active, key):
+            """Fused serve step: AR decode + residuals + streaming codec for
+            all slots in one dispatch (one host round trip per chunk)."""
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
 
             def step(carry, _):
@@ -178,21 +183,20 @@ class ServingEngine:
                 ],
                 axis=-1,
             ).transpose(0, 2, 1)                                  # [B, Q, chunk]
-            return ck, cv, p, tk, key, tokens_bc, codes
+
+            # roll each slot's code window; decode all slots in one batch
+            # (see runtime.generate.make_decode_chunk_fn for the position
+            # semantics of f0 and the zero-fill slots)
+            ring = jnp.concatenate([ring[:, :, chunk:], codes], axis=2)
+            f0 = frames + chunk - W                               # [B]
+            wav = decode_codes(codec_params, cfg, ring, f0)       # [B, W*hop]
+            wav_chunk = wav[:, (W - chunk) * hop:]
+            frames = jnp.where(active, frames + chunk, frames)
+            return (ck, cv, ring, p, tk, key, frames,
+                    tokens_bc, codes, wav_chunk)
 
         self._decode_fn_cache = decode_chunk
         return decode_chunk
-
-    def _codec_fn(self) -> Callable:
-        if self._codec_fn_cache is None:
-            cfg = self.cfg
-
-            @jax.jit
-            def dec(codec_params, codes, pos0):
-                return decode_codes(codec_params, cfg, codes, pos0)
-
-            self._codec_fn_cache = dec
-        return self._codec_fn_cache
 
     # -- stream lifecycle ---------------------------------------------------
 
@@ -230,6 +234,8 @@ class ServingEngine:
         self.pos = jnp.where(onehot, Lb, self.pos)
         self.pad = jnp.where(onehot, pad, self.pad)
         self.tok = jnp.where(onehot, first, self.tok)
+        self.frames_dev = jnp.where(onehot, 0, self.frames_dev)
+        self.ring = jnp.where(onehot[:, None, None], 0, self.ring)
         self.active_mask = jnp.where(onehot, True, self.active_mask)
 
         stream = Stream(
@@ -253,23 +259,16 @@ class ServingEngine:
         t = self.cfg.talker
         hop = self.cfg.codec.hop
 
-        (self.cache_k, self.cache_v, self.pos, self.tok, self.key,
-         tokens_bc, codes) = self._decode_fn()(
-            self.model.params, self.model.cp_params,
-            self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
-            self.active_mask, self.key,
+        (self.cache_k, self.cache_v, self.ring, self.pos, self.tok,
+         self.key, self.frames_dev, tokens_bc, codes, wav) = self._decode_fn()(
+            self.model.params, self.model.cp_params, self.model.codec_params,
+            self.cache_k, self.cache_v, self.ring, self.pos, self.pad,
+            self.frames_dev, self.tok, self.active_mask, self.key,
         )
         tokens_host = np.asarray(tokens_bc)            # [B, chunk] (sync)
         codes_host = np.asarray(codes)                 # [B, Q, chunk]
-
-        # per-slot validity: frames before EOS, clipped to the budget
-        W = self.lookback + self.chunk
-        Wb = -(-W // FRAME_BUCKET) * FRAME_BUCKET
-        Q = codes_host.shape[1]
-        windows = np.zeros((self.B, Q, Wb), np.int32)
-        pos0 = np.zeros((self.B,), np.int32)
-        lbs = np.zeros((self.B,), np.int32)
-        valids = np.zeros((self.B,), np.int32)
+        wav_host = np.asarray(wav)                     # [B, chunk*hop]
+        now = time.perf_counter()
 
         for slot, stream in enumerate(self._slots):
             if stream is None or stream.done:
@@ -282,37 +281,16 @@ class ServingEngine:
             valid = min(valid, remaining)
             if valid > 0:
                 stream.codes.append(codes_host[slot][:, :valid])
-                ctx = np.concatenate(stream.codes, axis=1)
-                lb = min(self.lookback, ctx.shape[1] - valid)
-                window = ctx[:, ctx.shape[1] - valid - lb:]
-                windows[slot, :, : window.shape[1]] = window
-                pos0[slot] = stream.frames - lb
-                lbs[slot] = lb
-                valids[slot] = valid
-            if done:
-                stream.done = True
-                stream.active = False
-
-        if valids.any():
-            wav = np.asarray(
-                self._codec_fn()(
-                    self.model.codec_params,
-                    jnp.asarray(windows),
-                    jnp.asarray(np.maximum(pos0, 0)),
-                )
-            )  # [B, Wb*hop]
-            now = time.perf_counter()
-            for slot, stream in enumerate(self._slots):
-                if stream is None or valids[slot] == 0:
-                    continue
-                lb, valid = int(lbs[slot]), int(valids[slot])
-                chunk_wav = wav[slot, lb * hop: (lb + valid) * hop]
+                chunk_wav = wav_host[slot, : valid * hop]
                 stream.wav_chunks.append(chunk_wav)
                 stream.frames += valid
                 if stream.ttfa_s is None:
                     stream.ttfa_s = now - stream.submitted_at
                 if stream.on_chunk is not None:
                     stream.on_chunk(chunk_wav)
+            if done:
+                stream.done = True
+                stream.active = False
 
         finished = []
         for slot, stream in enumerate(self._slots):

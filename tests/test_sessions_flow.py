@@ -1,0 +1,93 @@
+"""End-to-end session flows driven with scripted inputs against a tiny
+synthetic engine — integration coverage the reference never had (its sessions
+were only import-smoke-tested, SURVEY.md §4 "what is NOT tested")."""
+
+import os
+
+import pytest
+
+jax = pytest.importorskip("jax")
+
+import qwen3_tts_tpu.io as io_module  # noqa: E402
+from qwen3_tts_tpu.sessions import custom as custom_session  # noqa: E402
+from qwen3_tts_tpu.sessions import design as design_session  # noqa: E402
+from qwen3_tts_tpu.ui import BackSignal  # noqa: E402
+
+
+class ScriptedInput:
+    def __init__(self, lines):
+        self.lines = list(lines)
+
+    def __call__(self, prompt=""):
+        if not self.lines:
+            raise EOFError
+        return self.lines.pop(0)
+
+
+class ScriptedText:
+    def __init__(self, texts):
+        self.texts = list(texts)
+
+    def __call__(self, prompt="Enter text (or drag a .txt file)"):
+        if not self.texts:
+            raise BackSignal
+        return self.texts.pop(0)
+
+
+@pytest.fixture
+def fake_engine(monkeypatch, temp_dir):
+    """Route the session's model acquisition to a synthetic tiny model and
+    its outputs into a temp dir."""
+    monkeypatch.setattr(io_module, "BASE_OUTPUT_DIR", temp_dir)
+    monkeypatch.setattr(io_module, "AUTO_PLAY", False)
+
+    def fake_ensure_model(spec):
+        return "synthetic:tiny:custom"
+
+    for mod in (custom_session, design_session):
+        monkeypatch.setattr(mod, "ensure_model", fake_ensure_model)
+        # skip the 1s cosmetic sleep in save_audio_file
+    monkeypatch.setattr(io_module.time, "sleep", lambda s: None)
+    return temp_dir
+
+
+def _saved_wavs(root):
+    out = []
+    for dirpath, _, files in os.walk(root):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".wav")]
+    return out
+
+
+def test_custom_session_generates_and_saves(fake_engine, monkeypatch):
+    # speaker "1", emotion default (empty), speed default (empty),
+    # one utterance, then back
+    monkeypatch.setattr(
+        custom_session, "safe_line_input", ScriptedInput(["1", "", ""])
+    )
+    monkeypatch.setattr(
+        custom_session, "get_text_input", ScriptedText(["Hello there."])
+    )
+    custom_session.run_custom_session("1")
+    wavs = _saved_wavs(fake_engine)
+    assert len(wavs) == 1
+    assert os.path.getsize(wavs[0]) > 1000
+
+
+def test_custom_session_back_at_speaker(fake_engine, monkeypatch):
+    monkeypatch.setattr(
+        custom_session, "safe_line_input", ScriptedInput([""])
+    )
+    custom_session.run_custom_session("1")  # must return cleanly, no output
+    assert _saved_wavs(fake_engine) == []
+
+
+def test_design_session_generates(fake_engine, monkeypatch):
+    monkeypatch.setattr(
+        design_session, "safe_line_input",
+        ScriptedInput(["a calm narrator with a deep voice"]),
+    )
+    monkeypatch.setattr(
+        design_session, "get_text_input", ScriptedText(["Designed voice."])
+    )
+    design_session.run_design_session("2")
+    assert len(_saved_wavs(fake_engine)) == 1

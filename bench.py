@@ -28,9 +28,11 @@ def main() -> None:
 
     import jax
 
-    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine import configs, enable_compilation_cache
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel
     from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+    enable_compilation_cache()
 
     t0 = time.perf_counter()
     cfg = configs.flagship("custom")

@@ -14,3 +14,26 @@ kernels and a jitted decode runtime.
 """
 
 from .api import Qwen3TTSModel, generate_audio, load_model  # noqa: F401
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache so the flagship graphs
+    (tens of minutes of XLA time through a remote-compile service) compile
+    once per machine instead of once per process. Safe to call repeatedly."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "QWEN3_TTS_JAX_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "qwen3_tts_tpu", "jax_cache"
+            ),
+        )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the persistent cache — silently skip

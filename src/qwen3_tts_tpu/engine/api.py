@@ -29,6 +29,32 @@ from .tokenizer import load_tokenizer
 _SYNTH_RE = re.compile(r"^synthetic:(tiny|flagship)(?::(custom|design|base))?$")
 
 
+def compute_format() -> str:
+    """Runtime weight format: ``int8`` (storage format, fused dequant
+    matmuls) or ``bf16`` (weights dequantized once into HBM — the default on
+    TPU, where the decode path is faster as dense bf16 MXU matmuls than as
+    per-step VPU dequantization; int8 remains the on-disk/import format).
+    Override with QWEN3_TTS_COMPUTE=int8|bf16.
+    """
+    mode = os.environ.get("QWEN3_TTS_COMPUTE", "auto")
+    if mode in ("int8", "bf16"):
+        return mode
+    import jax
+
+    return "bf16" if jax.default_backend() == "tpu" else "int8"
+
+
+def apply_compute_format(model: "Qwen3TTSModel") -> "Qwen3TTSModel":
+    """Convert a loaded model's linears to the runtime compute format."""
+    if model.cfg.quant.enabled and compute_format() == "bf16":
+        from ..ops.quant import dequantize_tree
+
+        model.params = dequantize_tree(model.params)
+        model.cp_params = dequantize_tree(model.cp_params)
+        model._generator = None
+    return model
+
+
 @dataclass
 class Qwen3TTSModel:
     """A loaded model: config + device parameter pytrees + tokenizer + the
@@ -74,13 +100,15 @@ class Qwen3TTSModel:
         params = jax.device_put(init_talker(cfg, seed, fast=fast))
         cp_params = jax.device_put(init_code_predictor(cfg, seed + 1, fast=fast))
         codec_params = jax.device_put(init_codec(cfg, seed + 2))
-        return cls(
-            cfg=cfg,
-            params=params,
-            cp_params=cp_params,
-            codec_params=codec_params,
-            tokenizer=load_tokenizer(None, cfg.talker.vocab_size),
-            name=f"synthetic-{cfg.mode}",
+        return apply_compute_format(
+            cls(
+                cfg=cfg,
+                params=params,
+                cp_params=cp_params,
+                codec_params=codec_params,
+                tokenizer=load_tokenizer(None, cfg.talker.vocab_size),
+                name=f"synthetic-{cfg.mode}",
+            )
         )
 
     # -- cloning frontend --------------------------------------------------
@@ -134,7 +162,7 @@ def load_model(model_path: str, **kwargs) -> Qwen3TTSModel:
 
     from .weights import load_checkpoint
 
-    return load_checkpoint(model_path, **kwargs)
+    return apply_compute_format(load_checkpoint(model_path, **kwargs))
 
 
 # --------------------------------------------------------------------------

@@ -24,7 +24,15 @@ QuantParams = dict[str, Any]  # {"q": uint8 [out,in], "scale","bias": [out, in/G
 
 
 def is_quantized(p: dict) -> bool:
-    return "q" in p
+    """True for a quantized-linear param dict. Checks the full structure:
+    an attention block also has a key named "q" (the query projection), so
+    key presence alone is not enough."""
+    return (
+        "q" in p
+        and "scale" in p
+        and "bias" in p
+        and not isinstance(p["q"], dict)
+    )
 
 
 def quantize_weights(
@@ -56,16 +64,41 @@ def quantize_weights(
 
 
 def dequantize(p: QuantParams, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Reference dequantization -> dense ``[out, in]`` array."""
+    """Reference dequantization -> dense ``[..., out, in]`` array (leading
+    dims, e.g. a stacked layer axis, pass through)."""
     q = jnp.asarray(p["q"])
     scale = jnp.asarray(p["scale"], dtype=jnp.float32)
     bias = jnp.asarray(p["bias"], dtype=jnp.float32)
-    out_dim, in_dim = q.shape
+    *lead, out_dim, in_dim = q.shape
     n_groups = scale.shape[-1]
     group = in_dim // n_groups
-    w = q.astype(jnp.float32).reshape(out_dim, n_groups, group)
+    w = q.astype(jnp.float32).reshape(*lead, out_dim, n_groups, group)
     w = w * scale[..., None] + bias[..., None]
-    return w.reshape(out_dim, in_dim).astype(dtype)
+    return w.reshape(*lead, out_dim, in_dim).astype(dtype)
+
+
+def dequantize_tree(params, dtype=jnp.bfloat16):
+    """Convert every quantized linear ({"q","scale","bias"} dict) in a param
+    pytree to a dense ``{"w"}`` dict of ``dtype``.
+
+    The TPU-first compute-format decision: int8 is the *storage/transport*
+    format (MLX checkpoints, disk, host RAM — matching the reference's
+    memory story, README.md:76-79), but on a 16 GB-HBM chip the decode hot
+    path is faster with resident bf16 weights — the per-step dequantization
+    is VPU-bound and costs more than the 2x HBM traffic saved. Engine
+    loaders call this once at load when compute dtype is bf16.
+    """
+
+    def convert(node):
+        if isinstance(node, dict):
+            if is_quantized(node):
+                return {"w": dequantize(node, dtype=dtype)}
+            return {k: convert(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(convert(v) for v in node)
+        return node
+
+    return convert(params)
 
 
 def unpack_mlx_uint32(

@@ -157,7 +157,15 @@ def make_decode_chunk_fn(
         f0 = jnp.broadcast_to(jnp.asarray(n_frames) + chunk - W, (B,))
         wav = decode_codes(codec_params, cfg, ring, f0)   # [B, W*hop]
         wav_chunk = wav[:, (W - chunk) * hop:]            # [B, chunk*hop]
-        return ck, cv, ring, p, tok, key, tokens_bc, codes, wav_chunk
+
+        # EOS detection on device: the host fetches one small tuple per
+        # chunk instead of scanning raw tokens (device->host round trips
+        # are the latency budget on tunneled TPUs)
+        is_eos = tokens_bc == t.codec_eos                 # [B, chunk]
+        eos_hit = jnp.any(is_eos, axis=1)                 # [B]
+        eos_idx = jnp.argmax(is_eos, axis=1)              # first EOS position
+        n_valid = jnp.where(eos_hit, eos_idx, chunk).astype(jnp.int32)
+        return ck, cv, ring, p, tok, key, n_valid, codes, wav_chunk
 
     return decode_chunk
 
@@ -294,12 +302,12 @@ class Generator:
         def dispatch():
             nonlocal state, dispatched
             ck, cv, rg, pos, tok, k = state
-            ck, cv, rg, pos, tok, k, tokens, codes, wav = decode(
+            ck, cv, rg, pos, tok, k, n_valid, codes, wav = decode(
                 self.params, self.cp_params, self.codec_params,
                 ck, cv, rg, pos, pad_len, jnp.int32(dispatched), tok, k,
             )
             state = (ck, cv, rg, pos, tok, k)
-            inflight.append((tokens, codes, wav))
+            inflight.append((n_valid, codes, wav))
             dispatched += self.chunk
 
         # speculative pipelining: one chunk always in flight ahead of the
@@ -308,21 +316,17 @@ class Generator:
         while inflight:
             if dispatched < max_frames and not done:
                 dispatch()
-            tokens, codes, wav = inflight.pop(0)
-            host_tokens = np.asarray(tokens[0])             # sync point
-            eos_hits = np.nonzero(host_tokens == t.codec_eos)[0]
-            if eos_hits.size:
-                valid = int(eos_hits[0])
-                done = True
-            else:
-                valid = self.chunk
+            # ONE host fetch per chunk (round trips are the latency budget)
+            n_valid, codes, wav = jax.device_get(inflight.pop(0))
+            valid = int(n_valid[0])
+            done = valid < self.chunk
             remaining = max_frames - n_frames
             if valid >= remaining:
                 valid = remaining
                 done = True
             if valid > 0:
-                all_codes.append(np.asarray(codes[0])[:, :valid])
-                wav_chunk = np.asarray(wav[0])[: valid * hop]
+                all_codes.append(codes[0][:, :valid])
+                wav_chunk = wav[0][: valid * hop]
                 n_frames += valid
                 if ttfa is None:
                     ttfa = time.perf_counter() - start

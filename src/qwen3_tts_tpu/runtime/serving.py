@@ -192,8 +192,14 @@ class ServingEngine:
             wav = decode_codes(codec_params, cfg, ring, f0)       # [B, W*hop]
             wav_chunk = wav[:, (W - chunk) * hop:]
             frames = jnp.where(active, frames + chunk, frames)
+            # per-slot EOS position on device (one small host fetch per step)
+            is_eos = tokens_bc == t.codec_eos
+            eos_hit = jnp.any(is_eos, axis=1)
+            n_valid = jnp.where(
+                eos_hit, jnp.argmax(is_eos, axis=1), chunk
+            ).astype(jnp.int32)
             return (ck, cv, ring, p, tk, key, frames,
-                    tokens_bc, codes, wav_chunk)
+                    n_valid, codes, wav_chunk)
 
         self._decode_fn_cache = decode_chunk
         return decode_chunk
@@ -260,24 +266,23 @@ class ServingEngine:
         hop = self.cfg.codec.hop
 
         (self.cache_k, self.cache_v, self.ring, self.pos, self.tok,
-         self.key, self.frames_dev, tokens_bc, codes, wav) = self._decode_fn()(
+         self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn()(
             self.model.params, self.model.cp_params, self.model.codec_params,
             self.cache_k, self.cache_v, self.ring, self.pos, self.pad,
             self.frames_dev, self.tok, self.active_mask, self.key,
         )
-        tokens_host = np.asarray(tokens_bc)            # [B, chunk] (sync)
-        codes_host = np.asarray(codes)                 # [B, Q, chunk]
-        wav_host = np.asarray(wav)                     # [B, chunk*hop]
+        # ONE host fetch per step
+        valid_host, codes_host, wav_host = jax.device_get(
+            (n_valid, codes, wav)
+        )
         now = time.perf_counter()
 
         for slot, stream in enumerate(self._slots):
             if stream is None or stream.done:
                 continue
-            toks = tokens_host[slot]
-            eos_hits = np.nonzero(toks == t.codec_eos)[0]
-            valid = int(eos_hits[0]) if eos_hits.size else self.chunk
+            valid = int(valid_host[slot])
             remaining = stream.max_frames - stream.frames
-            done = eos_hits.size > 0 or valid >= remaining
+            done = valid < self.chunk or valid >= remaining
             valid = min(valid, remaining)
             if valid > 0:
                 stream.codes.append(codes_host[slot][:, :valid])

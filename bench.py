@@ -21,6 +21,63 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
 
 BASELINE_RTF = 20.0  # BASELINE.md: ">=20x real-time single-stream" target
+BASELINE_STREAMS = 8  # BASELINE.md: "8 concurrent voices" on one chip
+
+
+def serving_bench(n_streams: int = BASELINE_STREAMS) -> None:
+    """Aggregate throughput with N concurrent streams (continuous batching).
+    Prints one JSON line; run with `python bench.py --serving [N]`."""
+    import time
+
+    import numpy as np
+
+    import jax
+
+    from qwen3_tts_tpu.engine import configs, enable_compilation_cache
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.serving import ServingEngine
+
+    enable_compilation_cache()
+    cfg = configs.flagship("custom")
+    model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+    engine = ServingEngine(model, max_streams=n_streams)
+
+    prompts = [
+        PromptSpec(
+            text_tokens=(np.arange(40) * (i + 3) % cfg.talker.vocab_size)
+            .astype(np.int32),
+            speaker_id=i % 9,
+        )
+        for i in range(n_streams)
+    ]
+    # warmup: compiles prefill + fused serve step
+    engine.run(prompts[:1], max_frames=engine.chunk * 2)
+
+    frames_target = 120
+    t0 = time.perf_counter()
+    results = engine.run(prompts, max_frames=frames_target)
+    wall = time.perf_counter() - t0
+    total_audio = sum(len(w) for w, _ in results) / cfg.codec.sample_rate
+    ttfa = float(np.median([s.ttfa_s for _, s in results if s.ttfa_s]))
+    agg_rtf = total_audio / wall
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_aggregate_8stream",
+                "value": round(agg_rtf, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(agg_rtf / BASELINE_RTF, 3),
+                "detail": {
+                    "streams": n_streams,
+                    "total_audio_s": round(total_audio, 2),
+                    "wall_s": round(wall, 2),
+                    "ttfa_s_p50": round(ttfa, 3),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -85,4 +142,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--serving":
+        serving_bench(int(sys.argv[2]) if len(sys.argv) > 2 else BASELINE_STREAMS)
+    else:
+        main()

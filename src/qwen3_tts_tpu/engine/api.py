@@ -45,13 +45,20 @@ def compute_format() -> str:
 
 
 def apply_compute_format(model: "Qwen3TTSModel") -> "Qwen3TTSModel":
-    """Convert a loaded model's linears to the runtime compute format."""
+    """Convert a loaded model's linears to the runtime compute format and
+    place them on device. Loaders hand this host-resident trees so the
+    dequantization runs in numpy (no per-shape remote compiles at load)."""
+    import jax
+
     if model.cfg.quant.enabled and compute_format() == "bf16":
         from ..ops.quant import dequantize_tree
 
         model.params = dequantize_tree(model.params)
         model.cp_params = dequantize_tree(model.cp_params)
         model._generator = None
+    model.params = jax.device_put(model.params)
+    model.cp_params = jax.device_put(model.cp_params)
+    model.codec_params = jax.device_put(model.codec_params)
     return model
 
 
@@ -91,21 +98,16 @@ class Qwen3TTSModel:
         """Random-initialised model with the production pytree layout —
         used by CI, benchmarks and when no checkpoint is on disk.
         ``fast=True`` skips the quantization solve (bench/compile checks)."""
-        import jax
-
         from ..models.code_predictor import init_code_predictor
         from ..models.codec import init_codec
         from ..models.talker import init_talker
 
-        params = jax.device_put(init_talker(cfg, seed, fast=fast))
-        cp_params = jax.device_put(init_code_predictor(cfg, seed + 1, fast=fast))
-        codec_params = jax.device_put(init_codec(cfg, seed + 2))
         return apply_compute_format(
             cls(
                 cfg=cfg,
-                params=params,
-                cp_params=cp_params,
-                codec_params=codec_params,
+                params=init_talker(cfg, seed, fast=fast),
+                cp_params=init_code_predictor(cfg, seed + 1, fast=fast),
+                codec_params=init_codec(cfg, seed + 2),
                 tokenizer=load_tokenizer(None, cfg.talker.vocab_size),
                 name=f"synthetic-{cfg.mode}",
             )

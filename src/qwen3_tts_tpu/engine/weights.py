@@ -169,14 +169,13 @@ def is_native_dir(path: str) -> bool:
 
 def load_native(path: str, **kwargs):
     """Load a native-format checkpoint directory -> Qwen3TTSModel."""
-    import jax
-
     from .api import Qwen3TTSModel
     from .tokenizer import load_tokenizer
 
     with open(os.path.join(path, NATIVE_CONFIG)) as f:
         cfg = config_from_dict(json.load(f))
-    trees = {c: jax.device_put(_load_component(path, c)) for c in _COMPONENTS}
+    # host trees: api.apply_compute_format converts + places on device
+    trees = {c: _load_component(path, c) for c in _COMPONENTS}
     return Qwen3TTSModel(
         cfg=cfg,
         params=trees["talker"],
@@ -318,8 +317,6 @@ def import_hf_checkpoint(path: str, mode: str = "custom", **kwargs):
 
     Components without tensors fall back to synthetic init (warned).
     """
-    import jax
-
     from .api import Qwen3TTSModel
     from .tokenizer import load_tokenizer
 
@@ -449,11 +446,12 @@ def import_hf_checkpoint(path: str, mode: str = "custom", **kwargs):
     cp_params = init_code_predictor(cfg, seed=1)
     codec_params = init_codec(cfg, seed=2)
 
+    # host trees: api.apply_compute_format converts + places on device
     model = Qwen3TTSModel(
         cfg=cfg,
-        params=jax.device_put(talker),
-        cp_params=jax.device_put(cp_params),
-        codec_params=jax.device_put(codec_params),
+        params=talker,
+        cp_params=cp_params,
+        codec_params=codec_params,
         tokenizer=load_tokenizer(path, cfg.talker.vocab_size),
         name=os.path.basename(os.path.normpath(path)),
     )

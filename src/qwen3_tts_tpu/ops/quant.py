@@ -89,10 +89,25 @@ def dequantize_tree(params, dtype=jnp.bfloat16):
     loaders call this once at load when compute dtype is bf16.
     """
 
+    def deq(node):
+        # host-side numpy when the tree still lives on host (load time):
+        # avoids one remote-compile round trip per weight shape
+        q = node["q"]
+        if isinstance(q, np.ndarray):
+            *lead, out_dim, in_dim = q.shape
+            scale = np.asarray(node["scale"], np.float32)
+            bias = np.asarray(node["bias"], np.float32)
+            group = in_dim // scale.shape[-1]
+            w = q.astype(np.float32).reshape(*lead, out_dim, -1, group)
+            w = w * scale[..., None] + bias[..., None]
+            w = w.reshape(*lead, out_dim, in_dim)
+            return {"w": w.astype(np.dtype(dtype))}
+        return {"w": dequantize(node, dtype=dtype)}
+
     def convert(node):
         if isinstance(node, dict):
             if is_quantized(node):
-                return {"w": dequantize(node, dtype=dtype)}
+                return deq(node)
             return {k: convert(v) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(convert(v) for v in node)

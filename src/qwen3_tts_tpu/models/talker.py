@@ -28,6 +28,21 @@ from .layers import rmsnorm, transformer_block
 Params = dict[str, Any]
 
 
+def _scan_unroll() -> int:
+    """Layer-scan unroll factor (experimental, QWEN3_TTS_SCAN_UNROLL).
+
+    Default 1: unroll>1 changes results under tensor-parallel sharding
+    (observed on the CPU mesh — see tests/test_parallel_training.py), so it
+    must only be enabled for single-device experiments.
+    """
+    import os
+
+    try:
+        return max(1, int(os.environ.get("QWEN3_TTS_SCAN_UNROLL", "1")))
+    except ValueError:
+        return 1
+
+
 # --------------------------------------------------------------------------
 # initialisation (synthetic weights — real checkpoints come from
 # engine.weights.load_checkpoint and share this exact pytree layout)
@@ -171,8 +186,12 @@ def talker_forward(
         )
         return out.x, (out.cache_k, out.cache_v)
 
+    # unroll>1 lets XLA software-pipeline the next layer's weight streaming
+    # (HBM) under the current layer's compute — the decode hot loop is
+    # bandwidth-bound, so overlap is throughput (QWEN3_TTS_SCAN_UNROLL).
     x, (new_k, new_v) = jax.lax.scan(
-        body, x_emb, (params["blocks"], cache_k, cache_v)
+        body, x_emb, (params["blocks"], cache_k, cache_v),
+        unroll=_scan_unroll(),
     )
     hidden = rmsnorm(x, params["ln_f"], t.rms_eps)
     logits = linear(hidden, params["head"]).astype(jnp.float32)

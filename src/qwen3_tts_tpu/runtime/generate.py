@@ -59,6 +59,18 @@ def frame_bucket(n: int) -> int:
     return -(-n // FRAME_BUCKETS[-1]) * FRAME_BUCKETS[-1]
 
 
+# decode attention reads only a bucketed prefix of the KV cache: a short
+# utterance shouldn't pay full-max_seq_len cache bandwidth on every token
+ATTN_BUCKETS = (512, 1024, 2048, 4096)
+
+
+def attn_bucket(needed: int, s_max: int) -> int:
+    for b in ATTN_BUCKETS:
+        if needed <= b <= s_max:
+            return b
+    return s_max
+
+
 @dataclass
 class GenerationResult:
     wav: np.ndarray                   # [n_samples] float32 mono
@@ -95,7 +107,8 @@ def make_prefill_fn(cfg: ModelConfig) -> Callable:
 
 
 def make_decode_chunk_fn(
-    cfg: ModelConfig, chunk: int, lookback: int, sampling: SamplingConfig
+    cfg: ModelConfig, chunk: int, lookback: int, sampling: SamplingConfig,
+    attn_len: int | None = None,
 ) -> Callable:
     """One fused dispatch per chunk: AR talker steps + residual prediction +
     streaming codec decode of a device-resident rolling code window.
@@ -107,6 +120,7 @@ def make_decode_chunk_fn(
     """
     t = cfg.talker
     S = cfg.max_seq_len
+    A = attn_len or S  # static attention window (caller picks a bucket)
     cb_size = cfg.codec.codebook_size
     W = lookback + chunk
     hop = cfg.codec.hop
@@ -117,6 +131,13 @@ def make_decode_chunk_fn(
         """ring: [B, Q, W] rolling code window (zeros before first frame).
         n_frames: frames emitted before this chunk (scalar or [B])."""
         cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+
+        # attention reads/writes only the first A cache slots (the caller
+        # guarantees pos + chunk <= A); the full buffers are donated and the
+        # prefix is written back in place at the end
+        full_k, full_v = cache_k, cache_v
+        cache_k = cache_k[:, :, :A] if A < S else cache_k
+        cache_v = cache_v[:, :, :A] if A < S else cache_v
 
         def step(carry, _):
             ck, cv, p, tok, k = carry
@@ -165,6 +186,10 @@ def make_decode_chunk_fn(
         eos_hit = jnp.any(is_eos, axis=1)                 # [B]
         eos_idx = jnp.argmax(is_eos, axis=1)              # first EOS position
         n_valid = jnp.where(eos_hit, eos_idx, chunk).astype(jnp.int32)
+
+        if A < S:  # write the updated prefix back into the donated buffers
+            ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
         return ck, cv, ring, p, tok, key, n_valid, codes, wav_chunk
 
     return decode_chunk
@@ -201,11 +226,12 @@ class Generator:
             self._fns[key] = make_prefill_fn(self.cfg)
         return self._fns[key]
 
-    def _decode_fn(self):
-        key = ("decode", self.chunk, self.lookback, self.sampling)
+    def _decode_fn(self, attn_len: int | None = None):
+        key = ("decode", self.chunk, self.lookback, self.sampling, attn_len)
         if key not in self._fns:
             self._fns[key] = make_decode_chunk_fn(
-                self.cfg, self.chunk, self.lookback, self.sampling
+                self.cfg, self.chunk, self.lookback, self.sampling,
+                attn_len=attn_len,
             )
         return self._fns[key]
 
@@ -286,7 +312,6 @@ class Generator:
         key, sub = jax.random.split(key)
         first = sample_token(logits, sub, self.sampling)
 
-        decode = self._decode_fn()
         codec = self._codec_fn()
 
         W = self.lookback + self.chunk
@@ -301,6 +326,9 @@ class Generator:
 
         def dispatch():
             nonlocal state, dispatched
+            # attention window bucket for this chunk's positions
+            A = attn_bucket(Lb + dispatched + self.chunk, cfg.max_seq_len)
+            decode = self._decode_fn(A)
             ck, cv, rg, pos, tok, k = state
             ck, cv, rg, pos, tok, k, n_valid, codes, wav = decode(
                 self.params, self.cp_params, self.codec_params,

@@ -178,6 +178,9 @@ def make_decode_chunk_fn(
         f0 = jnp.broadcast_to(jnp.asarray(n_frames) + chunk - W, (B,))
         wav = decode_codes(codec_params, cfg, ring, f0)   # [B, W*hop]
         wav_chunk = wav[:, (W - chunk) * hop:]            # [B, chunk*hop]
+        # the frame counter stays in device state: a fresh host scalar per
+        # dispatch would cost a host->device upload round trip per chunk
+        n_frames = jnp.asarray(n_frames) + chunk
 
         # EOS detection on device: the host fetches one small tuple per
         # chunk instead of scanning raw tokens (device->host round trips
@@ -190,7 +193,7 @@ def make_decode_chunk_fn(
         if A < S:  # write the updated prefix back into the donated buffers
             ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
             cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
-        return ck, cv, ring, p, tok, key, n_valid, codes, wav_chunk
+        return ck, cv, ring, p, tok, key, n_frames, n_valid, codes, wav_chunk
 
     return decode_chunk
 
@@ -316,7 +319,8 @@ class Generator:
 
         W = self.lookback + self.chunk
         ring = jnp.zeros((1, cfg.codec.num_codebooks, W), jnp.int32)
-        state = (cache_k, cache_v, ring, jnp.int32(Lb), first, key)
+        state = (cache_k, cache_v, ring, jnp.int32(Lb), first, key,
+                 jnp.int32(0))
         all_codes: list[np.ndarray] = []   # [Q, chunk] slabs (host)
         n_frames = 0
         dispatched = 0
@@ -329,12 +333,12 @@ class Generator:
             # attention window bucket for this chunk's positions
             A = attn_bucket(Lb + dispatched + self.chunk, cfg.max_seq_len)
             decode = self._decode_fn(A)
-            ck, cv, rg, pos, tok, k = state
-            ck, cv, rg, pos, tok, k, n_valid, codes, wav = decode(
+            ck, cv, rg, pos, tok, k, nf = state
+            ck, cv, rg, pos, tok, k, nf, n_valid, codes, wav = decode(
                 self.params, self.cp_params, self.codec_params,
-                ck, cv, rg, pos, pad_len, jnp.int32(dispatched), tok, k,
+                ck, cv, rg, pos, pad_len, nf, tok, k,
             )
-            state = (ck, cv, rg, pos, tok, k)
+            state = (ck, cv, rg, pos, tok, k, nf)
             inflight.append((n_valid, codes, wav))
             dispatched += self.chunk
 

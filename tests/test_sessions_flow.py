@@ -91,3 +91,43 @@ def test_design_session_generates(fake_engine, monkeypatch):
     )
     design_session.run_design_session("2")
     assert len(_saved_wavs(fake_engine)) == 1
+
+
+def test_clone_quick_flow(fake_engine, monkeypatch, temp_dir):
+    """Quick clone: drag a reference wav, type a transcript, generate once.
+    Exercises the full cloning pipeline (codec encoder -> acoustic prompt)."""
+    import wave
+
+    import numpy as np
+
+    from qwen3_tts_tpu.sessions import clone as clone_session
+
+    ref = os.path.join(temp_dir, "ref_voice.wav")
+    rng = np.random.default_rng(0)
+    with wave.open(ref, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24_000)
+        w.writeframes(
+            (rng.normal(0, 0.1, 24_000).clip(-1, 1) * 32767)
+            .astype(np.int16).tobytes()
+        )
+
+    monkeypatch.setattr(
+        clone_session, "ensure_model", lambda spec: "synthetic:tiny:base"
+    )
+    # menu: quick clone, then back out
+    menu = iter(["3", "b"])
+    monkeypatch.setattr(
+        clone_session, "instant_menu_choice", lambda keys: next(menu)
+    )
+    monkeypatch.setattr(
+        clone_session, "safe_line_input",
+        ScriptedInput([ref, "a reference transcript"]),
+    )
+    monkeypatch.setattr(
+        clone_session, "get_text_input", ScriptedText(["Cloned speech."])
+    )
+    clone_session.run_clone_manager("3")
+    wavs = [w for w in _saved_wavs(fake_engine) if "QuickClones" in w]
+    assert len(wavs) == 1

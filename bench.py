@@ -102,8 +102,11 @@ def main() -> None:
         speaker_id=0,
     )
 
-    # Warmup: compiles prefill + decode-chunk + codec stages.
-    warm = gen.synthesize(prompt, max_frames=gen.chunk * 2, seed=0)
+    # Warmup: compiles prefill + every decode-chunk variant in the schedule.
+    warm = gen.synthesize(
+        prompt, max_frames=sum(gen.chunk_schedule) + gen.chunk_schedule[-1],
+        seed=0,
+    )
     compile_s = time.perf_counter() - t0 - load_s
 
     # Timed run: ~20 s of audio (240 frames at 12 Hz), EOS disabled by
@@ -133,8 +136,8 @@ def main() -> None:
                     "ttfa_s_p50": round(ttfa, 4),
                     "load_s": round(load_s, 1),
                     "compile_s": round(compile_s, 1),
-                    "config": "flagship-1.7B int8, chunked decode, "
-                    f"chunk={gen.chunk}",
+                    "config": "flagship-1.7B, adaptive chunks "
+                    f"{gen.chunk_schedule}",
                 },
             }
         )

@@ -107,7 +107,7 @@ def make_prefill_fn(cfg: ModelConfig) -> Callable:
 
 
 def make_decode_chunk_fn(
-    cfg: ModelConfig, chunk: int, lookback: int, sampling: SamplingConfig,
+    cfg: ModelConfig, chunk: int, ring_size: int, sampling: SamplingConfig,
     attn_len: int | None = None,
 ) -> Callable:
     """One fused dispatch per chunk: AR talker steps + residual prediction +
@@ -117,13 +117,18 @@ def make_decode_chunk_fn(
     host sees ONE dispatch and ONE fetch per chunk, and the driver loop can
     dispatch chunk k+1 before reading chunk k (speculative pipelining) so
     the host<->device round trip fully overlaps device compute.
+
+    ``ring_size`` (>= chunk + lookback) is the rolling-window capacity and
+    is shared across chunk-size variants so an adaptive chunk schedule can
+    hand the same state between differently-sized steps.
     """
     t = cfg.talker
     S = cfg.max_seq_len
     A = attn_len or S  # static attention window (caller picks a bucket)
     cb_size = cfg.codec.codebook_size
-    W = lookback + chunk
+    W = ring_size
     hop = cfg.codec.hop
+    assert W >= chunk
 
     @partial(jax.jit, donate_argnums=(3, 4, 5))
     def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
@@ -219,9 +224,22 @@ class Generator:
     cp_params: Any                    # code-predictor params
     codec_params: Any
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
-    chunk: int = 8
+    # adaptive chunk schedule: small first chunk protects TTFA, growing
+    # steady-state chunks amortize per-dispatch fixed costs (depth-
+    # transformer scan, codec window, host round trip); the last entry
+    # repeats for the rest of the utterance
+    chunk_schedule: tuple = (8, 16, 32)
     lookback: int = 8                 # streaming codec left-context frames
     _fns: dict = field(default_factory=dict)
+
+    @property
+    def chunk(self) -> int:
+        """First-chunk size (TTFA granularity)."""
+        return self.chunk_schedule[0]
+
+    @property
+    def ring_size(self) -> int:
+        return self.lookback + max(self.chunk_schedule)
 
     def _prefill_fn(self):
         key = "prefill"
@@ -229,11 +247,11 @@ class Generator:
             self._fns[key] = make_prefill_fn(self.cfg)
         return self._fns[key]
 
-    def _decode_fn(self, attn_len: int | None = None):
-        key = ("decode", self.chunk, self.lookback, self.sampling, attn_len)
+    def _decode_fn(self, chunk: int, attn_len: int | None = None):
+        key = ("decode", chunk, self.ring_size, self.sampling, attn_len)
         if key not in self._fns:
             self._fns[key] = make_decode_chunk_fn(
-                self.cfg, self.chunk, self.lookback, self.sampling,
+                self.cfg, chunk, self.ring_size, self.sampling,
                 attn_len=attn_len,
             )
         return self._fns[key]
@@ -317,30 +335,37 @@ class Generator:
 
         codec = self._codec_fn()
 
-        W = self.lookback + self.chunk
-        ring = jnp.zeros((1, cfg.codec.num_codebooks, W), jnp.int32)
+        ring = jnp.zeros((1, cfg.codec.num_codebooks, self.ring_size),
+                         jnp.int32)
         state = (cache_k, cache_v, ring, jnp.int32(Lb), first, key,
                  jnp.int32(0))
         all_codes: list[np.ndarray] = []   # [Q, chunk] slabs (host)
         n_frames = 0
         dispatched = 0
+        chunk_idx = 0
         inflight: list[tuple] = []
         done = False
         ttfa = None
 
+        def next_chunk_size() -> int:
+            i = min(chunk_idx, len(self.chunk_schedule) - 1)
+            return self.chunk_schedule[i]
+
         def dispatch():
-            nonlocal state, dispatched
+            nonlocal state, dispatched, chunk_idx
+            chunk = next_chunk_size()
             # attention window bucket for this chunk's positions
-            A = attn_bucket(Lb + dispatched + self.chunk, cfg.max_seq_len)
-            decode = self._decode_fn(A)
+            A = attn_bucket(Lb + dispatched + chunk, cfg.max_seq_len)
+            decode = self._decode_fn(chunk, A)
             ck, cv, rg, pos, tok, k, nf = state
             ck, cv, rg, pos, tok, k, nf, n_valid, codes, wav = decode(
                 self.params, self.cp_params, self.codec_params,
                 ck, cv, rg, pos, pad_len, nf, tok, k,
             )
             state = (ck, cv, rg, pos, tok, k, nf)
-            inflight.append((n_valid, codes, wav))
-            dispatched += self.chunk
+            inflight.append((chunk, (n_valid, codes, wav)))
+            dispatched += chunk
+            chunk_idx += 1
 
         # speculative pipelining: one chunk always in flight ahead of the
         # one being read, so the device never idles on host round trips
@@ -349,9 +374,10 @@ class Generator:
             if dispatched < max_frames and not done:
                 dispatch()
             # ONE host fetch per chunk (round trips are the latency budget)
-            n_valid, codes, wav = jax.device_get(inflight.pop(0))
+            chunk, payload = inflight.pop(0)
+            n_valid, codes, wav = jax.device_get(payload)
             valid = int(n_valid[0])
-            done = valid < self.chunk
+            done = valid < chunk
             remaining = max_frames - n_frames
             if valid >= remaining:
                 valid = remaining

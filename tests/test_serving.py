@@ -37,6 +37,7 @@ def _single_stream_chunks(model, prompt, max_frames):
         cp_params=model.cp_params,
         codec_params=model.codec_params,
         sampling=GREEDY,
+        chunk_schedule=(8,),   # fixed chunk: match the serving engine's
     )
     chunks = []
     result = gen.synthesize(

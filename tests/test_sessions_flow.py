@@ -131,3 +131,33 @@ def test_clone_quick_flow(fake_engine, monkeypatch, temp_dir):
     clone_session.run_clone_manager("3")
     wavs = [w for w in _saved_wavs(fake_engine) if "QuickClones" in w]
     assert len(wavs) == 1
+
+
+def test_enroll_voice_flow(monkeypatch, temp_dir):
+    """Enrollment: name -> audio -> transcript -> saved wav+txt pair
+    (reference voices.py:74-156 behavior)."""
+    import wave
+
+    import numpy as np
+
+    import qwen3_tts_tpu.voices as voices_module
+
+    src = os.path.join(temp_dir, "sample voice.wav")
+    with wave.open(src, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24_000)
+        w.writeframes(np.zeros(24_000, np.int16).tobytes())
+
+    store = os.path.join(temp_dir, "voices")
+    monkeypatch.setattr(voices_module, "VOICES_DIR", store)
+    monkeypatch.setattr(
+        voices_module, "safe_line_input",
+        ScriptedInput(["My Test Voice!", src, "the transcript text"]),
+    )
+    name = voices_module.enroll_new_voice()
+    assert name == "My_Test_Voice"
+    wav_dst, txt_dst = voices_module.voice_paths(name)
+    assert os.path.exists(wav_dst)
+    assert open(txt_dst).read() == "the transcript text"
+    assert voices_module.get_saved_voices() == [name]

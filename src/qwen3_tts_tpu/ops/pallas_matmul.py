@@ -37,7 +37,13 @@ def _dequant_matmul_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
     """Mosaic-friendly per-group dequant: no reshapes/gathers on the lane
     axis. The per-group scale/bias are expanded to per-element via a one-hot
     expansion matmul (E[g, k] = [k//group == g]) built from iota — an MXU op
-    instead of an unsupported lane-splitting reshape."""
+    instead of an unsupported lane-splitting reshape.
+
+    Dequant arithmetic stays f32 (exact parity with the XLA reference and
+    the checkpoint's f16 scales); a bf16 variant halves the VPU work but
+    rounds scales to 8 mantissa bits (~0.4%/element) — measured not worth
+    it while bf16-resident weights are the default compute format
+    (PERF.md)."""
     # u8 -> f32 must widen through i32 on Mosaic
     q = q_ref[:].astype(jnp.int32).astype(jnp.float32)   # [TN, K]
     tn, k = q.shape

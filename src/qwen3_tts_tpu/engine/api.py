@@ -285,6 +285,13 @@ def generate_audio(
         [p for pair in zip(pieces, [gap] * len(pieces)) for p in pair][:-1]
     )
 
+    # speed contract: checkpoints that don't natively honor the speed tag
+    # get host-side WSOLA time-stretching (audio/stretch.py)
+    if abs(speed - 1.0) >= 1e-3 and not cfg.native_speed and len(out):
+        from ..audio.stretch import time_stretch
+
+        out = time_stretch(out, float(speed), sr)
+
     from ..audio import write_wav
 
     os.makedirs(output_path, exist_ok=True)

@@ -115,6 +115,10 @@ class ModelConfig:
     quant: QuantConfig = field(default_factory=QuantConfig)
     dtype: str = "bfloat16"
     max_seq_len: int = 3072            # prompt + generated frames budget
+    # whether the checkpoint natively honors the speed control tag; when
+    # False the engine applies host-side WSOLA time-stretching so the
+    # generate_audio(speed=...) contract holds for any weights
+    native_speed: bool = False
     speakers: tuple[str, ...] = (
         "ryan", "aiden", "serena", "vivian", "uncle_fu",
         "dylan", "eric", "ono_anna", "sohee",

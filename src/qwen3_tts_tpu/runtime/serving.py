@@ -257,29 +257,39 @@ class ServingEngine:
         self.streams[stream.stream_id] = stream
         return stream.stream_id
 
-    def step(self) -> list[int]:
-        """Advance every active slot one chunk; returns stream ids finished
-        in this step. Decoded audio accumulates on each Stream."""
-        if not any(s is not None for s in self._slots):
-            return []
-        t = self.cfg.talker
-        hop = self.cfg.codec.hop
-
+    def dispatch_step(self):
+        """Enqueue one decode step for all slots; returns an opaque payload
+        for :meth:`collect_step`. Does NOT block — the driver can dispatch
+        step k+1 before collecting step k (the host round trip then hides
+        under device compute). The payload snapshots slot->stream identity
+        at dispatch time, so a step dispatched speculatively past a
+        stream's EOS can never credit frames to a slot's next occupant."""
         (self.cache_k, self.cache_v, self.ring, self.pos, self.tok,
          self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn()(
             self.model.params, self.model.cp_params, self.model.codec_params,
             self.cache_k, self.cache_v, self.ring, self.pos, self.pad,
             self.frames_dev, self.tok, self.active_mask, self.key,
         )
-        # ONE host fetch per step
+        snapshot = [
+            (slot, s.stream_id) for slot, s in enumerate(self._slots)
+            if s is not None and not s.done
+        ]
+        return (snapshot, n_valid, codes, wav)
+
+    def collect_step(self, payload) -> list[int]:
+        """Fetch one dispatched step's results and account them; returns
+        stream ids that finished."""
+        snapshot, n_valid, codes, wav = payload
+        hop = self.cfg.codec.hop
         valid_host, codes_host, wav_host = jax.device_get(
             (n_valid, codes, wav)
         )
         now = time.perf_counter()
 
-        for slot, stream in enumerate(self._slots):
-            if stream is None or stream.done:
-                continue
+        for slot, stream_id in snapshot:
+            stream = self.streams.get(stream_id)
+            if stream is None or stream.done or self._slots[slot] is not stream:
+                continue  # slot was recycled since dispatch
             valid = int(valid_host[slot])
             remaining = stream.max_frames - stream.frames
             done = valid < self.chunk or valid >= remaining
@@ -307,6 +317,13 @@ class ServingEngine:
                 )
         return finished
 
+    def step(self) -> list[int]:
+        """Advance every active slot one chunk; returns stream ids finished
+        in this step (synchronous dispatch + collect)."""
+        if not any(s is not None for s in self._slots):
+            return []
+        return self.collect_step(self.dispatch_step())
+
     def collect(self, stream_id: int) -> tuple[np.ndarray, Stream]:
         """Concatenated waveform + state for a (finished) stream."""
         stream = self.streams[stream_id]
@@ -323,17 +340,31 @@ class ServingEngine:
         self, prompts: list[PromptSpec], *, max_frames: int
     ) -> list[tuple[np.ndarray, Stream]]:
         """Serve all prompts to completion (continuous batching: new prompts
-        enter as slots free up); returns [(wav, stream), ...] in order."""
+        enter as slots free up); returns [(wav, stream), ...] in order.
+
+        The loop keeps one decode step speculatively in flight so the
+        per-step host round trip overlaps device compute (same pattern as
+        runtime.generate's single-stream driver)."""
         pending = list(enumerate(prompts))
         ids: dict[int, int] = {}
-        while pending and self.free_slots():
-            i, p = pending.pop(0)
-            ids[i] = self.submit(p, max_frames=max_frames)
-        while len(ids) < len(prompts) or any(
-            not self.streams[sid].done for sid in ids.values()
-        ):
-            self.step()
+
+        def fill_slots():
             while pending and self.free_slots():
                 i, p = pending.pop(0)
                 ids[i] = self.submit(p, max_frames=max_frames)
+
+        def unfinished() -> bool:
+            return len(ids) < len(prompts) or any(
+                not self.streams[sid].done for sid in ids.values()
+            )
+
+        fill_slots()
+        inflight = self.dispatch_step() if unfinished() else None
+        while inflight is not None:
+            # speculative next step: EOS'd slots waste one chunk, but the
+            # fetch of `inflight` happens while the device runs `nxt`
+            nxt = self.dispatch_step()
+            if self.collect_step(inflight):
+                fill_slots()
+            inflight = nxt if unfinished() else None
         return [self.collect(ids[i]) for i in range(len(prompts))]

@@ -100,7 +100,8 @@ class ServingEngine:
         self._slots: list[Stream | None] = [None] * self.B
         self._next_id = 0
         self._prefill_fns: dict[int, Callable] = {}
-        self._decode_fn_cache: Callable | None = None
+        self._decode_fns: dict[int | None, Callable] = {}
+        self._host_pos = [0] * self.B  # host mirror for attn bucketing
 
     # -- jitted stages ------------------------------------------------------
 
@@ -135,9 +136,9 @@ class ServingEngine:
         self._prefill_fns[Lb] = prefill_slot
         return prefill_slot
 
-    def _decode_fn(self) -> Callable:
-        if self._decode_fn_cache is not None:
-            return self._decode_fn_cache
+    def _decode_fn(self, attn_len: int | None = None) -> Callable:
+        if attn_len in self._decode_fns:
+            return self._decode_fns[attn_len]
         cfg = self.cfg
         t = cfg.talker
         chunk = self.chunk
@@ -145,6 +146,8 @@ class ServingEngine:
         cb_size = cfg.codec.codebook_size
         W = self.lookback + chunk
         hop = cfg.codec.hop
+        S = cfg.max_seq_len
+        A = attn_len or S
 
         @partial(jax.jit, donate_argnums=(3, 4, 5))
         def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
@@ -152,6 +155,13 @@ class ServingEngine:
             """Fused serve step: AR decode + residuals + streaming codec for
             all slots in one dispatch (one host round trip per chunk)."""
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
+
+            # attend over a bucketed cache prefix (see runtime.generate);
+            # inactive slots with stale positions past A just clamp their
+            # (ignored) cache writes into the prefix
+            full_k, full_v = cache_k, cache_v
+            cache_k = cache_k[:, :, :A] if A < S else cache_k
+            cache_v = cache_v[:, :, :A] if A < S else cache_v
 
             def step(carry, _):
                 ck, cv, p, tk, k = carry
@@ -198,10 +208,13 @@ class ServingEngine:
             n_valid = jnp.where(
                 eos_hit, jnp.argmax(is_eos, axis=1), chunk
             ).astype(jnp.int32)
+            if A < S:  # write the prefix back into the donated buffers
+                ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
             return (ck, cv, ring, p, tk, key, frames,
                     n_valid, codes, wav_chunk)
 
-        self._decode_fn_cache = decode_chunk
+        self._decode_fns[attn_len] = decode_chunk
         return decode_chunk
 
     # -- stream lifecycle ---------------------------------------------------
@@ -237,6 +250,7 @@ class ServingEngine:
         first = sample_token(last_logits[None], sub, self.sampling)[0]
 
         onehot = jnp.arange(self.B) == slot
+        self._host_pos[slot] = Lb
         self.pos = jnp.where(onehot, Lb, self.pos)
         self.pad = jnp.where(onehot, pad, self.pad)
         self.tok = jnp.where(onehot, first, self.tok)
@@ -264,12 +278,26 @@ class ServingEngine:
         under device compute). The payload snapshots slot->stream identity
         at dispatch time, so a step dispatched speculatively past a
         stream's EOS can never credit frames to a slot's next occupant."""
+        from .generate import attn_bucket
+
+        active_pos = [
+            self._host_pos[slot]
+            for slot, s in enumerate(self._slots)
+            if s is not None and not s.done
+        ]
+        A = attn_bucket(
+            (max(active_pos) if active_pos else 0) + self.chunk,
+            self.cfg.max_seq_len,
+        )
         (self.cache_k, self.cache_v, self.ring, self.pos, self.tok,
-         self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn()(
+         self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(A)(
             self.model.params, self.model.cp_params, self.model.codec_params,
             self.cache_k, self.cache_v, self.ring, self.pos, self.pad,
             self.frames_dev, self.tok, self.active_mask, self.key,
         )
+        for slot, s in enumerate(self._slots):
+            if s is not None and not s.done:
+                self._host_pos[slot] += self.chunk
         snapshot = [
             (slot, s.stream_id) for slot, s in enumerate(self._slots)
             if s is not None and not s.done

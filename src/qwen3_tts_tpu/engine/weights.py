@@ -224,7 +224,11 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
             group_size=qcfg.get("group_size", 64),
             enabled=True,
         )
-    return dataclasses.replace(base, talker=talker, quant=quant)
+    # real Qwen3-TTS checkpoints honor the speed control tag natively, so
+    # the engine's WSOLA fallback (engine/api.py) must not double-apply
+    return dataclasses.replace(
+        base, talker=talker, quant=quant, native_speed=True
+    )
 
 
 # Qwen-style per-layer linear bases -> our stacked-block pytree paths.

@@ -20,9 +20,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
 
-# single-device bench: layer-scan unroll overlaps the next layer's weight
-# streaming with compute (unsafe only under tp sharding — models/talker.py)
-os.environ.setdefault("QWEN3_TTS_SCAN_UNROLL", "2")
+# layer-scan unroll measured slower (10.5x vs 15.2x RTF) and is unsafe
+# under tp sharding — keep the default (1); see PERF.md
 
 BASELINE_RTF = 20.0  # BASELINE.md: ">=20x real-time single-stream" target
 BASELINE_STREAMS = 8  # BASELINE.md: "8 concurrent voices" on one chip

@@ -74,6 +74,7 @@ class Qwen3TTSModel:
     tokenizer: Any
     name: str = "qwen3-tts"
     _generator: Any = field(default=None, repr=False)
+    _serving: Any = field(default=None, repr=False)
     _enc_fn: Any = field(default=None, repr=False)
 
     @property
@@ -88,6 +89,15 @@ class Qwen3TTSModel:
                 codec_params=self.codec_params,
             )
         return self._generator
+
+    def serving_engine(self, max_streams: int = 8):
+        """Cached multi-stream engine (compiled stages persist across
+        calls — one compile per process, SURVEY/PERF compile economics)."""
+        from ..runtime.serving import ServingEngine
+
+        if self._serving is None or self._serving.B != max_streams:
+            self._serving = ServingEngine(self, max_streams=max_streams)
+        return self._serving
 
     # -- construction ------------------------------------------------------
 
@@ -250,13 +260,8 @@ def generate_audio(
         acoustic_codes, speaker_vector = model.encode_reference(wav_ref)
 
     segments = _split_segments(text)
-    pieces: list[np.ndarray] = []
-    total_frames = 0
-    ttfa = None
-    wall = 0.0
-
-    for seg_idx, segment in enumerate(segments):
-        prompt = build_prompt(
+    prompts = [
+        build_prompt(
             model.tokenizer,
             cfg.mode,
             segment,
@@ -268,17 +273,60 @@ def generate_audio(
             acoustic_codes=acoustic_codes,
             speaker_vector=speaker_vector,
         )
-        budget = max_frames if max_frames is not None else _estimate_frames(
+        for segment in segments
+    ]
+    budgets = [
+        max_frames if max_frames is not None else _estimate_frames(
             segment, cfg.codec.frame_rate
         )
-        result = model.generator.synthesize(
-            prompt, max_frames=budget, seed=seed + seg_idx, on_chunk=on_chunk
+        for segment in segments
+    ]
+
+    pieces: list[np.ndarray] = []
+    total_frames = 0
+    ttfa = None
+    wall = 0.0
+
+    if len(segments) > 1 and on_chunk is None:
+        # long-form fast path: synthesize all segments CONCURRENTLY through
+        # the continuous-batching engine — segments are independent, so a
+        # 10k-char text runs at multi-stream aggregate throughput instead of
+        # serial single-stream (PERF.md: 62x vs 15x on one v5e)
+        import time as _time
+
+        engine = model.serving_engine()
+        t0 = _time.perf_counter()
+        results = engine.run(prompts, max_frames=budgets)
+        # full-quality single-pass codec decode per segment (same quality
+        # as the serial path's final decode; streaming chunks are only a
+        # lookback-window approximation)
+        gen = model.generator
+        codec_fn = gen._codec_fn()
+        pieces = []
+        for wav, stream in results:
+            if stream.codes:
+                full = np.concatenate(stream.codes, axis=1)
+                piece = gen._codec_decode_padded(codec_fn, full, 0)
+                pieces.append(piece[: stream.frames * cfg.codec.hop])
+            else:
+                pieces.append(np.zeros(0, np.float32))
+        wall = _time.perf_counter() - t0
+        total_frames = sum(s.frames for _, s in results)
+        ttfa = min(
+            (s.ttfa_s for _, s in results if s.ttfa_s is not None),
+            default=0.0,
         )
-        pieces.append(result.wav)
-        total_frames += result.frames
-        wall += result.wall_s
-        if ttfa is None:
-            ttfa = result.ttfa_s
+    else:
+        for seg_idx, (prompt, budget) in enumerate(zip(prompts, budgets)):
+            result = model.generator.synthesize(
+                prompt, max_frames=budget, seed=seed + seg_idx,
+                on_chunk=on_chunk,
+            )
+            pieces.append(result.wav)
+            total_frames += result.frames
+            wall += result.wall_s
+            if ttfa is None:
+                ttfa = result.ttfa_s
 
     gap = np.zeros(int(_SEGMENT_GAP_S * sr), dtype=np.float32)
     out = pieces[0] if len(pieces) == 1 else np.concatenate(

@@ -292,7 +292,11 @@ class Generator:
         emb = jnp.concatenate(parts, axis=0)  # [L, D]
 
         L = int(emb.shape[0])
-        Lb = bucket_len(L)
+        # clamp the bucket so decode keeps headroom inside max_seq_len
+        max_prompt = max(16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule))
+        allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
+        cap = allowed[-1] if allowed else max_prompt
+        Lb = min(bucket_len(L), cap)
         if L > Lb:  # over-long prompt: keep the tail (BOS must survive)
             emb = emb[L - Lb:]
             L = Lb

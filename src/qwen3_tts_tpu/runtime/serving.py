@@ -365,21 +365,31 @@ class ServingEngine:
     # -- convenience driver -------------------------------------------------
 
     def run(
-        self, prompts: list[PromptSpec], *, max_frames: int
+        self, prompts: list[PromptSpec], *, max_frames: int | list[int]
     ) -> list[tuple[np.ndarray, Stream]]:
         """Serve all prompts to completion (continuous batching: new prompts
         enter as slots free up); returns [(wav, stream), ...] in order.
+        ``max_frames`` is one shared budget or one per prompt.
 
         The loop keeps one decode step speculatively in flight so the
         per-step host round trip overlaps device compute (same pattern as
         runtime.generate's single-stream driver)."""
+        budgets = (
+            list(max_frames)
+            if isinstance(max_frames, (list, tuple))
+            else [max_frames] * len(prompts)
+        )
+        # drop bookkeeping for streams finished in earlier runs (the engine
+        # is long-lived and reused across generate_audio calls)
+        for sid in [s for s, st in self.streams.items() if st.done]:
+            del self.streams[sid]
         pending = list(enumerate(prompts))
         ids: dict[int, int] = {}
 
         def fill_slots():
             while pending and self.free_slots():
                 i, p = pending.pop(0)
-                ids[i] = self.submit(p, max_frames=max_frames)
+                ids[i] = self.submit(p, max_frames=budgets[i])
 
         def unfinished() -> bool:
             return len(ids) < len(prompts) or any(

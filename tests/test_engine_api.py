@@ -161,3 +161,26 @@ def test_build_prompt_speaker_resolution(tiny_model):
 def test_load_model_missing_path():
     with pytest.raises(FileNotFoundError):
         load_model("/nonexistent/model/dir")
+
+
+def test_long_text_uses_concurrent_segments(temp_dir):
+    """Multi-sentence long text routes through the serving engine and still
+    produces one ordered WAV with per-segment gaps."""
+    from qwen3_tts_tpu.engine.api import generate_audio, load_model
+
+    model = load_model("synthetic:tiny:custom")
+    long_text = " ".join(
+        f"This is sentence number {i}, definitely long enough to matter."
+        for i in range(40)
+    )
+    m = generate_audio(
+        model=model, text=long_text, voice="ryan",
+        output_path=temp_dir, max_frames=6, seed=0,
+    )
+    assert m["segments"] > 1
+    assert m["frames"] >= m["segments"]  # every segment produced frames
+    assert m["audio_s"] > 0
+    import wave
+
+    with wave.open(f"{temp_dir}/audio_000.wav") as w:
+        assert w.getnframes() > 0

@@ -83,6 +83,57 @@ def serving_bench(n_streams: int = BASELINE_STREAMS) -> None:
     )
 
 
+def longform_bench(chars: int = 2400) -> None:
+    """Long-text synthesis throughput: one generate_audio call whose text
+    splits into many segments, synthesized concurrently via the serving
+    engine. Prints one JSON line; run with `python bench.py --longform`."""
+    import tempfile
+
+    import jax
+
+    from qwen3_tts_tpu.engine import (
+        configs,
+        enable_compilation_cache,
+        generate_audio,
+    )
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+
+    enable_compilation_cache()
+    cfg = configs.flagship("custom")
+    model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+
+    sentence = "The quick brown fox jumps over the lazy dog once more. "
+    text = (sentence * (chars // len(sentence) + 1))[:chars]
+    out = tempfile.mkdtemp(prefix="q3tts_bench_")
+
+    # warmup: compiles serving prefill bucket + serve step + codec buckets
+    generate_audio(model=model, text=text[:600] + ". " + text[:600],
+                   voice="ryan", output_path=out, max_frames=16)
+
+    m = generate_audio(
+        model=model, text=text, voice="ryan", output_path=out, max_frames=120
+    )
+    rtf = m["rtf"]
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_longform",
+                "value": round(rtf, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / BASELINE_RTF, 3),
+                "detail": {
+                    "chars": chars,
+                    "segments": m["segments"],
+                    "audio_s": round(m["audio_s"], 2),
+                    "wall_s": round(m["wall_s"], 2),
+                    "ttfa_s": round(m["ttfa_s"], 3),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
     import numpy as np
 
@@ -150,5 +201,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--serving":
         serving_bench(int(sys.argv[2]) if len(sys.argv) > 2 else BASELINE_STREAMS)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--longform":
+        longform_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 2400)
     else:
         main()

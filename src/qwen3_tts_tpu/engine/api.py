@@ -295,6 +295,9 @@ def generate_audio(
         import time as _time
 
         engine = model.serving_engine()
+        import jax
+
+        engine.key = jax.random.PRNGKey(seed)  # reproducible per call
         t0 = _time.perf_counter()
         results = engine.run(prompts, max_frames=budgets)
         # full-quality single-pass codec decode per segment (same quality

@@ -287,7 +287,8 @@ def generate_audio(
     ttfa = None
     wall = 0.0
 
-    if len(segments) > 1 and on_chunk is None:
+    longform_mode = os.environ.get("QWEN3_TTS_LONGFORM", "serving")
+    if len(segments) > 1 and on_chunk is None and longform_mode == "serving":
         # long-form fast path: synthesize all segments CONCURRENTLY through
         # the continuous-batching engine — segments are independent, so a
         # 10k-char text runs at multi-stream aggregate throughput instead of

@@ -122,6 +122,14 @@ def instant_menu_choice(
     try:
         with inp.raw_mode():
             while True:
+                # read_keys() is non-blocking — wait on the fd so the menu
+                # idles at 0% CPU between keypresses
+                try:
+                    import select
+
+                    select.select([inp.fileno()], [], [], 0.25)
+                except (OSError, ValueError):
+                    pass
                 for press in inp.read_keys():
                     if press.key == Keys.ControlC:
                         raise KeyboardInterrupt

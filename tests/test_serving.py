@@ -82,3 +82,36 @@ def test_serving_ttfa_recorded(model):
     engine = ServingEngine(model, max_streams=1, chunk=4, sampling=GREEDY)
     (wav, stream), = engine.run([_prompt(3)], max_frames=5)
     assert stream.ttfa_s is not None and stream.ttfa_s > 0
+
+
+def test_submit_overflow_raises(model):
+    engine = ServingEngine(model, max_streams=1, chunk=4, sampling=GREEDY)
+    engine.submit(_prompt(1), max_frames=4)
+    with pytest.raises(RuntimeError):
+        engine.submit(_prompt(2), max_frames=4)
+
+
+def test_budget_of_one_frame(model):
+    engine = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    results = engine.run([_prompt(1), _prompt(2)], max_frames=1)
+    for wav, stream in results:
+        assert stream.done
+        assert stream.frames == 1
+        assert len(wav) == model.cfg.codec.hop
+
+
+def test_per_prompt_budgets(model):
+    engine = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    results = engine.run([_prompt(1), _prompt(2)], max_frames=[2, 6])
+    assert results[0][1].frames == 2
+    assert results[1][1].frames == 6
+
+
+def test_engine_reuse_across_runs(model):
+    engine = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    r1 = engine.run([_prompt(1)], max_frames=4)
+    r2 = engine.run([_prompt(1)], max_frames=4)
+    # same prompt, fresh slot state: identical output both runs (greedy)
+    np.testing.assert_allclose(r1[0][0], r2[0][0], atol=1e-6)
+    # finished-stream bookkeeping does not grow unboundedly
+    assert len(engine.streams) <= 2

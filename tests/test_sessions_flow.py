@@ -161,3 +161,65 @@ def test_enroll_voice_flow(monkeypatch, temp_dir):
     assert os.path.exists(wav_dst)
     assert open(txt_dst).read() == "the transcript text"
     assert voices_module.get_saved_voices() == [name]
+
+
+def _mk_voice(store, name, transcript=None):
+    import wave
+
+    import numpy as np
+
+    os.makedirs(store, exist_ok=True)
+    wav = os.path.join(store, f"{name}.wav")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24_000)
+        w.writeframes(np.zeros(2400, np.int16).tobytes())
+    if transcript:
+        with open(os.path.join(store, f"{name}.txt"), "w") as fh:
+            fh.write(transcript)
+    return wav
+
+
+def test_delete_voice_flow(monkeypatch, temp_dir):
+    import qwen3_tts_tpu.voices as voices_module
+
+    store = os.path.join(temp_dir, "voices")
+    _mk_voice(store, "alpha", "hello")
+    _mk_voice(store, "beta")
+    monkeypatch.setattr(voices_module, "VOICES_DIR", store)
+    # pick #1 (alpha), confirm y
+    monkeypatch.setattr(
+        voices_module, "safe_line_input", ScriptedInput(["1", "y"])
+    )
+    assert voices_module.delete_voice() is True
+    assert voices_module.get_saved_voices() == ["beta"]
+    assert not os.path.exists(os.path.join(store, "alpha.txt"))
+
+
+def test_delete_voice_declined(monkeypatch, temp_dir):
+    import qwen3_tts_tpu.voices as voices_module
+
+    store = os.path.join(temp_dir, "voices")
+    _mk_voice(store, "alpha")
+    monkeypatch.setattr(voices_module, "VOICES_DIR", store)
+    monkeypatch.setattr(
+        voices_module, "safe_line_input", ScriptedInput(["alpha", "n"])
+    )
+    assert voices_module.delete_voice() is False
+    assert voices_module.get_saved_voices() == ["alpha"]
+
+
+def test_update_voice_transcript_only(monkeypatch, temp_dir):
+    import qwen3_tts_tpu.voices as voices_module
+
+    store = os.path.join(temp_dir, "voices")
+    _mk_voice(store, "alpha", "old words")
+    monkeypatch.setattr(voices_module, "VOICES_DIR", store)
+    # pick alpha, keep audio (empty), type new transcript
+    monkeypatch.setattr(
+        voices_module, "safe_line_input",
+        ScriptedInput(["1", "", "new words"]),
+    )
+    assert voices_module.update_voice() == "alpha"
+    assert voices_module.load_voice_transcript("alpha") == "new words"

@@ -301,19 +301,9 @@ def generate_audio(
         engine.key = jax.random.PRNGKey(seed)  # reproducible per call
         t0 = _time.perf_counter()
         results = engine.run(prompts, max_frames=budgets)
-        # full-quality single-pass codec decode per segment (same quality
-        # as the serial path's final decode; streaming chunks are only a
-        # lookback-window approximation)
-        gen = model.generator
-        codec_fn = gen._codec_fn()
-        pieces = []
-        for wav, stream in results:
-            if stream.codes:
-                full = np.concatenate(stream.codes, axis=1)
-                piece = gen._codec_decode_padded(codec_fn, full, 0)
-                pieces.append(piece[: stream.frames * cfg.codec.hop])
-            else:
-                pieces.append(np.zeros(0, np.float32))
+        # streamed chunks carry full left context (incremental codec
+        # decode), so each segment's waveform is just their concatenation
+        pieces = [wav for wav, _ in results]
         wall = _time.perf_counter() - t0
         total_frames = sum(s.frames for _, s in results)
         ttfa = min(

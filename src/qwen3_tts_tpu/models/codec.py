@@ -246,6 +246,116 @@ def decode_codes(
 
 
 # --------------------------------------------------------------------------
+# incremental (streaming) decoder
+# --------------------------------------------------------------------------
+#
+# The latent transformer is causal, so it takes a persistent KV cache and
+# processes ONLY each new chunk of frames with full left context; the conv
+# stack has a small finite receptive field (~9 latent frames for the
+# flagship geometry), so re-running it over [latent_tail | new_latents] with
+# a tail >= that receptive field reproduces the full-decode output exactly
+# (causal convs left-pad with zeros, and a zero-initialised tail is
+# identical to that padding at stream start). Streamed chunks therefore
+# EQUAL the one-shot decode_codes output — no final re-decode pass needed
+# (tests/test_codec.py::test_streaming_decode_matches_full).
+
+def conv_receptive_latent_frames(cc: CodecConfig) -> int:
+    """Left receptive field of the conv stack, in latent-frame units."""
+    rf = 0.0
+    upsample = 1
+    for i, rate in enumerate(cc.upsample_rates):
+        upsample *= rate
+        k_up = 2 * rate + 1
+        rf += (k_up - 1) / upsample
+        # res unit: two convs, dilations 1 and 3
+        rf += (cc.decoder_kernel - 1) * (1 + 3) / upsample
+    rf += (cc.decoder_kernel - 1) / upsample  # out conv
+    return int(np.ceil(rf)) + 1
+
+
+def init_codec_stream_state(
+    cfg: ModelConfig, batch: int, *, tail: int, dtype=jnp.bfloat16
+) -> dict:
+    """Device state for incremental codec decoding: latent-transformer KV
+    caches (full-utterance length) + the conv left-context tail."""
+    cc = cfg.codec
+    head_dim = cc.latent_dim // cc.transformer_heads
+    cache_shape = (
+        cc.n_transformer_layers, batch, _MAX_FRAMES,
+        cc.transformer_heads, head_dim,
+    )
+    return {
+        "tf_k": jnp.zeros(cache_shape, dtype),
+        "tf_v": jnp.zeros(cache_shape, dtype),
+        "tail": jnp.zeros((batch, tail, cc.latent_dim), dtype),
+    }
+
+
+def decode_codes_streaming(
+    params: Params,
+    cfg: ModelConfig,
+    codes_new: jnp.ndarray,        # [B, Q, chunk] codes for NEW frames only
+    state: dict,
+    pos: jnp.ndarray,              # scalar or [B]: frames decoded so far
+) -> tuple[jnp.ndarray, dict]:
+    """Decode ``chunk`` new frames with full left context; returns
+    (wav_chunk [B, chunk*hop], new_state). Output matches decode_codes of
+    the whole history, sliced to these frames."""
+    cc = cfg.codec
+    dec = params["dec"]
+    B, _, T = codes_new.shape
+    D = cc.latent_dim
+    head_dim = D // cc.transformer_heads
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+
+    latent = codes_to_latent(dec, cc, codes_new)          # [B, T, D]
+
+    cos_t, sin_t = rope_tables(_MAX_FRAMES, head_dim, 10_000.0)
+    if pos.ndim == 1:
+        idx = pos[:, None] + jnp.arange(T)[None, :]
+        cos = jnp.take(cos_t, idx, axis=0, mode="clip")
+        sin = jnp.take(sin_t, idx, axis=0, mode="clip")
+    else:
+        cos = jax.lax.dynamic_slice(cos_t, (pos, 0), (T, head_dim // 2))
+        sin = jax.lax.dynamic_slice(sin_t, (pos, 0), (T, head_dim // 2))
+
+    def body(x, layer):
+        layer_p, ck, cv = layer
+        out = transformer_block(
+            layer_p, x,
+            cos=cos, sin=sin,
+            cache_k=ck, cache_v=cv, pos=pos,
+            n_heads=cc.transformer_heads, n_kv_heads=cc.transformer_heads,
+            head_dim=head_dim, rms_eps=1e-6, qk_norm=False,
+        )
+        return out.x, (out.cache_k, out.cache_v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, latent, (dec["tf_blocks"], state["tf_k"], state["tf_v"])
+    )
+    new_lat = rmsnorm(x, dec["ln"], 1e-6)                 # [B, T, D]
+
+    window = jnp.concatenate([state["tail"], new_lat], axis=1)
+    tail_len = state["tail"].shape[1]
+
+    x = causal_conv1d(window, dec["in_proj"]["w"], dec["in_proj"]["b"])
+    for i, rate in enumerate(cc.upsample_rates):
+        stage = dec["stages"][i]
+        x = upsample_repeat(x, rate)
+        x = causal_conv1d(x, stage["up"]["w"], stage["up"]["b"])
+        x = _res_unit(stage["res"], x)
+    wav = causal_conv1d(jax.nn.gelu(x), dec["out_conv"]["w"], dec["out_conv"]["b"])
+    wav = jnp.tanh(wav[..., 0].astype(jnp.float32))       # [B, (tail+T)*hop]
+
+    new_state = {
+        "tf_k": new_k,
+        "tf_v": new_v,
+        "tail": window[:, -tail_len:, :],
+    }
+    return wav[:, tail_len * cc.hop:], new_state
+
+
+# --------------------------------------------------------------------------
 # encoder + RVQ (voice-cloning acoustic prompt)
 # --------------------------------------------------------------------------
 

@@ -107,33 +107,35 @@ def make_prefill_fn(cfg: ModelConfig) -> Callable:
 
 
 def make_decode_chunk_fn(
-    cfg: ModelConfig, chunk: int, ring_size: int, sampling: SamplingConfig,
+    cfg: ModelConfig, chunk: int, sampling: SamplingConfig,
     attn_len: int | None = None,
 ) -> Callable:
     """One fused dispatch per chunk: AR talker steps + residual prediction +
-    streaming codec decode of a device-resident rolling code window.
+    incremental codec decode with full left context.
 
     Fusing the codec into the same jit matters off-chip latency-wise: the
     host sees ONE dispatch and ONE fetch per chunk, and the driver loop can
     dispatch chunk k+1 before reading chunk k (speculative pipelining) so
     the host<->device round trip fully overlaps device compute.
 
-    ``ring_size`` (>= chunk + lookback) is the rolling-window capacity and
-    is shared across chunk-size variants so an adaptive chunk schedule can
-    hand the same state between differently-sized steps.
+    The codec decodes incrementally (models.codec.decode_codes_streaming):
+    its latent transformer carries a KV cache and the conv stack re-runs
+    over a short latent tail covering its receptive field, so every
+    streamed chunk IS the final-quality output — no end-of-utterance
+    re-decode pass. The codec state shapes are chunk-size-independent, so
+    the adaptive chunk schedule hands the same state between variants.
     """
+    from ..models.codec import decode_codes_streaming
+
     t = cfg.talker
     S = cfg.max_seq_len
     A = attn_len or S  # static attention window (caller picks a bucket)
     cb_size = cfg.codec.codebook_size
-    W = ring_size
-    hop = cfg.codec.hop
-    assert W >= chunk
 
     @partial(jax.jit, donate_argnums=(3, 4, 5))
     def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
-                     ring, pos, pad_len, n_frames, last_token, key):
-        """ring: [B, Q, W] rolling code window (zeros before first frame).
+                     cstate, pos, pad_len, n_frames, last_token, key):
+        """cstate: codec stream state (models.codec.init_codec_stream_state).
         n_frames: frames emitted before this chunk (scalar or [B])."""
         cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
 
@@ -175,14 +177,10 @@ def make_decode_chunk_fn(
             axis=-1,
         ).transpose(0, 2, 1)                      # [B, Q, chunk]
 
-        # roll the code window and decode it: ring slot j holds absolute
-        # frame f0 + j with f0 = n_frames + chunk - W. f0 goes in as a [B]
-        # vector (possibly negative): real slots keep exact RoPE positions
-        # while the leading zero-fill slots clamp to position 0.
-        ring = jnp.concatenate([ring[:, :, chunk:], codes], axis=2)
-        f0 = jnp.broadcast_to(jnp.asarray(n_frames) + chunk - W, (B,))
-        wav = decode_codes(codec_params, cfg, ring, f0)   # [B, W*hop]
-        wav_chunk = wav[:, (W - chunk) * hop:]            # [B, chunk*hop]
+        # incremental full-context codec decode of the new frames
+        wav_chunk, cstate = decode_codes_streaming(
+            codec_params, cfg, codes, cstate, n_frames
+        )                                                 # [B, chunk*hop]
         # the frame counter stays in device state: a fresh host scalar per
         # dispatch would cost a host->device upload round trip per chunk
         n_frames = jnp.asarray(n_frames) + chunk
@@ -198,7 +196,7 @@ def make_decode_chunk_fn(
         if A < S:  # write the updated prefix back into the donated buffers
             ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
             cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
-        return ck, cv, ring, p, tok, key, n_frames, n_valid, codes, wav_chunk
+        return ck, cv, cstate, p, tok, key, n_frames, n_valid, codes, wav_chunk
 
     return decode_chunk
 
@@ -226,10 +224,9 @@ class Generator:
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
     # adaptive chunk schedule: small first chunk protects TTFA, growing
     # steady-state chunks amortize per-dispatch fixed costs (depth-
-    # transformer scan, codec window, host round trip); the last entry
-    # repeats for the rest of the utterance
+    # transformer scan, host round trip); the last entry repeats for the
+    # rest of the utterance
     chunk_schedule: tuple = (8, 16, 32)
-    lookback: int = 8                 # streaming codec left-context frames
     _fns: dict = field(default_factory=dict)
 
     @property
@@ -238,8 +235,11 @@ class Generator:
         return self.chunk_schedule[0]
 
     @property
-    def ring_size(self) -> int:
-        return self.lookback + max(self.chunk_schedule)
+    def codec_tail(self) -> int:
+        """Conv left-context frames for incremental codec decode."""
+        from ..models.codec import conv_receptive_latent_frames
+
+        return max(8, conv_receptive_latent_frames(self.cfg.codec))
 
     def _prefill_fn(self):
         key = "prefill"
@@ -248,11 +248,10 @@ class Generator:
         return self._fns[key]
 
     def _decode_fn(self, chunk: int, attn_len: int | None = None):
-        key = ("decode", chunk, self.ring_size, self.sampling, attn_len)
+        key = ("decode", chunk, self.sampling, attn_len)
         if key not in self._fns:
             self._fns[key] = make_decode_chunk_fn(
-                self.cfg, chunk, self.ring_size, self.sampling,
-                attn_len=attn_len,
+                self.cfg, chunk, self.sampling, attn_len=attn_len,
             )
         return self._fns[key]
 
@@ -337,13 +336,14 @@ class Generator:
         key, sub = jax.random.split(key)
         first = sample_token(logits, sub, self.sampling)
 
-        codec = self._codec_fn()
+        from ..models.codec import init_codec_stream_state
 
-        ring = jnp.zeros((1, cfg.codec.num_codebooks, self.ring_size),
-                         jnp.int32)
-        state = (cache_k, cache_v, ring, jnp.int32(Lb), first, key,
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        cstate = init_codec_stream_state(cfg, 1, tail=self.codec_tail,
+                                         dtype=dtype)
+        state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
                  jnp.int32(0))
-        all_codes: list[np.ndarray] = []   # [Q, chunk] slabs (host)
+        wav_pieces: list[np.ndarray] = []  # final-quality chunk outputs
         n_frames = 0
         dispatched = 0
         chunk_idx = 0
@@ -387,8 +387,8 @@ class Generator:
                 valid = remaining
                 done = True
             if valid > 0:
-                all_codes.append(codes[0][:, :valid])
                 wav_chunk = wav[0][: valid * hop]
+                wav_pieces.append(wav_chunk)
                 n_frames += valid
                 if ttfa is None:
                     ttfa = time.perf_counter() - start
@@ -398,13 +398,13 @@ class Generator:
             if done:
                 break
 
-        # full-quality single-pass decode of the whole utterance
-        if all_codes:
-            full = np.concatenate(all_codes, axis=1)
-            wav_full = self._codec_decode_padded(codec, full, 0)
-            wav_full = wav_full[: n_frames * hop]
-        else:
-            wav_full = np.zeros(0, dtype=np.float32)
+        # streamed chunks are already final quality (incremental codec
+        # decode carries full left context) — the utterance is their concat
+        wav_full = (
+            np.concatenate(wav_pieces)
+            if wav_pieces
+            else np.zeros(0, dtype=np.float32)
+        )
         wall = time.perf_counter() - start
         yield wav_full, {
             "final": True,

@@ -40,7 +40,6 @@ import numpy as np
 
 from ..engine.configs import ModelConfig
 from ..models.code_predictor import predict_residuals
-from ..models.codec import decode_codes
 from ..models.layers import rope_tables
 from ..models.talker import talker_forward
 from .prompts import PromptSpec
@@ -88,8 +87,15 @@ class ServingEngine:
         shape = (t.n_layers, self.B, S, t.n_kv_heads, t.head_dim)
         self.cache_k = jnp.zeros(shape, dtype)
         self.cache_v = jnp.zeros(shape, dtype)
-        W = lookback + chunk
-        self.ring = jnp.zeros((self.B, self.cfg.codec.num_codebooks, W), jnp.int32)
+        from ..models.codec import (
+            conv_receptive_latent_frames,
+            init_codec_stream_state,
+        )
+
+        tail = max(8, conv_receptive_latent_frames(self.cfg.codec))
+        self.cstate = init_codec_stream_state(
+            self.cfg, self.B, tail=tail, dtype=dtype
+        )
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.pad = jnp.zeros((self.B,), jnp.int32)
         self.frames_dev = jnp.zeros((self.B,), jnp.int32)
@@ -139,19 +145,19 @@ class ServingEngine:
     def _decode_fn(self, attn_len: int | None = None) -> Callable:
         if attn_len in self._decode_fns:
             return self._decode_fns[attn_len]
+        from ..models.codec import decode_codes_streaming
+
         cfg = self.cfg
         t = cfg.talker
         chunk = self.chunk
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
-        W = self.lookback + chunk
-        hop = cfg.codec.hop
         S = cfg.max_seq_len
         A = attn_len or S
 
         @partial(jax.jit, donate_argnums=(3, 4, 5))
         def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
-                         ring, pos, pad, frames, tok, active, key):
+                         cstate, pos, pad, frames, tok, active, key):
             """Fused serve step: AR decode + residuals + streaming codec for
             all slots in one dispatch (one host round trip per chunk)."""
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
@@ -194,13 +200,11 @@ class ServingEngine:
                 axis=-1,
             ).transpose(0, 2, 1)                                  # [B, Q, chunk]
 
-            # roll each slot's code window; decode all slots in one batch
-            # (see runtime.generate.make_decode_chunk_fn for the position
-            # semantics of f0 and the zero-fill slots)
-            ring = jnp.concatenate([ring[:, :, chunk:], codes], axis=2)
-            f0 = frames + chunk - W                               # [B]
-            wav = decode_codes(codec_params, cfg, ring, f0)       # [B, W*hop]
-            wav_chunk = wav[:, (W - chunk) * hop:]
+            # incremental full-context codec decode across all slots
+            # (per-slot positions: frames is a [B] vector)
+            wav_chunk, cstate = decode_codes_streaming(
+                codec_params, cfg, codes, cstate, frames
+            )                                                     # [B, chunk*hop]
             frames = jnp.where(active, frames + chunk, frames)
             # per-slot EOS position on device (one small host fetch per step)
             is_eos = tokens_bc == t.codec_eos
@@ -211,7 +215,7 @@ class ServingEngine:
             if A < S:  # write the prefix back into the donated buffers
                 ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
                 cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
-            return (ck, cv, ring, p, tk, key, frames,
+            return (ck, cv, cstate, p, tk, key, frames,
                     n_valid, codes, wav_chunk)
 
         self._decode_fns[attn_len] = decode_chunk
@@ -255,7 +259,13 @@ class ServingEngine:
         self.pad = jnp.where(onehot, pad, self.pad)
         self.tok = jnp.where(onehot, first, self.tok)
         self.frames_dev = jnp.where(onehot, 0, self.frames_dev)
-        self.ring = jnp.where(onehot[:, None, None], 0, self.ring)
+        # reset the slot's codec conv tail; its transformer cache is
+        # overwritten progressively (positions restart at 0 and are
+        # always written before being attended)
+        self.cstate = dict(
+            self.cstate,
+            tail=jnp.where(onehot[:, None, None], 0, self.cstate["tail"]),
+        )
         self.active_mask = jnp.where(onehot, True, self.active_mask)
 
         stream = Stream(
@@ -289,10 +299,10 @@ class ServingEngine:
             (max(active_pos) if active_pos else 0) + self.chunk,
             self.cfg.max_seq_len,
         )
-        (self.cache_k, self.cache_v, self.ring, self.pos, self.tok,
+        (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
          self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(A)(
             self.model.params, self.model.cp_params, self.model.codec_params,
-            self.cache_k, self.cache_v, self.ring, self.pos, self.pad,
+            self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
             self.frames_dev, self.tok, self.active_mask, self.key,
         )
         for slot, s in enumerate(self._slots):

@@ -9,8 +9,9 @@ TPU-first structure (SURVEY.md §7 "hard parts" #4/#5):
 - residual codebooks are predicted once per chunk, batched over the chunk's
   frames (models.code_predictor);
 - audio streams out chunk-by-chunk (time-to-first-audio = prefill + one
-  chunk + one small codec decode), while the final file is decoded in one
-  full causal pass for best quality;
+  chunk), at final quality: the codec decodes incrementally with full left
+  context (KV-cached latent transformer + conv-tail window), so the file is
+  simply the concatenation of the streamed chunks;
 - prompts are LEFT-padded to a small set of length buckets so each bucket
   compiles exactly once. RoPE is relative, so left-padding (with padded keys
   masked out) is numerically exact.

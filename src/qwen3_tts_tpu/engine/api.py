@@ -73,6 +73,7 @@ class Qwen3TTSModel:
     codec_params: Any
     tokenizer: Any
     name: str = "qwen3-tts"
+    import_report: Any = None         # weights.ImportReport for HF imports
     _generator: Any = field(default=None, repr=False)
     _serving: Any = field(default=None, repr=False)
     _enc_fn: Any = field(default=None, repr=False)

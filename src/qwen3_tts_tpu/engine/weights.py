@@ -17,10 +17,16 @@ Two on-disk formats are supported:
    the model directory (SURVEY.md §5 checkpoint/resume: "weight-conversion
    step ... cached after first conversion").
 
-Import is *component-tolerant*: any component whose tensors are absent falls
-back to synthetic init with a warning, so a talker-only checkpoint still
-produces a runnable model. Unmapped tensor names are collected and reported
-rather than silently dropped.
+Import covers all three components (talker, code predictor, codec) and is
+strict by default: a component whose tensors are present but unrecognised
+raises ``CheckpointImportError`` (a wrongly-guessed layout must never produce
+silent garbage audio), and a component with no tensors at all raises unless
+``allow_partial=True`` is passed explicitly — partial imports fall back to
+synthetic init with a warning and are NOT cached to ``_tpu_native/``.
+Unmapped tensor names are collected into ``model.import_report`` and warned,
+never silently dropped. Checkpoints with unusual names can ship a
+``_tpu_rename.json`` ``{checkpoint_name: "component.dotted.native.path"}``
+mapping next to their safetensors.
 """
 
 from __future__ import annotations
@@ -46,7 +52,24 @@ from ..ops.quant import unpack_mlx_uint32
 
 NATIVE_DIR = "_tpu_native"
 NATIVE_CONFIG = "tts_config.json"
+RENAME_FILE = "_tpu_rename.json"
 _COMPONENTS = ("talker", "code_predictor", "codec")
+
+
+class CheckpointImportError(ValueError):
+    """A checkpoint's tensors are present but could not be mapped onto the
+    model pytrees (unrecognised layout), or required components are missing
+    and ``allow_partial`` was not set."""
+
+
+@dataclasses.dataclass
+class ImportReport:
+    """What an HF/MLX import actually did — attached to the returned model
+    as ``import_report`` so callers (and tests) can audit the conversion."""
+
+    assigned: dict[str, int]           # component -> tensors mapped
+    synthetic: tuple[str, ...]         # components that fell back to init
+    unmapped: list[str]                # checkpoint tensor names not consumed
 
 
 # --------------------------------------------------------------------------
@@ -113,6 +136,7 @@ def config_from_dict(d: dict) -> ModelConfig:
         quant=build(QuantConfig, d.get("quant", {})),
         dtype=d.get("dtype", "bfloat16"),
         max_seq_len=d.get("max_seq_len", 3072),
+        native_speed=d.get("native_speed", False),
         speakers=tuple(d.get("speakers", ModelConfig().speakers)),
     )
 
@@ -198,8 +222,18 @@ def _read_hf_config(path: str) -> dict:
     return {}
 
 
+def _first(d: dict, *keys, default=None):
+    for k in keys:
+        if k in d and d[k] is not None:
+            return d[k]
+    return default
+
+
 def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
-    """Best-effort ModelConfig from an HF config.json; unknown fields keep
+    """ModelConfig from an HF config.json: talker dims from the top level /
+    ``talker_config``; code-predictor and codec geometry from their own
+    sections when present (``code_predictor_config``; ``codec_config`` /
+    ``code2wav_config`` / ``speech_tokenizer_config``). Unknown fields keep
     flagship defaults (engine/configs.py)."""
     base = configs.flagship(mode)
     talker_cfg = hf.get("talker_config", hf.get("text_config", hf))
@@ -215,7 +249,65 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
         ffn=talker_cfg.get("intermediate_size", t.ffn),
         rope_theta=talker_cfg.get("rope_theta", t.rope_theta),
         rms_eps=talker_cfg.get("rms_norm_eps", t.rms_eps),
+        codec_vocab=_first(talker_cfg, "codec_vocab_size", "codec_vocab",
+                           default=t.codec_vocab),
+        codec_bos=_first(talker_cfg, "codec_bos_token_id", "codec_bos_id",
+                         default=t.codec_bos),
+        codec_eos=_first(talker_cfg, "codec_eos_token_id", "codec_eos_id",
+                         default=t.codec_eos),
+        codec_pad=_first(talker_cfg, "codec_pad_token_id", "codec_pad_id",
+                         default=t.codec_pad),
+        n_speakers=_first(talker_cfg, "num_speakers", "n_speakers",
+                          default=t.n_speakers),
     )
+
+    cp = base.code_predictor
+    cp_cfg = _first(hf, "code_predictor_config", "mtp_config", default={})
+    if isinstance(cp_cfg, dict) and cp_cfg:
+        cp = dataclasses.replace(
+            cp,
+            hidden=cp_cfg.get("hidden_size", cp.hidden),
+            n_layers=cp_cfg.get("num_hidden_layers", cp.n_layers),
+            n_heads=cp_cfg.get("num_attention_heads", cp.n_heads),
+            head_dim=cp_cfg.get("head_dim", cp.head_dim),
+            ffn=cp_cfg.get("intermediate_size", cp.ffn),
+            rms_eps=cp_cfg.get("rms_norm_eps", cp.rms_eps),
+            rope_theta=cp_cfg.get("rope_theta", cp.rope_theta),
+        )
+
+    cc = base.codec
+    cc_cfg = _first(hf, "codec_config", "code2wav_config",
+                    "speech_tokenizer_config", default={})
+    if isinstance(cc_cfg, dict) and cc_cfg:
+        cc = dataclasses.replace(
+            cc,
+            sample_rate=_first(cc_cfg, "sample_rate", "sampling_rate",
+                               default=cc.sample_rate),
+            frame_rate=_first(cc_cfg, "frame_rate", default=cc.frame_rate),
+            num_codebooks=_first(cc_cfg, "num_codebooks", "num_quantizers",
+                                 default=cc.num_codebooks),
+            codebook_size=cc_cfg.get("codebook_size", cc.codebook_size),
+            residual_codebook_size=_first(
+                cc_cfg, "residual_codebook_size",
+                default=cc.residual_codebook_size),
+            latent_dim=_first(cc_cfg, "latent_dim", "codebook_dim",
+                              default=cc.latent_dim),
+            upsample_rates=tuple(_first(cc_cfg, "upsample_rates",
+                                        "upsampling_ratios",
+                                        default=cc.upsample_rates)),
+            decoder_channels=tuple(cc_cfg.get("decoder_channels",
+                                              cc.decoder_channels)),
+            decoder_kernel=_first(cc_cfg, "decoder_kernel",
+                                  "decoder_kernel_size",
+                                  default=cc.decoder_kernel),
+            n_transformer_layers=_first(cc_cfg, "n_transformer_layers",
+                                        "num_transformer_layers",
+                                        default=cc.n_transformer_layers),
+            transformer_heads=_first(cc_cfg, "transformer_heads",
+                                     "num_transformer_heads",
+                                     default=cc.transformer_heads),
+        )
+
     quant = base.quant
     qcfg = hf.get("quantization", hf.get("quantization_config"))
     if isinstance(qcfg, dict):
@@ -227,7 +319,8 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
     # real Qwen3-TTS checkpoints honor the speed control tag natively, so
     # the engine's WSOLA fallback (engine/api.py) must not double-apply
     return dataclasses.replace(
-        base, talker=talker, quant=quant, native_speed=True
+        base, talker=talker, code_predictor=cp, codec=cc, quant=quant,
+        native_speed=True,
     )
 
 
@@ -256,11 +349,33 @@ _TALKER_TOP_MAP = {
     "codec_embedding.weight": "codec_emb",
     "model.norm.weight": "ln_f",
     "norm.weight": "ln_f",
-    "lm_head": "head",
+    # codec_head takes precedence over lm_head (first assignment wins and
+    # names are scanned in sorted order); a text-vocab lm_head additionally
+    # fails the shape check against the codec-vocab head slot
     "codec_head": "head",
+    "lm_head": "head",
     "speaker_embedding.weight": "spk_emb",
     "spk_embed.weight": "spk_emb",
 }
+_TALKER_DENSE = frozenset({"text_emb", "codec_emb", "spk_emb", "ln_f"})
+# code-predictor top-level tensors (depth transformer, models/code_predictor.py)
+_CP_TOP_MAP = {
+    "in_proj": "in_proj",
+    "hidden_proj": "in_proj",
+    "model.in_proj": "in_proj",
+    "cb0_embedding.weight": "cb0_emb",
+    "codec_embedding.weight": "cb0_emb",
+    "embed_tokens.weight": "cb0_emb",
+    "res_embedding.weight": "res_emb",     # stacked [Q-1, V_res, H]
+    "heads.weight": "heads",               # stacked [Q-1, V_res, H]
+    "norm.weight": "ln_f",
+    "model.norm.weight": "ln_f",
+}
+_CP_DENSE = frozenset({"cb0_emb", "res_emb", "heads", "ln_f"})
+# per-codebook variants: res_embeddings.3.weight -> res_emb[3]
+_CP_INDEXED = {"res_embeddings": "res_emb", "res_embs": "res_emb",
+               "heads": "heads", "lm_heads": "heads"}
+_INDEXED_RE = re.compile(r"^([A-Za-z_]+)\.(\d+)\.weight$")
 _LAYER_RE = re.compile(r"^(?:model\.)?layers\.(\d+)\.(.+)$")
 
 
@@ -316,17 +431,260 @@ def _gather_quantized(
     return {"w": w}
 
 
-def import_hf_checkpoint(path: str, mode: str = "custom", **kwargs):
+def _match_linear_format(value: dict, slot: dict, gs: int, bits: int) -> dict:
+    """Convert a gathered linear param dict to the init slot's format
+    (quantized <-> dense), so partial-precision checkpoints still load."""
+    from ..ops.quant import dequantize as _deq, quantize_weights as _quant
+
+    if ("q" in slot) == ("q" in value):
+        return value
+    if "q" in slot:  # slot quantized, checkpoint dense
+        return _quant(np.asarray(value["w"], np.float32),
+                      group_size=gs, bits=bits)
+    return {"w": np.asarray(_deq(value), np.float32)}
+
+
+def _shape_ok(slot, value) -> bool:
+    if isinstance(slot, dict):
+        return isinstance(value, dict) and set(slot) == set(value) and all(
+            np.shape(slot[k]) == np.shape(value[k]) for k in slot
+        )
+    return not isinstance(value, dict) and np.shape(slot) == np.shape(value)
+
+
+def _try_native_path(tree: Any, name: str, arr: np.ndarray) -> bool:
+    """Assign a tensor named by a dotted native pytree path (the layout
+    ``save_model`` writes, dots for slashes — e.g. ``dec.stages.0.up.w``).
+    Shape-validated; returns False if the path or shape doesn't match."""
+    parts = name.split(".")
+    node = tree
+    for p in parts[:-1]:
+        if isinstance(node, dict) and p in node:
+            node = node[p]
+        elif isinstance(node, (list, tuple)) and p.isdigit() and int(p) < len(node):
+            node = node[int(p)]
+        else:
+            return False
+    leaf = parts[-1]
+    if isinstance(node, dict) and leaf in node:
+        slot = node[leaf]
+        if not isinstance(slot, dict) and np.shape(slot) == np.shape(arr):
+            node[leaf] = np.asarray(arr)
+            return True
+    elif isinstance(node, list) and leaf.isdigit() and int(leaf) < len(node):
+        slot = node[int(leaf)]
+        if not isinstance(slot, dict) and np.shape(slot) == np.shape(arr):
+            node[int(leaf)] = np.asarray(arr)
+            return True
+    return False
+
+
+def _import_transformer(
+    tree: dict,
+    tk: dict[str, np.ndarray],
+    *,
+    n_layers: int,
+    top_map: dict[str, str],
+    dense_dests: frozenset,
+    gs: int,
+    bits: int,
+    unmapped: list[str],
+    comp: str,
+    indexed: dict[str, str] | None = None,
+) -> int:
+    """Map Qwen-style transformer tensor names onto a stacked-block pytree
+    (shared by talker and code predictor). Every assignment is
+    shape-validated against the init slot; failures land in ``unmapped``
+    with a reason. Returns the number of mapped tensors."""
+    from ..ops.quant import dequantize as _deq
+
+    count = 0
+    consumed: set[str] = set()
+    assigned_tops: set[str] = set()
+
+    def fail(name: str, why: str) -> None:
+        unmapped.append(f"{comp}:{name} ({why})")
+
+    def put_top(dest: str, value) -> bool:
+        nonlocal count
+        if dest in assigned_tops:
+            return False
+        slot = tree[dest]
+        if isinstance(value, dict):
+            value = _match_linear_format(value, slot, gs, bits)
+        if not _shape_ok(slot, value):
+            return False
+        # checkpoint precision is kept as-is (fp32 tables stay fp32; the
+        # runtime casts at use) — imports must be lossless
+        tree[dest] = value
+        assigned_tops.add(dest)
+        count += 1
+        return True
+
+    def promote(stack: np.ndarray, value) -> np.ndarray:
+        """Checkpoint precision wins: writing fp32 values into a bf16 init
+        stack must not round them (golden fidelity, BASELINE.md)."""
+        want = np.result_type(stack.dtype, np.asarray(value).dtype)
+        return stack if stack.dtype == want else stack.astype(want)
+
+    def put_block(rel_path: str, value, layer: int) -> bool:
+        nonlocal count
+        node = tree["blocks"]
+        parts = rel_path.split("/")
+        for p in parts[:-1]:
+            node = node[p]
+        leaf = parts[-1]
+        slot = node[leaf]
+        if isinstance(value, dict):
+            slot_layer = {k: v[layer] for k, v in slot.items()}
+            value = _match_linear_format(value, slot_layer, gs, bits)
+            if not _shape_ok(slot_layer, value):
+                return False
+            for k, v in value.items():
+                slot[k] = promote(slot[k], v)
+                slot[k][layer] = v
+            node[leaf] = slot
+        else:
+            if np.shape(slot[layer]) != np.shape(value):
+                return False
+            slot = promote(slot, value)
+            slot[layer] = value
+            node[leaf] = slot
+        count += 1
+        return True
+
+    for name in sorted(tk.keys()):
+        if name in consumed or name.endswith((".scales", ".biases")):
+            continue
+        arr = tk[name]
+        m = _LAYER_RE.match(name)
+        if m:
+            layer, rest = int(m.group(1)), m.group(2)
+            if layer >= n_layers:
+                fail(name, f"layer {layer} >= n_layers {n_layers}")
+                continue
+            if rest in _BLOCK_NORMS:
+                if put_block(_BLOCK_NORMS[rest], arr, layer):
+                    consumed.add(name)
+                else:
+                    fail(name, "shape mismatch")
+                continue
+            base = rest[: -len(".weight")] if rest.endswith(".weight") else rest
+            if base in _BLOCK_LINEARS:
+                base_name = name[: len(name) - len(rest)] + base
+                p = _gather_quantized(tk, base_name, gs, bits)
+                if p is not None and put_block(_BLOCK_LINEARS[base], p, layer):
+                    for suf in (".weight", ".scales", ".biases"):
+                        consumed.add(base_name + suf)
+                    continue
+                fail(name, "shape mismatch")
+                continue
+            fail(name, "unrecognised block tensor")
+            continue
+
+        mi = _INDEXED_RE.match(name) if indexed else None
+        if mi and mi.group(1) in indexed:
+            dest, idx = indexed[mi.group(1)], int(mi.group(2))
+            slot = tree[dest]
+            if idx < slot.shape[0] and np.shape(slot[idx]) == np.shape(arr):
+                slot[idx] = arr
+                count += 1
+                consumed.add(name)
+            else:
+                fail(name, "index/shape mismatch")
+            continue
+
+        hit = False
+        for frag, dest in top_map.items():
+            if name != frag and name != frag + ".weight":
+                continue
+            base = frag[: -len(".weight")] if frag.endswith(".weight") else frag
+            if dest in dense_dests:
+                # embeddings/norms stay dense; MLX-quantized tables are
+                # dequantized on import
+                if f"{base}.scales" in tk:
+                    value = np.asarray(
+                        _deq(_gather_quantized(tk, base, gs, bits)), np.float32
+                    )
+                else:
+                    value = arr
+                if put_top(dest, value):
+                    for suf in ("", ".weight", ".scales", ".biases"):
+                        consumed.add(base + suf)
+                    hit = True
+            else:
+                p = _gather_quantized(tk, base, gs, bits)
+                if p is not None and put_top(dest, p):
+                    for suf in (".weight", ".scales", ".biases"):
+                        consumed.add(base + suf)
+                    hit = True
+            if hit:
+                break
+        if hit or name in consumed:
+            continue
+        if _try_native_path(tree, name, arr):
+            count += 1
+            continue
+        fail(name, "no mapping")
+    return count
+
+
+def _import_codec(
+    tree: dict, tensors: dict[str, np.ndarray], unmapped: list[str]
+) -> int:
+    """Map codec tensors named by dotted native paths (``dec.cb0_emb``,
+    ``dec.stages.0.up.w``, ``enc...``, ``spk_proj.w`` — the geometry of
+    models/codec.py, derived from config.json's codec section)."""
+    count = 0
+    for name in sorted(tensors):
+        if _try_native_path(tree, name, tensors[name]):
+            count += 1
+        else:
+            unmapped.append(f"codec:{name} (no native path / shape mismatch)")
+    return count
+
+
+def _apply_rename(path: str, tensors: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Apply an optional ``_tpu_rename.json`` {checkpoint_name: new_name}
+    map, so unusual snapshot layouts can be adapted without code changes."""
+    p = os.path.join(path, RENAME_FILE)
+    if not os.path.exists(p):
+        return tensors
+    with open(p) as f:
+        ren = json.load(f)
+    return {ren.get(k, k): v for k, v in tensors.items()}
+
+
+def import_hf_checkpoint(
+    path: str,
+    mode: str = "custom",
+    *,
+    allow_partial: bool = False,
+    **kwargs,
+):
     """Import an HF/MLX snapshot directory into a Qwen3TTSModel.
 
-    Components without tensors fall back to synthetic init (warned).
+    All three components (talker / code predictor / codec) are mapped.
+    Strictness contract:
+
+    - a component with tensors present but none recognised raises
+      ``CheckpointImportError`` — a mis-guessed layout must fail loudly,
+      never produce a random-weights component (garbage audio);
+    - a component with NO tensors raises too, unless ``allow_partial=True``
+      (then it falls back to synthetic init with a warning and the
+      conversion is not cached by ``load_checkpoint``).
+
+    The returned model carries an ``import_report`` (ImportReport).
     """
     from .api import Qwen3TTSModel
     from .tokenizer import load_tokenizer
+    from ..models.code_predictor import init_code_predictor
+    from ..models.codec import init_codec
+    from ..models.talker import init_talker
 
     hf_cfg = _read_hf_config(path)
     cfg = _config_from_hf(hf_cfg, mode)
-    tensors = _collect_safetensors(path)
+    tensors = _apply_rename(path, _collect_safetensors(path))
 
     by_comp: dict[str, dict[str, np.ndarray]] = {"talker": {}, "codec": {}, "cp": {}}
     for name, arr in tensors.items():
@@ -335,120 +693,59 @@ def import_hf_checkpoint(path: str, mode: str = "custom", **kwargs):
 
     gs, bits = cfg.quant.group_size, cfg.quant.bits
     unmapped: list[str] = []
-
-    # ---- talker ----------------------------------------------------------
-    from ..models.talker import init_talker
-    from ..ops.quant import dequantize as _deq, quantize_weights as _quant
+    assigned: dict[str, int] = {}
 
     talker = init_talker(cfg, seed=kwargs.get("seed", 0))
-    tk = by_comp["talker"]
-    mapped_any = False
+    assigned["talker"] = _import_transformer(
+        talker, by_comp["talker"],
+        n_layers=cfg.talker.n_layers,
+        top_map=_TALKER_TOP_MAP, dense_dests=_TALKER_DENSE,
+        gs=gs, bits=bits, unmapped=unmapped, comp="talker",
+    )
 
-    def _match_linear_format(value: dict, slot: dict) -> dict:
-        """Convert a gathered linear param dict to the init slot's format
-        (quantized <-> dense), so partial-precision checkpoints still load."""
-        if ("q" in slot) == ("q" in value):
-            return value
-        if "q" in slot:  # slot quantized, checkpoint dense
-            return _quant(np.asarray(value["w"], np.float32),
-                          group_size=gs, bits=bits)
-        return {"w": np.asarray(_deq(value), np.float32)}
+    cp_params = init_code_predictor(cfg, seed=1)
+    assigned["code_predictor"] = _import_transformer(
+        cp_params, by_comp["cp"],
+        n_layers=cfg.code_predictor.n_layers,
+        top_map=_CP_TOP_MAP, dense_dests=_CP_DENSE,
+        gs=min(gs, cfg.code_predictor.hidden), bits=bits,
+        unmapped=unmapped, comp="code_predictor", indexed=_CP_INDEXED,
+    )
 
-    def put(tree_path: str, value, layer: int | None = None) -> None:
-        nonlocal mapped_any
-        node = talker
-        parts = tree_path.split("/")
-        for p in parts[:-1]:
-            node = node[p]
-        leaf = parts[-1]
-        if layer is None:
-            if isinstance(value, dict):
-                node[leaf] = _match_linear_format(value, node[leaf])
-            else:
-                node[leaf] = value
-        else:
-            if isinstance(value, dict):
-                value = _match_linear_format(value, node[leaf])
-                for k, v in value.items():
-                    node[leaf][k][layer] = v
-            else:
-                node[leaf][layer] = value
-        mapped_any = True
+    codec_params = init_codec(cfg, seed=2)
+    assigned["codec"] = _import_codec(codec_params, by_comp["codec"], unmapped)
 
-    consumed: set[str] = set()
-    for name in sorted(tk.keys()):
-        if name in consumed or name.endswith((".scales", ".biases")):
-            continue
-        m = _LAYER_RE.match(name)
-        if m:
-            layer, rest = int(m.group(1)), m.group(2)
-            if layer >= cfg.talker.n_layers:
-                unmapped.append(name)
-                continue
-            if rest in _BLOCK_NORMS:
-                put(f"blocks/{_BLOCK_NORMS[rest]}", tk[name], layer)
-                consumed.add(name)
-                continue
-            base = rest[: -len(".weight")] if rest.endswith(".weight") else rest
-            if base in _BLOCK_LINEARS:
-                base_name = name[: len(name) - len(rest)] + base
-                p = _gather_quantized(tk, base_name, gs, bits)
-                if p is not None:
-                    put(f"blocks/{_BLOCK_LINEARS[base]}", p, layer)
-                    for suf in (".weight", ".scales", ".biases"):
-                        consumed.add(base_name + suf)
-                    continue
-            unmapped.append(name)
-            continue
-        hit = False
-        for frag, dest in _TALKER_TOP_MAP.items():
-            if name == frag or name == frag + ".weight":
-                if dest in ("text_emb", "codec_emb", "spk_emb", "ln_f"):
-                    # embeddings/norms stay dense; MLX-quantized embedding
-                    # tables are dequantized on import
-                    base = frag[: -len(".weight")] if frag.endswith(".weight") else frag
-                    if f"{base}.scales" in tk:
-                        p = _gather_quantized(tk, base, gs, bits)
-                        put(dest, np.asarray(_deq(p), np.float32))
-                        for suf in (".weight", ".scales", ".biases"):
-                            consumed.add(base + suf)
-                    else:
-                        put(dest, tk[name])
-                        consumed.add(name)
-                else:
-                    p = _gather_quantized(tk, frag, gs, bits)
-                    if p is None:
-                        break
-                    put(dest, p)
-                    for suf in (".weight", ".scales", ".biases"):
-                        consumed.add(frag + suf)
-                hit = True
-                break
-        if not hit and name not in consumed:
-            unmapped.append(name)
-
-    if not mapped_any and tensors:
-        warnings.warn(
-            f"no talker tensors recognised in {path}; using synthetic init"
-        )
+    synthetic: list[str] = []
+    for comp, label in (
+        ("talker", "talker"),
+        ("cp", "code_predictor"),
+        ("codec", "codec"),
+    ):
+        present = len(by_comp[comp])
+        if present and assigned[label] == 0:
+            raise CheckpointImportError(
+                f"{present} {label} tensors present in {path} but none "
+                f"recognised — unrecognised layout (first names: "
+                f"{sorted(by_comp[comp])[:6]}). Refusing to substitute "
+                f"random weights; add a {RENAME_FILE} map or fix the layout."
+            )
+        if not present:
+            if not allow_partial:
+                raise CheckpointImportError(
+                    f"checkpoint {path} has no {label} tensors; pass "
+                    f"allow_partial=True to fall back to synthetic init "
+                    f"for missing components"
+                )
+            synthetic.append(label)
+            warnings.warn(
+                f"checkpoint has no {label} tensors; using synthetic init "
+                f"(allow_partial)"
+            )
     if unmapped:
         warnings.warn(
             f"{len(unmapped)} unmapped tensors during import "
             f"(first 10: {unmapped[:10]})"
         )
-
-    # ---- code predictor + codec: synthetic unless native tensors exist ----
-    from ..models.code_predictor import init_code_predictor
-    from ..models.codec import init_codec
-
-    for comp, label in (("codec", "codec"), ("cp", "code predictor")):
-        if not by_comp[comp]:
-            warnings.warn(
-                f"checkpoint has no {label} tensors; using synthetic init "
-                f"(talker-only import)"
-            )
-    cp_params = init_code_predictor(cfg, seed=1)
-    codec_params = init_codec(cfg, seed=2)
 
     # host trees: api.apply_compute_format converts + places on device
     model = Qwen3TTSModel(
@@ -458,6 +755,9 @@ def import_hf_checkpoint(path: str, mode: str = "custom", **kwargs):
         codec_params=codec_params,
         tokenizer=load_tokenizer(path, cfg.talker.vocab_size),
         name=os.path.basename(os.path.normpath(path)),
+    )
+    model.import_report = ImportReport(
+        assigned=assigned, synthetic=tuple(synthetic), unmapped=unmapped
     )
     return model
 
@@ -480,7 +780,15 @@ def load_checkpoint(model_path: str, *, mode: str = "custom", cache: bool = True
         return load_native(native, **kwargs)
 
     model = import_hf_checkpoint(model_path, mode=mode, **kwargs)
-    if cache:
+    report = getattr(model, "import_report", None)
+    if report is not None and report.synthetic:
+        # never persist a conversion holding synthetic stand-ins — a later
+        # process would load them as if they were real weights
+        warnings.warn(
+            f"not caching native conversion: synthetic components "
+            f"{report.synthetic}"
+        )
+    elif cache:
         try:
             save_model(model, native)
         except Exception as e:  # read-only model dirs are fine

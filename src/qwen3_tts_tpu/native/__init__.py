@@ -104,8 +104,13 @@ def resample_native(
 def f32_to_i16(samples: np.ndarray) -> np.ndarray:
     lib = _load()
     x = np.ascontiguousarray(samples, dtype=np.float32)
-    if lib is None:  # pure-python fallback
-        return np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+    if lib is None:  # pure-python fallback, bit-identical to the C++ kernel:
+        # clamp to [-1, 1], scale, round half AWAY FROM ZERO, truncate-cast
+        scaled = np.clip(x, -1.0, 1.0) * np.float32(32767.0)
+        adj = np.where(
+            scaled >= 0, scaled + np.float32(0.5), scaled - np.float32(0.5)
+        )
+        return adj.astype(np.int16)
     out = np.empty(len(x), dtype=np.int16)
     lib.q3tts_f32_to_i16(_fptr(x), len(x), _i16ptr(out))
     return out

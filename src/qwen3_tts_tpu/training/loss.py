@@ -42,18 +42,27 @@ def _talker_hidden_and_logits(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full-sequence forward; returns (hidden, logits) at frame positions.
 
-    Sequence = [text (T_text)] [BOS] [codec0 frames 0..T_f-2]; the logits at
-    positions T_text-1+k predict frame k. Padding text tokens embed pad
-    rows but are masked from the loss; frames are causal so right-padding is
-    harmless for valid positions.
+    The conditioning layout mirrors inference EXACTLY (train/serve parity,
+    ADVICE.md loss.py:68): text is LEFT-padded — each example's tokens are
+    shifted right so the real text ends immediately before BOS, and the
+    per-example pad length is masked out of attention via ``pad_len``
+    (runtime prompts left-pad to buckets the same way, runtime/generate.py).
+    Frames are causal, so right-padded trailing frames are harmless for
+    valid positions.
     """
     t = cfg.talker
-    text = batch["text_tokens"]                       # [B, Tt]
+    text = batch["text_tokens"]                       # [B, Tt] right-padded
+    text_mask = batch["text_mask"]                    # [B, Tt] bool
     codes0 = batch["codes"][:, 0, :]                  # [B, Tf]
     B, Tt = text.shape
-    Tf = codes0.shape[1]
 
-    text_emb = jnp.take(params["text_emb"], text, axis=0)
+    # right-padded -> left-padded: token j comes from source j - shift
+    n_real = jnp.sum(text_mask.astype(jnp.int32), axis=1)   # [B]
+    shift = (Tt - n_real).astype(jnp.int32)                 # [B] pad length
+    src = jnp.arange(Tt)[None, :] - shift[:, None]
+    left_text = jnp.take_along_axis(text, jnp.clip(src, 0, Tt - 1), axis=1)
+
+    text_emb = jnp.take(params["text_emb"], left_text, axis=0)
     bos = jnp.broadcast_to(
         params["codec_emb"][t.codec_bos][None, None, :], (B, 1, text_emb.shape[-1])
     )
@@ -66,7 +75,8 @@ def _talker_hidden_and_logits(
     cache_v = jnp.zeros_like(cache_k)
     cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
     hidden, logits, _, _ = talker_forward(
-        params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t
+        params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
+        pad_len=shift,
     )
     # positions Tt-1+k+1 = Tt+k hold the prediction for frame k (BOS at Tt)
     return hidden[:, Tt:, :], logits[:, Tt:, :]

@@ -114,6 +114,7 @@ def synthetic_batch(
         "text_tokens": rng.integers(
             0, t.vocab_size, (batch_size, t_text)
         ).astype(np.int32),
+        "text_mask": np.ones((batch_size, t_text), dtype=bool),
         "codes": codes,
         "frame_mask": np.ones((batch_size, t_frames), dtype=bool),
     }

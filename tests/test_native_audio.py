@@ -89,3 +89,23 @@ def test_audio_resample_uses_chain():
     y = resample(x, 48_000, 24_000)
     assert abs(len(y) - len(x) // 2) <= 1
     assert np.max(np.abs(y)) == pytest.approx(1.0, abs=0.15)
+
+
+@requires_native
+def test_f32_to_i16_fallback_bit_identical_to_native(monkeypatch):
+    """wavio.py promises bit-identical WAV bytes with or without the native
+    lib (ADVICE.md native/__init__.py:108): the pure-python fallback must
+    match the C++ kernel on every value, including exact .5 rounding points
+    and out-of-range clipping."""
+    rng = np.random.default_rng(3)
+    edges = np.array(
+        [0.0, 1.0, -1.0, 2.0, -2.0,
+         0.5 / 32767, -0.5 / 32767, 1.5 / 32767, -1.5 / 32767,
+         2.5 / 32767, -2.5 / 32767],
+        np.float32,
+    )
+    x = np.concatenate([edges, (rng.random(5000, np.float32) - 0.5) * 2.4])
+    got_native = native.f32_to_i16(x)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    got_fallback = native.f32_to_i16(x)
+    np.testing.assert_array_equal(got_native, got_fallback)

@@ -74,6 +74,7 @@ class Qwen3TTSModel:
     tokenizer: Any
     name: str = "qwen3-tts"
     import_report: Any = None         # weights.ImportReport for HF imports
+    template: Any = None              # runtime.prompts.PromptTemplate
     _generator: Any = field(default=None, repr=False)
     _serving: Any = field(default=None, repr=False)
     _enc_fn: Any = field(default=None, repr=False)
@@ -273,6 +274,7 @@ def generate_audio(
             ref_text=ref_text,
             acoustic_codes=acoustic_codes,
             speaker_vector=speaker_vector,
+            template=model.template,
         )
         for segment in segments
     ]

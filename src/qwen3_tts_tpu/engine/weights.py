@@ -196,16 +196,24 @@ def load_native(path: str, **kwargs):
     from .api import Qwen3TTSModel
     from .tokenizer import load_tokenizer
 
+    from ..runtime.prompts import load_prompt_template
+
     with open(os.path.join(path, NATIVE_CONFIG)) as f:
         cfg = config_from_dict(json.load(f))
     # host trees: api.apply_compute_format converts + places on device
     trees = {c: _load_component(path, c) for c in _COMPONENTS}
+    # template/tokenizer files live in the snapshot root when this is a
+    # _tpu_native cache dir inside one — prefer the parent in that case
+    aux = os.path.dirname(os.path.normpath(path)) if (
+        os.path.basename(os.path.normpath(path)) == NATIVE_DIR
+    ) else path
     return Qwen3TTSModel(
         cfg=cfg,
         params=trees["talker"],
         cp_params=trees["code_predictor"],
         codec_params=trees["codec"],
-        tokenizer=load_tokenizer(path, cfg.talker.vocab_size),
+        tokenizer=load_tokenizer(aux, cfg.talker.vocab_size),
+        template=load_prompt_template(aux),
         name=os.path.basename(os.path.normpath(path)),
     )
 
@@ -747,6 +755,8 @@ def import_hf_checkpoint(
             f"(first 10: {unmapped[:10]})"
         )
 
+    from ..runtime.prompts import load_prompt_template
+
     # host trees: api.apply_compute_format converts + places on device
     model = Qwen3TTSModel(
         cfg=cfg,
@@ -754,6 +764,7 @@ def import_hf_checkpoint(
         cp_params=cp_params,
         codec_params=codec_params,
         tokenizer=load_tokenizer(path, cfg.talker.vocab_size),
+        template=load_prompt_template(path),
         name=os.path.basename(os.path.normpath(path)),
     )
     model.import_report = ImportReport(

@@ -15,14 +15,29 @@ those kwargs become an embedding-sequence prompt for the talker:
   speaker vector conditions the prompt (ref transcript + target text in the
   template).
 
-The exact template strings are a checkpoint-compatibility adapter point: when
-real Qwen3-TTS weights are loaded, ``engine.weights`` can override
-``render_template`` via the model's ``template`` attribute.
+Template parity: the exact token templates live in the HF snapshot, not in
+the reference repo (SURVEY.md §7 hard-part #2). ``load_prompt_template``
+therefore derives the per-mode templates FROM CHECKPOINT FILES, in priority
+order:
+
+1. an explicit ``tts_prompts.json`` (or a ``tts_prompts`` section inside
+   ``generation_config.json``) with per-mode format strings over the
+   placeholders {text} {instruct} {speed} {speed_bucket} {ref_text} {voice};
+2. the tokenizer's ``chat_template`` (tokenizer_config.json), rendered with
+   the reference call shapes mapped onto chat messages (instruct/voice
+   description as the system turn, target text as the user turn —
+   reference custom.py:163-170, design.py:76-81, clone.py:218-224);
+3. nothing found -> the synthetic fallback tags below (used only for
+   synthetic/test models; never for imported real checkpoints with
+   template files present).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
+from typing import Any
 
 import numpy as np
 
@@ -55,7 +70,9 @@ def render_template(
     speed: float = 1.0,
     ref_text: str | None = None,
 ) -> str:
-    """Render the text half of the prompt for ``mode``."""
+    """Synthetic-model fallback: render the text half of the prompt for
+    ``mode`` with the built-in control tags (used when the checkpoint ships
+    no template files — see module docstring)."""
     if mode == "custom":
         parts = []
         if instruct:
@@ -74,6 +91,128 @@ def render_template(
     raise ValueError(f"unknown mode: {mode}")
 
 
+class _Defaulting(dict):
+    def __missing__(self, key):  # tolerate unused placeholders
+        return ""
+
+
+@dataclass(frozen=True)
+class PromptTemplate:
+    """Per-mode prompt templates loaded from a checkpoint directory."""
+
+    custom: str | None = None
+    design: str | None = None
+    base: str | None = None          # cloning WITH a reference transcript
+    base_noref: str | None = None    # cloning with the "." no-transcript
+    chat_template: str | None = None  # Jinja source (tokenizer_config.json)
+    source: str = "synthetic"
+
+    def render(
+        self,
+        mode: str,
+        text: str,
+        *,
+        instruct: str | None = None,
+        speed: float = 1.0,
+        ref_text: str | None = None,
+        voice: str | None = None,
+    ) -> str:
+        ref = (ref_text or "").strip()
+        has_ref = bool(ref) and ref != "."
+        values = _Defaulting(
+            text=text,
+            instruct=instruct or "",
+            speed=f"{speed:g}",
+            speed_bucket=speed_bucket(speed),
+            ref_text=ref if has_ref else "",
+            voice=(voice or "").lower(),
+        )
+        tpl = {
+            "custom": self.custom,
+            "design": self.design,
+            "base": self.base if has_ref else (self.base_noref or self.base),
+        }.get(mode)
+        if mode not in ("custom", "design", "base"):
+            raise ValueError(f"unknown mode: {mode}")
+        if tpl is not None:
+            return tpl.format_map(values)
+        if self.chat_template is not None:
+            return self._render_chat(mode, text, values, has_ref)
+        return render_template(
+            mode, text, instruct=instruct, speed=speed, ref_text=ref_text
+        )
+
+    def _render_chat(self, mode, text, values, has_ref) -> str:
+        """Map the reference call shapes onto chat messages and render the
+        checkpoint's own Jinja chat template (what transformers'
+        apply_chat_template would do)."""
+        import jinja2
+
+        system = {
+            "custom": values["instruct"],
+            "design": values["instruct"],
+            "base": values["ref_text"] if has_ref else "",
+        }[mode]
+        messages = []
+        if system:
+            messages.append({"role": "system", "content": system})
+        messages.append({"role": "user", "content": text})
+        env = jinja2.Environment(
+            trim_blocks=True, lstrip_blocks=True,
+            undefined=jinja2.ChainableUndefined,
+        )
+        return env.from_string(self.chat_template).render(
+            messages=messages,
+            add_generation_prompt=True,
+            voice=values["voice"],
+            speed=values["speed"],
+            speed_bucket=values["speed_bucket"],
+            instruct=values["instruct"],
+            ref_text=values["ref_text"],
+        )
+
+
+SYNTHETIC_TEMPLATE = PromptTemplate()
+
+
+def load_prompt_template(model_path: str | None) -> PromptTemplate:
+    """Derive the prompt templates from checkpoint files (module docstring
+    priority order); returns the synthetic fallback when nothing is found."""
+    if not model_path or not os.path.isdir(model_path):
+        return SYNTHETIC_TEMPLATE
+
+    def read_json(name) -> Any:
+        p = os.path.join(model_path, name)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except (OSError, ValueError):
+                return None
+        return None
+
+    spec = read_json("tts_prompts.json")
+    if spec is None:
+        gen = read_json("generation_config.json")
+        if isinstance(gen, dict):
+            spec = gen.get("tts_prompts")
+    if isinstance(spec, dict):
+        return PromptTemplate(
+            custom=spec.get("custom"),
+            design=spec.get("design"),
+            base=spec.get("base", spec.get("clone")),
+            base_noref=spec.get("base_noref", spec.get("clone_noref")),
+            source="file",
+        )
+
+    tok_cfg = read_json("tokenizer_config.json")
+    if isinstance(tok_cfg, dict) and isinstance(tok_cfg.get("chat_template"), str):
+        return PromptTemplate(
+            chat_template=tok_cfg["chat_template"], source="chat_template"
+        )
+    return SYNTHETIC_TEMPLATE
+
+
 def build_prompt(
     tokenizer,
     mode: str,
@@ -86,19 +225,26 @@ def build_prompt(
     ref_text: str | None = None,
     acoustic_codes: np.ndarray | None = None,
     speaker_vector: np.ndarray | None = None,
+    template: PromptTemplate | None = None,
 ) -> PromptSpec:
-    rendered = render_template(
-        mode, text, instruct=instruct, speed=speed, ref_text=ref_text
+    template = template or SYNTHETIC_TEMPLATE
+    rendered = template.render(
+        mode, text, instruct=instruct, speed=speed, ref_text=ref_text,
+        voice=voice,
     )
     tokens = np.asarray(tokenizer.encode(rendered), dtype=np.int32)
 
     speaker_id: int | None = None
     if mode == "custom" and voice:
         name = voice.lower()
-        if name in speakers:
-            speaker_id = speakers.index(name)
-        else:
-            speaker_id = 0  # unknown speaker name -> default voice
+        if name not in speakers:
+            # the reference surfaces invalid speakers at the picker
+            # (custom.py:64-91); the engine contract mirrors that loudly
+            # instead of silently substituting a default voice
+            raise ValueError(
+                f"unknown speaker {voice!r}; valid speakers: {list(speakers)}"
+            )
+        speaker_id = speakers.index(name)
 
     return PromptSpec(
         text_tokens=tokens,

@@ -151,11 +151,11 @@ def test_build_prompt_speaker_resolution(tiny_model):
         voice="serena", speakers=tiny_model.cfg.speakers,
     )
     assert spec.speaker_id == tiny_model.cfg.speakers.index("serena")
-    spec2 = build_prompt(
-        tiny_model.tokenizer, "custom", "Hello",
-        voice="nobody", speakers=tiny_model.cfg.speakers,
-    )
-    assert spec2.speaker_id == 0
+    with pytest.raises(ValueError, match="unknown speaker"):
+        build_prompt(
+            tiny_model.tokenizer, "custom", "Hello",
+            voice="nobody", speakers=tiny_model.cfg.speakers,
+        )
 
 
 def test_load_model_missing_path():

@@ -39,10 +39,78 @@ def test_build_prompt_speaker_resolution():
     speakers = ("ryan", "serena")
     p = build_prompt(_Tok(), "custom", "x", voice="Serena", speakers=speakers)
     assert p.speaker_id == 1
-    p = build_prompt(_Tok(), "custom", "x", voice="unknown", speakers=speakers)
-    assert p.speaker_id == 0  # unknown -> default voice
+    # unknown speakers fail loudly (the reference surfaces them at the
+    # picker; silent voice-0 substitution hid typos from API users)
+    with pytest.raises(ValueError, match="unknown speaker"):
+        build_prompt(_Tok(), "custom", "x", voice="nope", speakers=speakers)
     p = build_prompt(_Tok(), "design", "x", instruct="desc")
     assert p.speaker_id is None
+
+
+def test_template_from_file_drives_all_three_modes(tmp_path):
+    """Per-mode templates from a checkpoint's tts_prompts.json drive the
+    rendered token stream (VERDICT.md next #4), covering the reference's
+    three call shapes (custom.py:163-170, design.py:76-81, clone.py:218-224)."""
+    import json
+
+    from qwen3_tts_tpu.runtime.prompts import load_prompt_template
+
+    spec = {
+        "custom": "<V>{voice}</V><I>{instruct}</I><S>{speed_bucket}</S>{text}",
+        "design": "<D>{instruct}</D>{text}",
+        "base": "<R>{ref_text}</R>{text}",
+        "base_noref": "{text}",
+    }
+    (tmp_path / "tts_prompts.json").write_text(json.dumps(spec))
+    tpl = load_prompt_template(str(tmp_path))
+    assert tpl.source == "file"
+
+    p = build_prompt(
+        _Tok(), "custom", "hello", voice="Ryan", speakers=("ryan",),
+        instruct="angry", speed=1.3, template=tpl,
+    )
+    assert bytes(p.text_tokens.tolist()).decode() == "<V>ryan</V><I>angry</I><S>fast</S>hello"
+    p = build_prompt(_Tok(), "design", "hi", instruct="a deep voice", template=tpl)
+    assert bytes(p.text_tokens.tolist()).decode() == "<D>a deep voice</D>hi"
+    p = build_prompt(_Tok(), "base", "hi", ref_text="the words", template=tpl)
+    assert bytes(p.text_tokens.tolist()).decode() == "<R>the words</R>hi"
+    p = build_prompt(_Tok(), "base", "hi", ref_text=".", template=tpl)
+    assert bytes(p.text_tokens.tolist()).decode() == "hi"
+
+
+def test_template_from_chat_template(tmp_path):
+    """A tokenizer_config.json chat_template renders the prompt the way
+    transformers' apply_chat_template would."""
+    import json
+
+    from qwen3_tts_tpu.runtime.prompts import load_prompt_template
+
+    ct = (
+        "{% for m in messages %}<|im_start|>{{ m.role }}\n"
+        "{{ m.content }}<|im_end|>\n{% endfor %}"
+        "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+    )
+    (tmp_path / "tokenizer_config.json").write_text(
+        json.dumps({"chat_template": ct})
+    )
+    tpl = load_prompt_template(str(tmp_path))
+    assert tpl.source == "chat_template"
+    out = tpl.render("custom", "hello", instruct="whisper", speed=1.0)
+    assert "<|im_start|>system\nwhisper<|im_end|>" in out
+    assert "<|im_start|>user\nhello<|im_end|>" in out
+    assert out.endswith("<|im_start|>assistant\n")
+    # cloning: the reference transcript becomes the system turn
+    out = tpl.render("base", "target", ref_text="said before")
+    assert "system\nsaid before" in out
+
+
+def test_template_fallback_is_synthetic(tmp_path):
+    from qwen3_tts_tpu.runtime.prompts import load_prompt_template
+
+    tpl = load_prompt_template(str(tmp_path))
+    assert tpl.source == "synthetic"
+    assert tpl.render("custom", "hi", instruct="x", speed=1.3) == \
+        render_template("custom", "hi", instruct="x", speed=1.3)
 
 
 def test_sampling_semantics():

@@ -58,6 +58,18 @@ def load_tokenizer(model_path: str | None, vocab_size: int):
 
 
 def clamp_ids(ids, vocab_size: int) -> list[int]:
-    """Map token ids into [0, vocab_size) — only relevant for tiny synthetic
-    configs whose embedding tables are smaller than the tokenizer's vocab."""
-    return [int(i) % vocab_size for i in ids]
+    """Map token ids into [0, vocab_size) — ONLY legal for tiny synthetic
+    configs whose embedding tables are smaller than the byte tokenizer's 256
+    ids. For real-sized configs an out-of-range id means the tokenizer does
+    not belong to the checkpoint; aliasing it would silently corrupt the
+    prompt, so this raises instead (mirrors runtime.generate.assemble_prompt).
+    """
+    ids = [int(i) for i in ids]
+    if not ids:
+        return ids
+    if (max(ids) >= vocab_size or min(ids) < 0) and vocab_size >= 512:
+        raise ValueError(
+            f"token id {max(ids)} out of range for vocab_size {vocab_size}: "
+            f"tokenizer/config mismatch"
+        )
+    return [i % vocab_size for i in ids]

@@ -283,11 +283,36 @@ class Generator:
             vec = jnp.asarray(prompt.speaker_vector, dtype=self.params["spk_emb"].dtype)
             parts.append(vec[None, :])
         if prompt.text_tokens.size:
-            toks = jnp.asarray(prompt.text_tokens) % t.vocab_size
-            parts.append(jnp.take(self.params["text_emb"], toks, axis=0))
+            toks_np = np.asarray(prompt.text_tokens)
+            if int(toks_np.max()) >= t.vocab_size or int(toks_np.min()) < 0:
+                # only tiny synthetic configs may alias ids (their embedding
+                # tables are smaller than the byte-fallback tokenizer's 256
+                # ids); a real config seeing out-of-range ids means the
+                # tokenizer doesn't belong to this checkpoint — corrupting
+                # it silently via modulo would produce garbage speech
+                if t.vocab_size >= 512:
+                    raise ValueError(
+                        f"token id {int(toks_np.max())} out of range for "
+                        f"vocab_size {t.vocab_size}: tokenizer/config "
+                        f"mismatch (wrong tokenizer files for this model?)"
+                    )
+                toks_np = toks_np % t.vocab_size
+            parts.append(
+                jnp.take(self.params["text_emb"], jnp.asarray(toks_np), axis=0)
+            )
         if prompt.acoustic_codes is not None and prompt.acoustic_codes.size:
-            cb0 = jnp.asarray(prompt.acoustic_codes[0]) % self.cfg.codec.codebook_size
-            parts.append(jnp.take(self.params["codec_emb"], cb0, axis=0))
+            cb0_np = np.asarray(prompt.acoustic_codes[0])
+            cb_size = self.cfg.codec.codebook_size
+            if int(cb0_np.max()) >= cb_size or int(cb0_np.min()) < 0:
+                if cb_size >= 512:
+                    raise ValueError(
+                        f"acoustic code {int(cb0_np.max())} out of range for "
+                        f"codebook_size {cb_size}"
+                    )
+                cb0_np = cb0_np % cb_size
+            parts.append(
+                jnp.take(self.params["codec_emb"], jnp.asarray(cb0_np), axis=0)
+            )
         parts.append(self.params["codec_emb"][t.codec_bos][None, :])
         emb = jnp.concatenate(parts, axis=0)  # [L, D]
 

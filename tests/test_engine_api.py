@@ -184,3 +184,36 @@ def test_long_text_uses_concurrent_segments(temp_dir):
 
     with wave.open(f"{temp_dir}/audio_000.wav") as w:
         assert w.getnframes() > 0
+
+
+def test_vocab_mismatch_raises_for_real_sized_configs():
+    """Out-of-range token ids on a real-sized config must fail loudly, not
+    be modulo-aliased into the embedding table (VERDICT.md weak #7)."""
+    import dataclasses
+
+    import numpy as np
+
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+    tiny = configs.tiny("custom", quant=False)
+    cfg = dataclasses.replace(
+        tiny, talker=dataclasses.replace(tiny.talker, vocab_size=1024)
+    )
+    model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+    bad = PromptSpec(text_tokens=np.array([5, 2000], np.int32))
+    with pytest.raises(ValueError, match="tokenizer/config mismatch"):
+        model.generator.assemble_prompt(bad)
+    # in-range ids still assemble fine
+    ok = PromptSpec(text_tokens=np.array([5, 1023], np.int32))
+    emb, pad = model.generator.assemble_prompt(ok)
+    assert emb.shape[1] >= 2
+
+
+def test_clamp_ids_raises_for_real_sized_vocab():
+    from qwen3_tts_tpu.engine.tokenizer import clamp_ids
+
+    assert clamp_ids([300, 5], 64) == [300 % 64, 5]  # tiny config: aliased
+    with pytest.raises(ValueError, match="mismatch"):
+        clamp_ids([200_000], 151_936)

@@ -27,57 +27,82 @@ BASELINE_RTF = 20.0  # BASELINE.md: ">=20x real-time single-stream" target
 BASELINE_STREAMS = 8  # BASELINE.md: "8 concurrent voices" on one chip
 
 
-def serving_bench(n_streams: int = BASELINE_STREAMS) -> None:
-    """Aggregate throughput with N concurrent streams (continuous batching).
-    Prints one JSON line; run with `python bench.py --serving [N]`."""
-    import time
-
+def _serving_metrics(model, n_streams: int = BASELINE_STREAMS) -> dict:
+    """Measure aggregate multi-stream throughput (BASELINE.md config 5) plus
+    the TTFA of a stream JOINING under full load (chunked-prefill
+    interleaving keeps live streams running through the join)."""
     import numpy as np
 
-    import jax
-
-    from qwen3_tts_tpu.engine import configs, enable_compilation_cache
-    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
     from qwen3_tts_tpu.runtime.prompts import PromptSpec
     from qwen3_tts_tpu.runtime.serving import ServingEngine
 
-    enable_compilation_cache()
-    cfg = configs.flagship("custom")
-    model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+    cfg = model.cfg
     engine = ServingEngine(model, max_streams=n_streams)
 
-    prompts = [
-        PromptSpec(
-            text_tokens=(np.arange(40) * (i + 3) % cfg.talker.vocab_size)
-            .astype(np.int32),
-            speaker_id=i % 9,
-        )
-        for i in range(n_streams)
-    ]
-    # warmup: compiles prefill + fused serve step
-    engine.run(prompts[:1], max_frames=engine.chunk * 2)
+    def prompts(n, base=3, toks=40):
+        return [
+            PromptSpec(
+                text_tokens=(np.arange(toks) * (i + base) % cfg.talker.vocab_size)
+                .astype(np.int32),
+                speaker_id=i % 9,
+            )
+            for i in range(n)
+        ]
+
+    # warmup: compiles prefill slices + fused serve step + codec buckets
+    engine.run(prompts(1), max_frames=engine.chunk * 2)
 
     frames_target = 120
     t0 = time.perf_counter()
-    results = engine.run(prompts, max_frames=frames_target)
+    results = engine.run(prompts(n_streams), max_frames=frames_target)
     wall = time.perf_counter() - t0
     total_audio = sum(len(w) for w, _ in results) / cfg.codec.sample_rate
     ttfa = float(np.median([s.ttfa_s for _, s in results if s.ttfa_s]))
     agg_rtf = total_audio / wall
+
+    # joining-TTFA under load: n-1 long streams running, then one joins
+    long = [engine.submit(p, max_frames=240) for p in prompts(n_streams - 1)]
+    for _ in range(6):
+        engine.step()
+    join_id = engine.submit(prompts(1, base=17)[0], max_frames=24)
+    while not engine.streams[join_id].done:
+        engine.step()
+    join_ttfa = engine.streams[join_id].ttfa_s
+    # drain the long streams so the engine ends idle
+    while any(not engine.streams[i].done for i in long):
+        engine.step()
+
+    return {
+        "streams": n_streams,
+        "agg_rtf": round(agg_rtf, 3),
+        "total_audio_s": round(total_audio, 2),
+        "wall_s": round(wall, 2),
+        "ttfa_s_p50": round(ttfa, 3),
+        "join_ttfa_s_under_load": round(join_ttfa, 3),
+    }
+
+
+def serving_bench(n_streams: int = BASELINE_STREAMS) -> None:
+    """Aggregate throughput with N concurrent streams (continuous batching).
+    Prints one JSON line; run with `python bench.py --serving [N]`."""
+    import jax
+
+    from qwen3_tts_tpu.engine import configs, enable_compilation_cache
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+
+    enable_compilation_cache()
+    cfg = configs.flagship("custom", frames_per_step=2)
+    model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+    m = _serving_metrics(model, n_streams)
+    agg_rtf = m["agg_rtf"]
     print(
         json.dumps(
             {
-                "metric": "rtf_aggregate_8stream",
-                "value": round(agg_rtf, 3),
+                "metric": f"rtf_aggregate_{n_streams}stream",
+                "value": agg_rtf,
                 "unit": "x_realtime",
                 "vs_baseline": round(agg_rtf / BASELINE_RTF, 3),
-                "detail": {
-                    "streams": n_streams,
-                    "total_audio_s": round(total_audio, 2),
-                    "wall_s": round(wall, 2),
-                    "ttfa_s_p50": round(ttfa, 3),
-                    "backend": jax.default_backend(),
-                },
+                "detail": {**m, "backend": jax.default_backend()},
             }
         )
     )
@@ -99,7 +124,7 @@ def longform_bench(chars: int = 2400) -> None:
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel
 
     enable_compilation_cache()
-    cfg = configs.flagship("custom")
+    cfg = configs.flagship("custom", frames_per_step=2)
     model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
 
     sentence = "The quick brown fox jumps over the lazy dog once more. "
@@ -146,7 +171,9 @@ def main() -> None:
     enable_compilation_cache()
 
     t0 = time.perf_counter()
-    cfg = configs.flagship("custom")
+    # frames_per_step=2: the MTP decode head halves talker HBM traffic per
+    # frame (engine/configs.py TalkerConfig.frames_per_step)
+    cfg = configs.flagship("custom", frames_per_step=2)
     model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
     gen = model.generator
     load_s = time.perf_counter() - t0
@@ -174,6 +201,11 @@ def main() -> None:
 
     ttfa = float(np.median([r.ttfa_s for r in results]))
     rtf = best.rtf
+
+    # multi-stream aggregate in the SAME driver-captured line (BASELINE.md
+    # config 5: "8 concurrent voices, continuous decode on one v5e chip")
+    serving = _serving_metrics(model, BASELINE_STREAMS)
+
     print(
         json.dumps(
             {
@@ -190,8 +222,9 @@ def main() -> None:
                     "ttfa_s_p50": round(ttfa, 4),
                     "load_s": round(load_s, 1),
                     "compile_s": round(compile_s, 1),
-                    "config": "flagship-1.7B, adaptive chunks "
-                    f"{gen.chunk_schedule}",
+                    "serving_8stream": serving,
+                    "config": "flagship-1.7B, MTP frames_per_step=2, "
+                    f"adaptive chunks {gen.chunk_schedule}",
                 },
             }
         )

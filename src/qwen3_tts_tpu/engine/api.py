@@ -46,15 +46,31 @@ def compute_format() -> str:
 
 def apply_compute_format(model: "Qwen3TTSModel") -> "Qwen3TTSModel":
     """Convert a loaded model's linears to the runtime compute format and
-    place them on device. Loaders hand this host-resident trees so the
-    dequantization runs in numpy (no per-shape remote compiles at load)."""
+    place them on device.
+
+    When converting int8 storage to bf16 compute, the int8 tree is uploaded
+    and dequantized ON DEVICE (one jitted call over the whole tree): the
+    host->device link moves ~2x fewer bytes, which dominates load time on
+    tunneled TPUs (BENCH load_s). On CPU backends the dequantization runs
+    in numpy instead (no compile round trip)."""
     import jax
 
     if model.cfg.quant.enabled and compute_format() == "bf16":
+        from functools import partial
+
+        import jax.numpy as jnp
+
         from ..ops.quant import dequantize_tree
 
-        model.params = dequantize_tree(model.params)
-        model.cp_params = dequantize_tree(model.cp_params)
+        if jax.default_backend() == "cpu":
+            model.params = dequantize_tree(model.params)
+            model.cp_params = dequantize_tree(model.cp_params)
+        else:
+            deq = jax.jit(
+                partial(dequantize_tree, dtype=jnp.bfloat16), donate_argnums=0
+            )
+            model.params = deq(jax.device_put(model.params))
+            model.cp_params = deq(jax.device_put(model.cp_params))
         model._generator = None
     model.params = jax.device_put(model.params)
     model.cp_params = jax.device_put(model.cp_params)

@@ -39,6 +39,16 @@ class TalkerConfig:
     codec_pad: int = 2050
     n_speakers: int = 16               # built-in speaker embedding table
     tie_embeddings: bool = True
+    # multi-token prediction: codec frames emitted per talker weight pass.
+    # The decode hot path is HBM-bound streaming the talker weights, so
+    # n>1 divides bytes/frame by n: frame 0 of each step comes from the
+    # main head, frames 1..n-1 from a small MTP block over the same hidden
+    # state (models/talker.py mtp_logits); the talker then consumes a
+    # learned merge of the n frame embeddings and advances ONE position
+    # (sequence length and KV traffic also shrink by n). n>1 is an
+    # architectural extension: real 1-frame checkpoints need an MTP
+    # fine-tune (training/loss.py trains it) before enabling it.
+    frames_per_step: int = 1
 
     @property
     def q_dim(self) -> int:
@@ -129,10 +139,20 @@ class ModelConfig:
         return self.codec.frame_rate
 
 
-def flagship(mode: str = "custom") -> ModelConfig:
+def flagship(mode: str = "custom", *, frames_per_step: int = 1) -> ModelConfig:
     """The 1.7B production configuration (one per reference model registry
-    entry, reference config.py:14-42)."""
-    return ModelConfig(mode=mode)
+    entry, reference config.py:14-42). ``frames_per_step=2`` enables the
+    MTP decode head (see TalkerConfig.frames_per_step)."""
+    cfg = ModelConfig(mode=mode)
+    if frames_per_step != 1:
+        cfg = replace(
+            cfg, talker=replace(cfg.talker, frames_per_step=frames_per_step)
+        )
+    return cfg
+
+
+def with_frames_per_step(cfg: ModelConfig, n: int) -> ModelConfig:
+    return replace(cfg, talker=replace(cfg.talker, frames_per_step=n))
 
 
 def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:

@@ -267,6 +267,8 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
                          default=t.codec_pad),
         n_speakers=_first(talker_cfg, "num_speakers", "n_speakers",
                           default=t.n_speakers),
+        frames_per_step=_first(talker_cfg, "frames_per_step",
+                               default=t.frames_per_step),
     )
 
     cp = base.code_predictor

@@ -133,6 +133,23 @@ def init_talker(cfg: ModelConfig, seed: int = 0, fast: bool = False) -> Params:
         "ln_f": np.ones(t.hidden, dtype=dtype),
         "head": _init_linear(rng, t.codec_vocab, t.hidden, **qz),
     }
+    if t.frames_per_step > 1:
+        # MTP block (TalkerConfig.frames_per_step): merge projects the
+        # step's n frame embeddings into one talker input; the SwiGLU block
+        # maps (hidden + prev-frame embedding) -> next-frame hidden, scored
+        # by the SHARED codec head. Tiny vs the 28-layer stack: it is read
+        # once per step, not once per frame.
+        params["mtp"] = {
+            "merge": _init_linear(
+                rng, t.hidden, t.frames_per_step * t.hidden, **qz
+            ),
+            "mlp": {
+                "gate": _init_linear(rng, t.ffn, t.hidden, **qz),
+                "up": _init_linear(rng, t.ffn, t.hidden, **qz),
+                "down": _init_linear(rng, t.hidden, t.ffn, **qz),
+            },
+            "ln": np.ones(t.hidden, dtype=dtype),
+        }
     return params
 
 
@@ -201,6 +218,47 @@ def talker_forward(
 def embed_codec_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     """Codebook-0 token ids -> talker input embeddings."""
     return jnp.take(params["codec_emb"], tokens, axis=0)
+
+
+def merge_step_tokens(
+    params: Params, t: TalkerConfig, tokens: jnp.ndarray
+) -> jnp.ndarray:
+    """Merge one step's ``frames_per_step`` token ids [B, n] into the
+    talker's next input embedding [B, D]. n == 1 reduces to the plain
+    codec-token embedding (bit-identical to the single-frame path)."""
+    if t.frames_per_step == 1:
+        return jnp.take(params["codec_emb"], tokens[:, 0], axis=0)
+    B = tokens.shape[0]
+    embs = jnp.take(params["codec_emb"], tokens, axis=0)     # [B, n, D]
+    flat = embs.reshape(B, t.frames_per_step * t.hidden)
+    return linear(flat, params["mtp"]["merge"])
+
+
+def mtp_hidden(
+    params: Params, t: TalkerConfig, hidden: jnp.ndarray, prev_tok: jnp.ndarray
+) -> jnp.ndarray:
+    """Next-frame hidden from (step hidden [B, D], previous frame's token
+    [B]) — the MTP block, applied recurrently for frames 1..n-1 of a step."""
+    mtp = params["mtp"]
+    x = hidden + jnp.take(params["codec_emb"], prev_tok, axis=0).astype(
+        hidden.dtype
+    )
+    h = rmsnorm(x, mtp["ln"], t.rms_eps)
+    gate = linear(h, mtp["mlp"]["gate"])
+    up = linear(h, mtp["mlp"]["up"])
+    return x + linear(jax.nn.silu(gate) * up, mtp["mlp"]["down"])
+
+
+def mtp_logits(
+    params: Params, t: TalkerConfig, hidden: jnp.ndarray, prev_tok: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(logits [B, codec_vocab], next hidden [B, D]) for one MTP frame,
+    scored by the shared codec head."""
+    h = mtp_hidden(params, t, hidden, prev_tok)
+    logits = linear(
+        rmsnorm(h, params["ln_f"], t.rms_eps), params["head"]
+    ).astype(jnp.float32)
+    return logits, h
 
 
 def embed_text_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:

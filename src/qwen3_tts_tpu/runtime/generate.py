@@ -127,17 +127,22 @@ def make_decode_chunk_fn(
     the adaptive chunk schedule hands the same state between variants.
     """
     from ..models.codec import decode_codes_streaming
+    from ..models.talker import merge_step_tokens, mtp_logits
 
     t = cfg.talker
     S = cfg.max_seq_len
     A = attn_len or S  # static attention window (caller picks a bucket)
     cb_size = cfg.codec.codebook_size
+    fps = t.frames_per_step
+    assert chunk % fps == 0, (chunk, fps)
+    n_steps = chunk // fps  # talker weight passes per chunk (MTP)
 
     @partial(jax.jit, donate_argnums=(3, 4, 5))
     def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
                      cstate, pos, pad_len, n_frames, last_token, key):
         """cstate: codec stream state (models.codec.init_codec_stream_state).
-        n_frames: frames emitted before this chunk (scalar or [B])."""
+        n_frames: frames emitted before this chunk (scalar or [B]).
+        last_token: [B, fps] — the previous step's frame tokens."""
         cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
 
         # attention reads/writes only the first A cache slots (the caller
@@ -149,22 +154,33 @@ def make_decode_chunk_fn(
 
         def step(carry, _):
             ck, cv, p, tok, k = carry
-            emb = jnp.take(params["codec_emb"], tok, axis=0)[:, None, :]
+            emb = merge_step_tokens(params, t, tok)[:, None, :]
             hidden, logits, ck, cv = talker_forward(
                 params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad_len
             )
+            h = hidden[:, -1, :]
             k, sub = jax.random.split(k)
-            nxt = sample_token(logits[:, -1, :], sub, sampling)
-            return (ck, cv, p + 1, nxt, k), (nxt, hidden[:, -1, :])
+            toks = [sample_token(logits[:, -1, :], sub, sampling)]
+            hj = h
+            for _j in range(1, fps):  # MTP frames from the same weight pass
+                lg, hj = mtp_logits(params, t, hj, toks[-1])
+                k, sub = jax.random.split(k)
+                toks.append(sample_token(lg, sub, sampling))
+            nxt = jnp.stack(toks, axis=1)                 # [B, fps]
+            return (ck, cv, p + 1, nxt, k), (nxt, h)
 
         (ck, cv, p, tok, key), (tokens, hiddens) = jax.lax.scan(
-            step, (cache_k, cache_v, pos, last_token, key), None, length=chunk
+            step, (cache_k, cache_v, pos, last_token, key), None,
+            length=n_steps,
         )
-        # tokens: [chunk, B] -> [B, chunk]; hiddens: [chunk, B, D]
-        tokens_bc = jnp.transpose(tokens, (1, 0))
+        # tokens: [steps, B, fps] -> [B, chunk]; hiddens: [steps, B, D]
+        tokens_bc = jnp.transpose(tokens, (1, 0, 2)).reshape(-1, chunk)
         B = tokens_bc.shape[0]
         D = hiddens.shape[-1]
-        flat_h = jnp.transpose(hiddens, (1, 0, 2)).reshape(B * chunk, D)
+        # each step's hidden conditions all fps of its frames' residuals
+        flat_h = jnp.repeat(
+            jnp.transpose(hiddens, (1, 0, 2)), fps, axis=1
+        ).reshape(B * chunk, D)
         # control tokens (BOS/EOS/PAD >= codebook_size) are clamped for the
         # predictor; the host masks frames at/after EOS anyway.
         flat_cb0 = jnp.clip(tokens_bc.reshape(B * chunk), 0, cb_size - 1)
@@ -268,6 +284,23 @@ class Generator:
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
+    def _seed_tokens(self, hidden_last, logits, key) -> jnp.ndarray:
+        """Sample the seed step's ``frames_per_step`` tokens from the
+        prefill outputs (frame 0 from the main head, the rest through the
+        MTP block); returns [B, fps]. These seed the first decode chunk's
+        input merge — they are conditioning, not rendered frames."""
+        from ..models.talker import mtp_logits
+
+        t = self.cfg.talker
+        key, sub = jax.random.split(key)
+        toks = [sample_token(logits, sub, self.sampling)]
+        h = hidden_last
+        for _ in range(1, t.frames_per_step):
+            lg, h = mtp_logits(self.params, t, h, toks[-1])
+            key, sub = jax.random.split(key)
+            toks.append(sample_token(lg, sub, self.sampling))
+        return jnp.stack(toks, axis=1)
+
     # -- prompt embedding (eager; once per utterance) ----------------------
 
     def assemble_prompt(self, prompt: PromptSpec) -> tuple[jnp.ndarray, int]:
@@ -346,21 +379,22 @@ class Generator:
         """
         cfg = self.cfg
         t = cfg.talker
+        fps = t.frames_per_step
         hop = cfg.codec.hop
         emb, pad = self.assemble_prompt(prompt)
         Lb = emb.shape[1]
-        budget = cfg.max_seq_len - Lb
+        budget = (cfg.max_seq_len - Lb) * fps
         max_frames = max(1, min(max_frames, budget))
 
         start = time.perf_counter()
         cache_k, cache_v = self._alloc_cache()
         pad_len = jnp.int32(pad)
-        _, logits, cache_k, cache_v = self._prefill_fn()(
+        hidden_last, logits, cache_k, cache_v = self._prefill_fn()(
             self.params, emb, pad_len, cache_k, cache_v
         )
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
-        first = sample_token(logits, sub, self.sampling)
+        first = self._seed_tokens(hidden_last, logits, sub)   # [1, fps]
 
         from ..models.codec import init_codec_stream_state
 
@@ -384,8 +418,11 @@ class Generator:
         def dispatch():
             nonlocal state, dispatched, chunk_idx
             chunk = next_chunk_size()
-            # attention window bucket for this chunk's positions
-            A = attn_bucket(Lb + dispatched + chunk, cfg.max_seq_len)
+            # attention window bucket for this chunk's positions (the
+            # talker advances one position per STEP = fps frames)
+            A = attn_bucket(
+                Lb + (dispatched + chunk) // fps, cfg.max_seq_len
+            )
             decode = self._decode_fn(chunk, A)
             ck, cv, rg, pos, tok, k, nf = state
             ck, cv, rg, pos, tok, k, nf, n_valid, codes, wav = decode(

@@ -15,8 +15,11 @@ Design (continuous batching, slot model):
 - per-slot position/pad vectors: ``models.layers.attention`` masks each
   stream independently, so streams join/leave at any time without touching
   other slots (a new prompt simply overwrites the slot's cache range);
-- prefill computes the prompt's K/V into a small bucket-sized scratch cache
-  and scatters it into the slot (bounded data movement, no full-cache copy);
+- CHUNKED prefill, interleaved with decode: a joining prompt's prefill runs
+  ``prefill_chunk`` tokens at a time into a bucket-sized scratch cache, one
+  slice per decode step while other streams are live (so a join never
+  stalls them for a full-prompt prefill), then scatters into the slot; with
+  no live streams the slices run back-to-back;
 - one jitted chunk-decode advances ALL slots ``chunk`` tokens with on-device
   sampling; inactive slots hold position and re-write the same cache row
   (bounded, no overflow);
@@ -52,7 +55,7 @@ class Stream:
 
     slot: int
     stream_id: int
-    active: bool = False
+    active: bool = False      # prefill finished, decoding
     done: bool = False
     frames: int = 0
     max_frames: int = 0
@@ -61,6 +64,22 @@ class Stream:
     submitted_at: float = 0.0
     ttfa_s: float | None = None
     on_chunk: Callable[[np.ndarray], None] | None = None
+
+
+@dataclass
+class _PendingPrefill:
+    """A submitted stream whose prompt is still being prefilled, slice by
+    slice, into a scratch cache."""
+
+    stream: Stream
+    emb: Any                  # [1, Lb, D] left-padded prompt embeddings
+    pad: int
+    Lb: int
+    sk: Any                   # scratch caches [L, 1, Lb, H_kv, hd]
+    sv: Any
+    pos: int = 0              # tokens prefilled so far
+    last_logits: Any = None   # [V] logits at the final prompt position
+    last_hidden: Any = None   # [D] hidden at the final prompt position
 
 
 class ServingEngine:
@@ -73,6 +92,7 @@ class ServingEngine:
         max_streams: int = 8,
         chunk: int = 8,
         lookback: int = 8,
+        prefill_chunk: int = 128,
         sampling: SamplingConfig | None = None,
     ):
         self.model = model
@@ -99,53 +119,69 @@ class ServingEngine:
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.pad = jnp.zeros((self.B,), jnp.int32)
         self.frames_dev = jnp.zeros((self.B,), jnp.int32)
-        self.tok = jnp.full((self.B,), t.codec_pad, jnp.int32)
+        self.fps = t.frames_per_step
+        assert chunk % self.fps == 0, (chunk, self.fps)
+        self.tok = jnp.full((self.B, self.fps), t.codec_pad, jnp.int32)
         self.active_mask = jnp.zeros((self.B,), jnp.bool_)
         self.key = jax.random.PRNGKey(0)
         self.streams: dict[int, Stream] = {}
         self._slots: list[Stream | None] = [None] * self.B
         self._next_id = 0
-        self._prefill_fns: dict[int, Callable] = {}
+        self.prefill_chunk = prefill_chunk
+        self._pending: list[_PendingPrefill] = []
+        self._prefill_fns: dict[tuple[int, int], Callable] = {}
+        self._scatter_fns: dict[int, Callable] = {}
         self._decode_fns: dict[int | None, Callable] = {}
         self._host_pos = [0] * self.B  # host mirror for attn bucketing
 
     # -- jitted stages ------------------------------------------------------
 
-    def _prefill_fn(self, Lb: int) -> Callable:
-        if Lb in self._prefill_fns:
-            return self._prefill_fns[Lb]
+    def _prefill_slice_fn(self, C: int, Lb: int) -> Callable:
+        """Jitted prefill of ONE ``C``-token slice into an ``Lb``-long
+        scratch cache (chunked prefill: a joining stream never stalls live
+        streams for more than one slice's compute)."""
+        key = (C, Lb)
+        if key in self._prefill_fns:
+            return self._prefill_fns[key]
         cfg = self.cfg
         t = cfg.talker
 
         @partial(jax.jit, donate_argnums=(3, 4))
-        def prefill_slot(params, emb, pad_len, cache_k, cache_v, slot):
-            """emb [1, Lb, D] -> K/V written into big caches at (slot, 0);
-            returns (caches, last logits [V])."""
-            dtype = cache_k.dtype
-            scratch_k = jnp.zeros(
-                (t.n_layers, 1, Lb, t.n_kv_heads, t.head_dim), dtype
-            )
-            scratch_v = jnp.zeros_like(scratch_k)
+        def prefill_slice(params, emb_slice, pad_len, sk, sv, pos):
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
-            _, logits, sk, sv = talker_forward(
-                params, t, emb, scratch_k, scratch_v, jnp.int32(0),
-                cos_t, sin_t, pad_len=pad_len,
+            hidden, logits, sk, sv = talker_forward(
+                params, t, emb_slice, sk, sv, pos, cos_t, sin_t,
+                pad_len=pad_len,
             )
+            return sk, sv, logits[0, -1, :], hidden[0, -1, :]
+
+        self._prefill_fns[key] = prefill_slice
+        return prefill_slice
+
+    def _scatter_fn(self, Lb: int) -> Callable:
+        """Jitted scatter of a finished scratch cache into a slot's range of
+        the big batched caches."""
+        if Lb in self._scatter_fns:
+            return self._scatter_fns[Lb]
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def scatter(cache_k, cache_v, sk, sv, slot):
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, sk, (0, slot, 0, 0, 0)
             )
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, sv, (0, slot, 0, 0, 0)
             )
-            return cache_k, cache_v, logits[0, -1, :]
+            return cache_k, cache_v
 
-        self._prefill_fns[Lb] = prefill_slot
-        return prefill_slot
+        self._scatter_fns[Lb] = scatter
+        return scatter
 
     def _decode_fn(self, attn_len: int | None = None) -> Callable:
         if attn_len in self._decode_fns:
             return self._decode_fns[attn_len]
         from ..models.codec import decode_codes_streaming
+        from ..models.talker import merge_step_tokens, mtp_logits
 
         cfg = self.cfg
         t = cfg.talker
@@ -154,12 +190,15 @@ class ServingEngine:
         cb_size = cfg.codec.codebook_size
         S = cfg.max_seq_len
         A = attn_len or S
+        fps = self.fps
+        n_steps = chunk // fps
 
         @partial(jax.jit, donate_argnums=(3, 4, 5))
         def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
                          cstate, pos, pad, frames, tok, active, key):
             """Fused serve step: AR decode + residuals + streaming codec for
-            all slots in one dispatch (one host round trip per chunk)."""
+            all slots in one dispatch (one host round trip per chunk).
+            tok: [B, fps] — each slot's previous step tokens."""
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
 
             # attend over a bucketed cache prefix (see runtime.generate);
@@ -171,24 +210,33 @@ class ServingEngine:
 
             def step(carry, _):
                 ck, cv, p, tk, k = carry
-                emb = jnp.take(params["codec_emb"], tk, axis=0)[:, None, :]
+                emb = merge_step_tokens(params, t, tk)[:, None, :]
                 hidden, logits, ck, cv = talker_forward(
                     params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad
                 )
+                h = hidden[:, -1, :]
                 k, sub = jax.random.split(k)
-                nxt = sample_token(logits[:, -1, :], sub, sampling)
+                toks = [sample_token(logits[:, -1, :], sub, sampling)]
+                hj = h
+                for _j in range(1, fps):  # MTP frames, same weight pass
+                    lg, hj = mtp_logits(params, t, hj, toks[-1])
+                    k, sub = jax.random.split(k)
+                    toks.append(sample_token(lg, sub, sampling))
+                nxt = jnp.stack(toks, axis=1)                 # [B, fps]
                 # inactive slots: hold position, emit PAD, re-write same row
-                nxt = jnp.where(active, nxt, t.codec_pad)
+                nxt = jnp.where(active[:, None], nxt, t.codec_pad)
                 p = jnp.where(active, p + 1, p)
-                return (ck, cv, p, nxt, k), (nxt, hidden[:, -1, :])
+                return (ck, cv, p, nxt, k), (nxt, h)
 
             (ck, cv, p, tk, key), (tokens, hiddens) = jax.lax.scan(
-                step, (cache_k, cache_v, pos, tok, key), None, length=chunk
+                step, (cache_k, cache_v, pos, tok, key), None, length=n_steps
             )
-            tokens_bc = jnp.transpose(tokens, (1, 0))            # [B, chunk]
+            tokens_bc = jnp.transpose(tokens, (1, 0, 2)).reshape(-1, chunk)
             B = tokens_bc.shape[0]
             D = hiddens.shape[-1]
-            flat_h = jnp.transpose(hiddens, (1, 0, 2)).reshape(B * chunk, D)
+            flat_h = jnp.repeat(
+                jnp.transpose(hiddens, (1, 0, 2)), fps, axis=1
+            ).reshape(B * chunk, D)
             flat_cb0 = jnp.clip(tokens_bc.reshape(B * chunk), 0, cb_size - 1)
             residuals = predict_residuals(cp_params, cfg, flat_h, flat_cb0)
             n_res = residuals.shape[-1]
@@ -233,7 +281,8 @@ class ServingEngine:
         max_frames: int,
         on_chunk: Callable[[np.ndarray], None] | None = None,
     ) -> int:
-        """Prefill a free slot with ``prompt``; returns the stream id."""
+        """Reserve a free slot for ``prompt`` and queue its chunked prefill
+        (advanced by subsequent steps); returns the stream id."""
         slot = next(
             (i for i, s in enumerate(self._slots) if s is None), None
         )
@@ -243,21 +292,81 @@ class ServingEngine:
         gen = self.model.generator  # reuse its prompt assembly
         emb, pad = gen.assemble_prompt(prompt)
         Lb = emb.shape[1]
-        budget = self.cfg.max_seq_len - Lb
+        budget = (self.cfg.max_seq_len - Lb) * self.fps
         max_frames = max(1, min(max_frames, budget))
 
-        self.cache_k, self.cache_v, last_logits = self._prefill_fn(Lb)(
-            self.model.params, emb, jnp.int32(pad),
-            self.cache_k, self.cache_v, jnp.int32(slot),
+        stream = Stream(
+            slot=slot,
+            stream_id=self._next_id,
+            active=False,
+            max_frames=max_frames,
+            submitted_at=time.perf_counter(),
+            on_chunk=on_chunk,
         )
+        self._next_id += 1
+        self._slots[slot] = stream
+        self.streams[stream.stream_id] = stream
+
+        t = self.cfg.talker
+        dtype = self.cache_k.dtype
+        sk = jnp.zeros((t.n_layers, 1, Lb, t.n_kv_heads, t.head_dim), dtype)
+        self._pending.append(_PendingPrefill(
+            stream=stream, emb=emb, pad=pad, Lb=Lb,
+            sk=sk, sv=jnp.zeros_like(sk),
+        ))
+        return stream.stream_id
+
+    # -- chunked prefill -----------------------------------------------------
+
+    def _advance_prefills(self) -> None:
+        """Dispatch prefill slices: ONE slice when live streams are decoding
+        (bounding their stall per step), otherwise drain everything pending
+        (nobody to stall)."""
+        live = any(
+            s is not None and s.active and not s.done for s in self._slots
+        )
+        budget = 1 if live else float("inf")
+        while self._pending and budget > 0:
+            pp = self._pending[0]
+            C = min(self.prefill_chunk, pp.Lb)
+            fn = self._prefill_slice_fn(C, pp.Lb)
+            emb_slice = jax.lax.dynamic_slice_in_dim(pp.emb, pp.pos, C, axis=1)
+            pp.sk, pp.sv, pp.last_logits, pp.last_hidden = fn(
+                self.model.params, emb_slice, jnp.int32(pp.pad),
+                pp.sk, pp.sv, jnp.int32(pp.pos),
+            )
+            pp.pos += C
+            budget -= 1
+            if pp.pos >= pp.Lb:
+                self._finish_prefill(pp)
+                self._pending.pop(0)
+
+    def _finish_prefill(self, pp: _PendingPrefill) -> None:
+        """Scatter the scratch cache into the slot and activate the stream."""
+        stream = pp.stream
+        slot = stream.slot
+        if self._slots[slot] is not stream or stream.done:
+            return  # stream was cancelled/recycled while pending
+        self.cache_k, self.cache_v = self._scatter_fn(pp.Lb)(
+            self.cache_k, self.cache_v, pp.sk, pp.sv, jnp.int32(slot)
+        )
+        from ..models.talker import mtp_logits
+
+        t = self.cfg.talker
         self.key, sub = jax.random.split(self.key)
-        first = sample_token(last_logits[None], sub, self.sampling)[0]
+        toks = [sample_token(pp.last_logits[None], sub, self.sampling)]
+        h = pp.last_hidden[None]
+        for _ in range(1, self.fps):  # MTP seed frames
+            lg, h = mtp_logits(self.model.params, t, h, toks[-1])
+            self.key, sub = jax.random.split(self.key)
+            toks.append(sample_token(lg, sub, self.sampling))
+        first = jnp.stack(toks, axis=1)[0]                    # [fps]
 
         onehot = jnp.arange(self.B) == slot
-        self._host_pos[slot] = Lb
-        self.pos = jnp.where(onehot, Lb, self.pos)
-        self.pad = jnp.where(onehot, pad, self.pad)
-        self.tok = jnp.where(onehot, first, self.tok)
+        self._host_pos[slot] = pp.Lb
+        self.pos = jnp.where(onehot, pp.Lb, self.pos)
+        self.pad = jnp.where(onehot, pp.pad, self.pad)
+        self.tok = jnp.where(onehot[:, None], first[None, :], self.tok)
         self.frames_dev = jnp.where(onehot, 0, self.frames_dev)
         # reset the slot's codec conv tail; its transformer cache is
         # overwritten progressively (positions restart at 0 and are
@@ -267,19 +376,7 @@ class ServingEngine:
             tail=jnp.where(onehot[:, None, None], 0, self.cstate["tail"]),
         )
         self.active_mask = jnp.where(onehot, True, self.active_mask)
-
-        stream = Stream(
-            slot=slot,
-            stream_id=self._next_id,
-            active=True,
-            max_frames=max_frames,
-            submitted_at=time.perf_counter(),
-            on_chunk=on_chunk,
-        )
-        self._next_id += 1
-        self._slots[slot] = stream
-        self.streams[stream.stream_id] = stream
-        return stream.stream_id
+        stream.active = True
 
     def dispatch_step(self):
         """Enqueue one decode step for all slots; returns an opaque payload
@@ -287,16 +384,21 @@ class ServingEngine:
         step k+1 before collecting step k (the host round trip then hides
         under device compute). The payload snapshots slot->stream identity
         at dispatch time, so a step dispatched speculatively past a
-        stream's EOS can never credit frames to a slot's next occupant."""
+        stream's EOS can never credit frames to a slot's next occupant.
+        Returns None when nothing is decodable yet (only pending prefills
+        were advanced)."""
         from .generate import attn_bucket
 
-        active_pos = [
-            self._host_pos[slot]
-            for slot, s in enumerate(self._slots)
-            if s is not None and not s.done
+        self._advance_prefills()
+        active = [
+            (slot, s) for slot, s in enumerate(self._slots)
+            if s is not None and s.active and not s.done
         ]
+        if not active:
+            return None
+        steps = self.chunk // self.fps  # positions advanced per dispatch
         A = attn_bucket(
-            (max(active_pos) if active_pos else 0) + self.chunk,
+            max(self._host_pos[slot] for slot, _ in active) + steps,
             self.cfg.max_seq_len,
         )
         (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
@@ -305,18 +407,16 @@ class ServingEngine:
             self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
             self.frames_dev, self.tok, self.active_mask, self.key,
         )
-        for slot, s in enumerate(self._slots):
-            if s is not None and not s.done:
-                self._host_pos[slot] += self.chunk
-        snapshot = [
-            (slot, s.stream_id) for slot, s in enumerate(self._slots)
-            if s is not None and not s.done
-        ]
+        for slot, _ in active:
+            self._host_pos[slot] += steps
+        snapshot = [(slot, s.stream_id) for slot, s in active]
         return (snapshot, n_valid, codes, wav)
 
     def collect_step(self, payload) -> list[int]:
         """Fetch one dispatched step's results and account them; returns
         stream ids that finished."""
+        if payload is None:
+            return []
         snapshot, n_valid, codes, wav = payload
         hop = self.cfg.codec.hop
         valid_host, codes_host, wav_host = jax.device_get(
@@ -356,8 +456,9 @@ class ServingEngine:
         return finished
 
     def step(self) -> list[int]:
-        """Advance every active slot one chunk; returns stream ids finished
-        in this step (synchronous dispatch + collect)."""
+        """Advance every active slot one chunk (and pending prefills one
+        slice); returns stream ids finished in this step (synchronous
+        dispatch + collect)."""
         if not any(s is not None for s in self._slots):
             return []
         return self.collect_step(self.dispatch_step())
@@ -407,12 +508,12 @@ class ServingEngine:
             )
 
         fill_slots()
-        inflight = self.dispatch_step() if unfinished() else None
-        while inflight is not None:
+        inflight = None
+        while unfinished() or inflight is not None:
             # speculative next step: EOS'd slots waste one chunk, but the
             # fetch of `inflight` happens while the device runs `nxt`
-            nxt = self.dispatch_step()
+            nxt = self.dispatch_step() if unfinished() else None
             if self.collect_step(inflight):
                 fill_slots()
-            inflight = nxt if unfinished() else None
+            inflight = nxt
         return [self.collect(ids[i]) for i in range(len(prompts))]

@@ -66,8 +66,26 @@ def _talker_hidden_and_logits(
     bos = jnp.broadcast_to(
         params["codec_emb"][t.codec_bos][None, None, :], (B, 1, text_emb.shape[-1])
     )
-    frame_in = jnp.take(params["codec_emb"], codes0[:, :-1], axis=0)
-    x = jnp.concatenate([text_emb, bos, frame_in], axis=1)  # [B, Tt+Tf, D]
+    fps = t.frames_per_step
+    Tf = codes0.shape[1]
+    if fps == 1:
+        frame_in = jnp.take(params["codec_emb"], codes0[:, :-1], axis=0)
+    else:
+        # MTP layout: the talker consumes one MERGED embedding per step of
+        # fps frames (models/talker.py merge_step_tokens) — training must
+        # mirror the decode-time conditioning exactly
+        from ..models.talker import merge_step_tokens
+
+        assert Tf % fps == 0, (
+            f"frames {Tf} must be a multiple of frames_per_step {fps}"
+        )
+        K = Tf // fps
+        grouped = codes0.reshape(B, K, fps)
+        merged = jax.vmap(
+            lambda tk: merge_step_tokens(params, t, tk), in_axes=1, out_axes=1
+        )(grouped)                                       # [B, K, D]
+        frame_in = merged[:, :-1].astype(text_emb.dtype)
+    x = jnp.concatenate([text_emb, bos, frame_in], axis=1)  # [B, Tt+K, D]
 
     S = x.shape[1]
     dtype = x.dtype
@@ -78,8 +96,30 @@ def _talker_hidden_and_logits(
         params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
         pad_len=shift,
     )
-    # positions Tt-1+k+1 = Tt+k hold the prediction for frame k (BOS at Tt)
-    return hidden[:, Tt:, :], logits[:, Tt:, :]
+    # positions Tt-1+k+1 = Tt+k hold the prediction for step k (BOS at Tt)
+    step_hidden = hidden[:, Tt:, :]
+    step_logits = logits[:, Tt:, :]
+    if fps == 1:
+        return step_hidden, step_logits
+
+    # teacher-forced MTP chain: step hidden + ground-truth frame j-1 token
+    # -> frame j logits through the shared head (matches decode)
+    from ..models.talker import mtp_logits
+
+    K = step_hidden.shape[1]
+    D = step_hidden.shape[-1]
+    flat_h = step_hidden.reshape(B * K, D)
+    grouped = codes0.reshape(B, K, fps)
+    per_frame = [step_logits]                             # frame 0 of step
+    h = flat_h
+    for j in range(1, fps):
+        prev = grouped[:, :, j - 1].reshape(B * K)
+        lg, h = mtp_logits(params, t, h, prev)
+        per_frame.append(lg.reshape(B, K, -1))
+    # interleave: [B, K, fps, V] -> [B, Tf, V]
+    logits_frames = jnp.stack(per_frame, axis=2).reshape(B, K * fps, -1)
+    hidden_frames = jnp.repeat(step_hidden, fps, axis=1)  # [B, Tf, D]
+    return hidden_frames, logits_frames
 
 
 def talker_loss(params: Any, cfg: ModelConfig, batch: dict) -> jnp.ndarray:

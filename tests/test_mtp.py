@@ -1,0 +1,136 @@
+"""Multi-token prediction (TalkerConfig.frames_per_step > 1): the MTP
+decode head emits ``fps`` codec frames per talker weight pass — the
+bytes-per-frame lever behind the >=20x single-stream RTF target
+(VERDICT.md next #2). These tests pin its correctness properties:
+determinism, streaming identity, serving/single-stream greedy parity, and
+train-time layout matching decode."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from qwen3_tts_tpu.engine import configs  # noqa: E402
+from qwen3_tts_tpu.engine.api import Qwen3TTSModel, generate_audio  # noqa: E402
+from qwen3_tts_tpu.runtime.generate import Generator  # noqa: E402
+from qwen3_tts_tpu.runtime.prompts import PromptSpec  # noqa: E402
+from qwen3_tts_tpu.runtime.sampling import SamplingConfig  # noqa: E402
+from qwen3_tts_tpu.runtime.serving import ServingEngine  # noqa: E402
+
+GREEDY = SamplingConfig(greedy=True)
+
+
+def _mtp_cfg(fps=2):
+    return configs.with_frames_per_step(configs.tiny("custom"), fps)
+
+
+@pytest.fixture(scope="module")
+def mtp_model():
+    return Qwen3TTSModel.synthetic(_mtp_cfg(2), seed=9)
+
+
+def _prompt(seed: int) -> PromptSpec:
+    rng = np.random.default_rng(seed)
+    return PromptSpec(
+        text_tokens=rng.integers(0, 200, size=6).astype(np.int32),
+        speaker_id=int(seed % 4),
+    )
+
+
+def _gen(model, chunks=(8,)):
+    return Generator(
+        cfg=model.cfg,
+        params=model.params,
+        cp_params=model.cp_params,
+        codec_params=model.codec_params,
+        sampling=GREEDY,
+        chunk_schedule=chunks,
+    )
+
+
+def test_mtp_params_exist(mtp_model):
+    assert "mtp" in mtp_model.params
+    t = mtp_model.cfg.talker
+    merge = mtp_model.params["mtp"]["merge"]
+    w = merge["w"] if "w" in merge else merge["q"]
+    assert np.shape(w) == (t.hidden, t.frames_per_step * t.hidden)
+
+
+def test_mtp_decode_runs_and_is_deterministic(mtp_model):
+    gen = _gen(mtp_model)
+    r1 = gen.synthesize(_prompt(1), max_frames=12, seed=0)
+    r2 = gen.synthesize(_prompt(1), max_frames=12, seed=0)
+    assert r1.frames > 0
+    assert r1.frames == r2.frames
+    np.testing.assert_array_equal(r1.wav, r2.wav)
+    hop = mtp_model.cfg.codec.hop
+    assert len(r1.wav) == r1.frames * hop
+
+
+def test_mtp_streaming_chunks_equal_final(mtp_model):
+    gen = _gen(mtp_model, chunks=(4, 8))
+    chunks = []
+    res = gen.synthesize(
+        _prompt(2), max_frames=14, seed=1, on_chunk=chunks.append
+    )
+    np.testing.assert_allclose(np.concatenate(chunks), res.wav, atol=0)
+
+
+def test_mtp_serving_matches_single_stream_greedy(mtp_model):
+    prompts = [_prompt(1), _prompt(2)]
+    singles = [
+        _gen(mtp_model).synthesize(p, max_frames=10, seed=0) for p in prompts
+    ]
+    engine = ServingEngine(mtp_model, max_streams=2, chunk=8, sampling=GREEDY)
+    served = engine.run(prompts, max_frames=10)
+    for res, (wav_served, stream) in zip(singles, served):
+        assert stream.done
+        assert stream.frames == res.frames
+        np.testing.assert_allclose(wav_served, res.wav, atol=2e-2)
+
+
+def test_mtp_uses_half_the_positions(mtp_model):
+    """fps=2 advances ONE cache position per two frames — the KV budget
+    doubles in frame terms."""
+    gen = _gen(mtp_model)
+    emb, _ = gen.assemble_prompt(_prompt(3))
+    Lb = emb.shape[1]
+    budget = (mtp_model.cfg.max_seq_len - Lb) * 2
+    res = gen.synthesize(_prompt(3), max_frames=10_000, seed=0)
+    assert res.frames <= budget
+
+
+def test_mtp_generate_audio_end_to_end(mtp_model, temp_dir):
+    import os
+    import wave
+
+    m = generate_audio(
+        model=mtp_model, text="Hello multi token.", voice="ryan",
+        output_path=temp_dir, max_frames=12,
+    )
+    assert m["frames"] > 0
+    with wave.open(os.path.join(temp_dir, "audio_000.wav")) as w:
+        assert w.getnframes() == m["frames"] * mtp_model.cfg.codec.hop
+
+
+def test_mtp_training_step_runs_and_reduces_loss():
+    import optax
+
+    from qwen3_tts_tpu.training import init_train_state, make_train_step
+    from qwen3_tts_tpu.training.train import synthetic_batch
+
+    cfg = configs.with_frames_per_step(
+        configs.tiny("custom", quant=False), 2
+    )
+    model = Qwen3TTSModel.synthetic(cfg, seed=3)
+    opt = optax.adam(3e-3)
+    state = init_train_state(model.params, model.cp_params, opt)
+    step = make_train_step(cfg, opt, remat=False)
+    batch = synthetic_batch(cfg, batch_size=2, t_text=6, t_frames=8, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, m0 = step(state, batch)
+    for _ in range(6):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert np.isfinite(float(m["loss"]))

@@ -115,3 +115,61 @@ def test_engine_reuse_across_runs(model):
     np.testing.assert_allclose(r1[0][0], r2[0][0], atol=1e-6)
     # finished-stream bookkeeping does not grow unboundedly
     assert len(engine.streams) <= 2
+
+
+def _all_codes(stream):
+    return (
+        np.concatenate(stream.codes, axis=1)
+        if stream.codes else np.zeros((0, 0), np.int32)
+    )
+
+
+def test_midflight_join_leaves_other_streams_token_identical(model):
+    """A stream joining mid-flight (chunked prefill interleaved with decode)
+    must not change any other stream's output (VERDICT.md next #6)."""
+    # solo references (greedy => deterministic)
+    solo = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    (wav_a_solo, sa), (wav_b_solo, sb) = (
+        solo.run([_prompt(1)], max_frames=12)[0],
+        solo.run([_prompt(2)], max_frames=6)[0],
+    )
+
+    eng = ServingEngine(
+        model, max_streams=2, chunk=4, prefill_chunk=16, sampling=GREEDY
+    )
+    a = eng.submit(_prompt(1), max_frames=12)
+    for _ in range(2):
+        eng.step()
+    assert not eng.streams[a].done
+    b = eng.submit(_prompt(2), max_frames=6)  # joins mid-flight
+    # the join is chunked: the prompt bucket (64) needs several slices
+    assert eng._pending and eng._pending[0].Lb > 16
+    guard = 0
+    while not (eng.streams[a].done and eng.streams[b].done):
+        eng.step()
+        guard += 1
+        assert guard < 100
+    wav_a, stream_a = eng.collect(a)
+    wav_b, stream_b = eng.collect(b)
+    np.testing.assert_array_equal(_all_codes(stream_a), _all_codes(sa))
+    np.testing.assert_array_equal(_all_codes(stream_b), _all_codes(sb))
+    np.testing.assert_allclose(wav_a, wav_a_solo, atol=1e-5)
+    np.testing.assert_allclose(wav_b, wav_b_solo, atol=1e-5)
+
+
+def test_prefill_is_chunked_under_load(model):
+    """While another stream is live, at most one prefill slice runs per
+    decode step (the join never stalls live streams for a full prefill)."""
+    eng = ServingEngine(
+        model, max_streams=2, chunk=4, prefill_chunk=16, sampling=GREEDY
+    )
+    eng.submit(_prompt(1), max_frames=20)
+    eng.step()  # activates A (drained: nobody live yet)
+    eng.submit(_prompt(2), max_frames=4)
+    slices = []
+    while eng._pending:
+        pp = eng._pending[0]
+        before = pp.pos
+        eng.step()
+        slices.append(pp.pos - before)
+    assert slices and all(s <= 16 for s in slices)

@@ -68,6 +68,37 @@ class AttnOut(NamedTuple):
     cache_v: jnp.ndarray
 
 
+def _scores_ctx(
+    qg: jnp.ndarray,        # [B', T, H_kv, g, hd]
+    keys: jnp.ndarray,      # [B', S', H_kv, hd]
+    values: jnp.ndarray,
+    qry_idx: jnp.ndarray,   # [B'|1, T, 1]
+    pad_b: jnp.ndarray,
+    head_dim: int,
+    out_dtype,
+) -> jnp.ndarray:
+    """Masked GQA attention read over a cache slice: returns ctx
+    [B', T, H_kv, g, hd]."""
+    B, T = qg.shape[0], qg.shape[1]
+    S = keys.shape[1]
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, keys, preferred_element_type=jnp.float32
+    )
+    scores = scores * (head_dim ** -0.5)
+
+    key_idx = jnp.arange(S)[None, None, :]              # [1, 1, S]
+    causal = key_idx <= qry_idx                         # [B|1, T, S]
+    valid = key_idx >= pad_b                            # mask left-padding
+    allowed = (causal & valid) | (key_idx == qry_idx)
+    allowed = jnp.broadcast_to(allowed, (B, T, S))
+    scores = jnp.where(allowed[:, None, None, :, :], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(values.dtype)
+    return jnp.einsum(
+        "bhgts,bshd->bthgd", probs, values, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
 def attention(
     p: dict,
     x: jnp.ndarray,
@@ -83,6 +114,7 @@ def attention(
     rms_eps: float,
     qk_norm: bool = True,
     pad_len: jnp.ndarray | int = 0,
+    window_split: tuple | None = None,
 ) -> AttnOut:
     """GQA attention with KV-cache write at offset ``pos``.
 
@@ -97,9 +129,15 @@ def attention(
     single-utterance path) or [B] vectors (each stream at its own offset —
     continuous batched serving). With vector ``pos``, cos/sin must be
     per-stream [B, T, hd/2].
+
+    ``window_split`` (serving, per-slot-group attention windows): a static
+    tuple of (batch_size, window_len) pairs covering contiguous batch
+    groups; group g's queries read only the first window_len cache rows, so
+    short streams don't pay a long-running neighbour's KV bandwidth. The
+    q/k/v/o projections stay full-batch (one weight read); only the
+    scores/context einsums split.
     """
     B, T, _ = x.shape
-    S = cache_k.shape[1]
     groups = n_heads // n_kv_heads
     pos = jnp.asarray(pos)
     vector_pos = pos.ndim == 1
@@ -133,28 +171,31 @@ def attention(
 
     # q: [B, T, H_kv, g, hd]; keys: [B, S, H_kv, hd]
     qg = q.reshape(B, T, n_kv_heads, groups, head_dim)
-    scores = jnp.einsum(
-        "bthgd,bshd->bhgts", qg, cache_k, preferred_element_type=jnp.float32
-    )
-    scores = scores * (head_dim ** -0.5)
-
-    key_idx = jnp.arange(S)[None, None, :]              # [1, 1, S]
     if vector_pos:
         qry_idx = pos[:, None, None] + jnp.arange(T)[None, :, None]  # [B,T,1]
     else:
         qry_idx = (pos + jnp.arange(T))[None, :, None]               # [1,T,1]
     pad_arr = jnp.asarray(pad_len)
     pad_b = pad_arr[:, None, None] if pad_arr.ndim == 1 else pad_arr
-    causal = key_idx <= qry_idx                         # [B|1, T, S]
-    valid = key_idx >= pad_b                            # mask left-padding
-    allowed = (causal & valid) | (key_idx == qry_idx)
-    allowed = jnp.broadcast_to(allowed, (B, T, S))
-    scores = jnp.where(allowed[:, None, None, :, :], scores, -jnp.inf)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
-    ctx = jnp.einsum(
-        "bhgts,bshd->bthgd", probs, cache_v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    if window_split is None:
+        ctx = _scores_ctx(
+            qg, cache_k, cache_v, qry_idx, pad_b, head_dim, x.dtype
+        )
+    else:
+        parts = []
+        lo = 0
+        for size, win in window_split:
+            hi = lo + size
+            qi = qry_idx[lo:hi] if qry_idx.shape[0] == B else qry_idx
+            pb = pad_b[lo:hi] if pad_b.ndim == 3 and pad_b.shape[0] == B else pad_b
+            parts.append(_scores_ctx(
+                qg[lo:hi], cache_k[lo:hi, :win], cache_v[lo:hi, :win],
+                qi, pb, head_dim, x.dtype,
+            ))
+            lo = hi
+        assert lo == B, (window_split, B)
+        ctx = jnp.concatenate(parts, axis=0)
     ctx = ctx.reshape(B, T, n_heads * head_dim)
     return AttnOut(linear(ctx, p["o"]), cache_k, cache_v)
 
@@ -186,6 +227,7 @@ def transformer_block(
     rms_eps: float,
     qk_norm: bool = True,
     pad_len: jnp.ndarray | int = 0,
+    window_split: tuple | None = None,
 ) -> BlockOut:
     """Pre-norm residual block: x + Attn(LN(x)); x + MLP(LN(x))."""
     attn_out = attention(
@@ -202,6 +244,7 @@ def transformer_block(
         rms_eps=rms_eps,
         qk_norm=qk_norm,
         pad_len=pad_len,
+        window_split=window_split,
     )
     x = x + attn_out.out
     x = x + swiglu_mlp(p["mlp"], rmsnorm(x, p["ln2"], rms_eps))

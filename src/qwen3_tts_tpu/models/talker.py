@@ -167,6 +167,7 @@ def talker_forward(
     cos_table: jnp.ndarray,        # [S, hd/2] full-length RoPE tables
     sin_table: jnp.ndarray,
     pad_len: jnp.ndarray | int = 0,
+    window_split: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run all layers; returns (hidden [B,T,D], logits [B,T,codec_vocab],
     new_cache_k, new_cache_v). Works for prefill (T>1) and decode (T=1).
@@ -200,6 +201,7 @@ def talker_forward(
             rms_eps=t.rms_eps,
             qk_norm=True,
             pad_len=pad_len,
+            window_split=window_split,
         )
         return out.x, (out.cache_k, out.cache_v)
 

@@ -59,6 +59,7 @@ class Stream:
     done: bool = False
     frames: int = 0
     max_frames: int = 0
+    expected_end: int = 0     # predicted final cache position (grouping)
     codes: list[np.ndarray] = field(default_factory=list)   # [Q, n] slabs
     wav_chunks: list[np.ndarray] = field(default_factory=list)
     submitted_at: float = 0.0
@@ -128,6 +129,12 @@ class ServingEngine:
         self._slots: list[Stream | None] = [None] * self.B
         self._next_id = 0
         self.prefill_chunk = prefill_chunk
+        # per-slot-group attention windows: slots split into contiguous
+        # groups; each group's decode reads only ITS max-needed cache
+        # prefix, so one long-running stream doesn't tax every short
+        # stream's KV bandwidth (weight reads stay shared — the split is
+        # inside attention only, models/layers.py window_split)
+        self.n_groups = 2 if (max_streams >= 4 and max_streams % 2 == 0) else 1
         self._pending: list[_PendingPrefill] = []
         self._prefill_fns: dict[tuple[int, int], Callable] = {}
         self._scatter_fns: dict[int, Callable] = {}
@@ -177,9 +184,11 @@ class ServingEngine:
         self._scatter_fns[Lb] = scatter
         return scatter
 
-    def _decode_fn(self, attn_len: int | None = None) -> Callable:
-        if attn_len in self._decode_fns:
-            return self._decode_fns[attn_len]
+    def _decode_fn(self, wins: tuple[int, ...]) -> Callable:
+        """Fused serve step compiled for one tuple of per-group attention
+        windows (one entry per slot group; a single entry = no split)."""
+        if wins in self._decode_fns:
+            return self._decode_fns[wins]
         from ..models.codec import decode_codes_streaming
         from ..models.talker import merge_step_tokens, mtp_logits
 
@@ -189,7 +198,11 @@ class ServingEngine:
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
         S = cfg.max_seq_len
-        A = attn_len or S
+        A = max(wins)
+        group_size = self.B // len(wins)
+        split = (
+            tuple((group_size, w) for w in wins) if len(wins) > 1 else None
+        )
         fps = self.fps
         n_steps = chunk // fps
 
@@ -212,7 +225,8 @@ class ServingEngine:
                 ck, cv, p, tk, k = carry
                 emb = merge_step_tokens(params, t, tk)[:, None, :]
                 hidden, logits, ck, cv = talker_forward(
-                    params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad
+                    params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad,
+                    window_split=split,
                 )
                 h = hidden[:, -1, :]
                 k, sub = jax.random.split(k)
@@ -266,7 +280,7 @@ class ServingEngine:
             return (ck, cv, cstate, p, tk, key, frames,
                     n_valid, codes, wav_chunk)
 
-        self._decode_fns[attn_len] = decode_chunk
+        self._decode_fns[wins] = decode_chunk
         return decode_chunk
 
     # -- stream lifecycle ---------------------------------------------------
@@ -283,10 +297,7 @@ class ServingEngine:
     ) -> int:
         """Reserve a free slot for ``prompt`` and queue its chunked prefill
         (advanced by subsequent steps); returns the stream id."""
-        slot = next(
-            (i for i, s in enumerate(self._slots) if s is None), None
-        )
-        if slot is None:
+        if all(s is not None for s in self._slots):
             raise RuntimeError("no free slots; call step() until one frees")
 
         gen = self.model.generator  # reuse its prompt assembly
@@ -295,11 +306,17 @@ class ServingEngine:
         budget = (self.cfg.max_seq_len - Lb) * self.fps
         max_frames = max(1, min(max_frames, budget))
 
+        # final cache position this stream can reach (prompt bucket is
+        # left-padded, so it occupies positions 0..Lb regardless of pad)
+        expected_end = Lb + -(-max_frames // self.fps)
+        slot = self._pick_slot(expected_end)
+
         stream = Stream(
             slot=slot,
             stream_id=self._next_id,
             active=False,
             max_frames=max_frames,
+            expected_end=expected_end,
             submitted_at=time.perf_counter(),
             on_chunk=on_chunk,
         )
@@ -315,6 +332,41 @@ class ServingEngine:
             sk=sk, sv=jnp.zeros_like(sk),
         ))
         return stream.stream_id
+
+    def _pick_slot(self, expected_end: int) -> int:
+        """Choose a free slot: with slot groups, place the stream in the
+        group where it inflates the group's attention-window bucket the
+        least (short streams cluster away from long ones, so their decode
+        keeps reading a small cache prefix)."""
+        from .generate import attn_bucket
+
+        free = [i for i, s in enumerate(self._slots) if s is None]
+        if self.n_groups == 1:
+            return free[0]
+        S = self.cfg.max_seq_len
+        group_size = self.B // self.n_groups
+        my_bucket = attn_bucket(expected_end, S)
+        best = None
+        best_cost = None
+        for g in range(self.n_groups):
+            gfree = [i for i in free if i // group_size == g]
+            if not gfree:
+                continue
+            members = [
+                self._slots[i]
+                for i in range(g * group_size, (g + 1) * group_size)
+                if self._slots[i] is not None
+            ]
+            cur = attn_bucket(
+                max((m.expected_end for m in members), default=0), S
+            )
+            joined = max(cur, my_bucket)
+            # lexicographic: my window if I join here, then how much I
+            # inflate the group's existing members
+            cost = (joined, joined - cur)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = gfree[0], cost
+        return best
 
     # -- chunked prefill -----------------------------------------------------
 
@@ -397,12 +449,19 @@ class ServingEngine:
         if not active:
             return None
         steps = self.chunk // self.fps  # positions advanced per dispatch
-        A = attn_bucket(
-            max(self._host_pos[slot] for slot, _ in active) + steps,
-            self.cfg.max_seq_len,
-        )
+        S = self.cfg.max_seq_len
+        group_size = self.B // self.n_groups
+        wins = []
+        for g in range(self.n_groups):
+            gpos = [
+                self._host_pos[slot] for slot, _ in active
+                if slot // group_size == g
+            ]
+            wins.append(attn_bucket((max(gpos) if gpos else 0) + steps, S))
         (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
-         self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(A)(
+         self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
+            tuple(wins)
+        )(
             self.model.params, self.model.cp_params, self.model.codec_params,
             self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
             self.frames_dev, self.tok, self.active_mask, self.key,

@@ -173,3 +173,44 @@ def test_prefill_is_chunked_under_load(model):
         eng.step()
         slices.append(pp.pos - before)
     assert slices and all(s <= 16 for s in slices)
+
+
+def test_slot_groups_separate_long_and_short_streams(model, monkeypatch):
+    """Per-slot-group attention windows (VERDICT.md weak #5): streams with
+    different expected lengths land in different slot groups, the decode
+    compiles per-group windows, and outputs stay token-identical to solo
+    greedy runs."""
+    import qwen3_tts_tpu.runtime.generate as gen_mod
+
+    # tiny model (max_seq_len 256): give it sub-256 window buckets so the
+    # two groups genuinely read different cache prefixes
+    monkeypatch.setattr(gen_mod, "ATTN_BUCKETS", (96, 160, 256))
+
+    long_p, short_p = _prompt(1), _prompt(2)
+    solo = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    (wav_long_solo, sl) = solo.run([long_p], max_frames=60)[0]
+    (wav_short_solo, ss) = solo.run([short_p], max_frames=8)[0]
+
+    eng = ServingEngine(model, max_streams=4, chunk=4, sampling=GREEDY)
+    assert eng.n_groups == 2
+    a = eng.submit(long_p, max_frames=60)    # expected_end ~ 64+30
+    b = eng.submit(short_p, max_frames=8)    # expected_end ~ 64+4
+    # the streams must land in different slot groups
+    ga = eng.streams[a].slot // (eng.B // eng.n_groups)
+    gb = eng.streams[b].slot // (eng.B // eng.n_groups)
+    assert ga != gb
+    guard = 0
+    while not (eng.streams[a].done and eng.streams[b].done):
+        eng.step()
+        guard += 1
+        assert guard < 200
+    # distinct per-group windows were actually compiled at some point
+    assert any(
+        len(set(w)) > 1 for w in eng._decode_fns if isinstance(w, tuple)
+    ), list(eng._decode_fns)
+    wav_a, stream_a = eng.collect(a)
+    wav_b, stream_b = eng.collect(b)
+    np.testing.assert_array_equal(_all_codes(stream_a), _all_codes(sl))
+    np.testing.assert_array_equal(_all_codes(stream_b), _all_codes(ss))
+    np.testing.assert_allclose(wav_a, wav_long_solo, atol=1e-5)
+    np.testing.assert_allclose(wav_b, wav_short_solo, atol=1e-5)

@@ -371,14 +371,19 @@ class ServingEngine:
     # -- chunked prefill -----------------------------------------------------
 
     def _advance_prefills(self) -> None:
-        """Dispatch prefill slices: ONE slice when live streams are decoding
-        (bounding their stall per step), otherwise drain everything pending
-        (nobody to stall)."""
-        live = any(
-            s is not None and s.active and not s.done for s in self._slots
-        )
-        budget = 1 if live else float("inf")
-        while self._pending and budget > 0:
+        """Dispatch prefill slices: ONE slice per step while live streams
+        are decoding (bounding their stall), otherwise keep slicing until
+        the FIRST stream activates — decode starts as early as possible and
+        the remaining pending streams trickle in one slice per step (TTFA
+        under cold start and under load both stay bounded)."""
+
+        def live() -> bool:
+            return any(
+                s is not None and s.active and not s.done for s in self._slots
+            )
+
+        stalled_once = False
+        while self._pending and not (live() and stalled_once):
             pp = self._pending[0]
             C = min(self.prefill_chunk, pp.Lb)
             fn = self._prefill_slice_fn(C, pp.Lb)
@@ -388,7 +393,7 @@ class ServingEngine:
                 pp.sk, pp.sv, jnp.int32(pp.pos),
             )
             pp.pos += C
-            budget -= 1
+            stalled_once = True
             if pp.pos >= pp.Lb:
                 self._finish_prefill(pp)
                 self._pending.pop(0)

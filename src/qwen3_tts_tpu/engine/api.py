@@ -78,6 +78,56 @@ def apply_compute_format(model: "Qwen3TTSModel") -> "Qwen3TTSModel":
     return model
 
 
+def _device_randomize(tree: Any, seed: int, post: Callable | None = None) -> Any:
+    """Regenerate a host parameter pytree ON DEVICE, leaf by leaf.
+
+    Synthetic weights' *values* are arbitrary — only shapes, dtypes and the
+    value envelope matter (bench/compile checks use ``fast=True`` init for
+    the same reason). Uploading ~2 GB of arbitrary bytes through the tunneled
+    TPU link cost ~8 minutes (BENCH_r01 ``load_s`` 488 s); instead we read
+    each host leaf's (shape, dtype, min, max) and have one jitted generator
+    produce statistically-equivalent leaves directly in HBM. Constant leaves
+    (norm scales, fast-init quant scale/bias grids) reproduce exactly.
+
+    ``post`` (optional) is fused into the same jitted program — e.g. the
+    int8->bf16 dequantization when the compute format is bf16, so load pays
+    ONE remote compile instead of three (remote compiles are minutes on the
+    tunneled TPU and are not covered by the persistent cache — CLAUDE.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(tree)
+    specs = []  # (shape, dtype, lo, hi)
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        lo = float(a.min()) if a.size else 0.0
+        hi = float(a.max()) if a.size else 0.0
+        specs.append((a.shape, a.dtype, lo, hi))
+
+    def gen(key):
+        keys = jax.random.split(key, max(1, len(specs)))
+        out = []
+        for k, (shape, dtype, lo, hi) in zip(keys, specs):
+            jdt = jnp.dtype(dtype)
+            if jdt == jnp.uint8:
+                bits = jax.random.bits(k, shape, dtype=jnp.uint8)
+                span = int(hi) - int(lo) + 1
+                if span >= 256 and int(lo) == 0:
+                    out.append(bits)
+                else:  # modulo bias irrelevant for synthetic values
+                    out.append((bits % jnp.uint8(span) + jnp.uint8(int(lo))))
+            elif lo == hi:
+                out.append(jnp.full(shape, lo, dtype=jdt))
+            else:
+                u = jax.random.uniform(k, shape, jnp.float32, lo, hi)
+                out.append(u.astype(jdt))
+        t = jax.tree.unflatten(treedef, out)
+        return post(t) if post is not None else t
+
+    return jax.jit(gen)(jax.random.PRNGKey(seed))
+
+
 @dataclass
 class Qwen3TTSModel:
     """A loaded model: config + device parameter pytrees + tokenizer + the
@@ -126,15 +176,44 @@ class Qwen3TTSModel:
         """Random-initialised model with the production pytree layout —
         used by CI, benchmarks and when no checkpoint is on disk.
         ``fast=True`` skips the quantization solve (bench/compile checks)."""
+        import jax
+
         from ..models.code_predictor import init_code_predictor
         from ..models.codec import init_codec
         from ..models.talker import init_talker
 
+        params = init_talker(cfg, seed, fast=fast)
+        cp_params = init_code_predictor(cfg, seed + 1, fast=fast)
+        if fast and jax.default_backend() != "cpu":
+            # fast path: regenerate the two big trees on device instead of
+            # uploading them through the (slow, tunneled) host->device link;
+            # the bf16 dequantization is fused into the same (single) compile
+            post = None
+            if cfg.quant.enabled and compute_format() == "bf16":
+                from functools import partial
+
+                import jax.numpy as jnp
+
+                from ..ops.quant import dequantize_tree
+
+                post = partial(dequantize_tree, dtype=jnp.bfloat16)
+            params, cp_params = _device_randomize(
+                (params, cp_params), seed, post=post
+            )
+            model = cls(
+                cfg=cfg,
+                params=params,
+                cp_params=cp_params,
+                codec_params=jax.device_put(init_codec(cfg, seed + 2)),
+                tokenizer=load_tokenizer(None, cfg.talker.vocab_size),
+                name=f"synthetic-{cfg.mode}",
+            )
+            return model
         return apply_compute_format(
             cls(
                 cfg=cfg,
-                params=init_talker(cfg, seed, fast=fast),
-                cp_params=init_code_predictor(cfg, seed + 1, fast=fast),
+                params=params,
+                cp_params=cp_params,
                 codec_params=init_codec(cfg, seed + 2),
                 tokenizer=load_tokenizer(None, cfg.talker.vocab_size),
                 name=f"synthetic-{cfg.mode}",

@@ -217,3 +217,35 @@ def test_clamp_ids_raises_for_real_sized_vocab():
     assert clamp_ids([300, 5], 64) == [300 % 64, 5]  # tiny config: aliased
     with pytest.raises(ValueError, match="mismatch"):
         clamp_ids([200_000], 151_936)
+
+
+def test_device_randomize_preserves_structure_and_envelope():
+    """_device_randomize (fast synthetic load on TPU) must reproduce each
+    leaf's shape/dtype and value envelope; constant leaves exactly."""
+    import numpy as np
+
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import _device_randomize
+    from qwen3_tts_tpu.models.talker import init_talker
+
+    cfg = configs.tiny("custom", quant=True)
+    host = init_talker(cfg, seed=0, fast=True)
+    dev = _device_randomize(host, seed=0)
+
+    import jax
+
+    h_leaves = jax.tree.leaves_with_path(host)
+    d_leaves = jax.tree.leaves_with_path(dev)
+    assert [p for p, _ in h_leaves] == [p for p, _ in d_leaves]
+    for (path, h), (_, d) in zip(h_leaves, d_leaves):
+        d = np.asarray(d)
+        h = np.asarray(h)
+        assert d.shape == h.shape, path
+        assert d.dtype == h.dtype, path
+        if h.size and h.min() == h.max():  # constants reproduce exactly
+            assert np.all(d == h), path
+        elif h.size:
+            lo, hi = float(h.min()), float(h.max())
+            span = hi - lo
+            assert float(d.min()) >= lo - 1e-6 * abs(span), path
+            assert float(d.max()) <= hi + 1e-6 * abs(span), path

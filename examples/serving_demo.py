@@ -40,6 +40,7 @@ print(f"{len(results)} streams, {total:.1f}s audio in {wall:.1f}s "
       f"({total / wall:.1f}x realtime aggregate)")
 for i, (wav, stream) in enumerate(results):
     ttfa = f"{stream.ttfa_s:.3f}s" if stream.ttfa_s is not None else "n/a"
-    rms = float(np.sqrt(np.mean(wav**2))) if len(wav) else 0.0
+    wf = wav.astype(np.float32) / 32767.0  # int16 PCM from the engine
+    rms = float(np.sqrt(np.mean(wf**2))) if len(wf) else 0.0
     print(f"  stream {i}: slot={stream.slot} frames={stream.frames} "
           f"ttfa={ttfa} rms={rms:.3f}")

@@ -420,7 +420,9 @@ def generate_audio(
             if ttfa is None:
                 ttfa = result.ttfa_s
 
-    gap = np.zeros(int(_SEGMENT_GAP_S * sr), dtype=np.float32)
+    # decode emits device-quantized int16 PCM (ops/pcm.py); the gap must
+    # match so segment concatenation stays one dtype
+    gap = np.zeros(int(_SEGMENT_GAP_S * sr), dtype=pieces[0].dtype)
     out = pieces[0] if len(pieces) == 1 else np.concatenate(
         [p for pair in zip(pieces, [gap] * len(pieces)) for p in pair][:-1]
     )
@@ -430,6 +432,10 @@ def generate_audio(
     if abs(speed - 1.0) >= 1e-3 and not cfg.native_speed and len(out):
         from ..audio.stretch import time_stretch
 
+        if out.dtype == np.int16:
+            from ..ops.pcm import pcm16_to_f32
+
+            out = pcm16_to_f32(out)
         out = time_stretch(out, float(speed), sr)
 
     from ..audio import write_wav

@@ -74,7 +74,7 @@ def attn_bucket(needed: int, s_max: int) -> int:
 
 @dataclass
 class GenerationResult:
-    wav: np.ndarray                   # [n_samples] float32 mono
+    wav: np.ndarray                   # [n_samples] int16 PCM mono (24 kHz)
     frames: int
     sample_rate: int
     ttfa_s: float                     # time to first audio chunk
@@ -128,6 +128,7 @@ def make_decode_chunk_fn(
     """
     from ..models.codec import decode_codes_streaming
     from ..models.talker import merge_step_tokens, mtp_logits
+    from ..ops.pcm import wav_to_pcm16
 
     t = cfg.talker
     S = cfg.max_seq_len
@@ -213,7 +214,10 @@ def make_decode_chunk_fn(
         if A < S:  # write the updated prefix back into the donated buffers
             ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
             cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
-        return ck, cv, cstate, p, tok, key, n_frames, n_valid, codes, wav_chunk
+        # quantize to 16-bit PCM on device: halves the per-chunk host fetch
+        # (the final WAV is 16-bit PCM anyway; bit-identical to host quant)
+        wav_pcm = wav_to_pcm16(wav_chunk)
+        return ck, cv, cstate, p, tok, key, n_frames, n_valid, codes, wav_pcm
 
     return decode_chunk
 
@@ -372,7 +376,7 @@ class Generator:
         max_frames: int,
         seed: int = 0,
     ) -> Iterator[tuple[np.ndarray, dict]]:
-        """Yield (wav_chunk float32 [n], info) as audio becomes available.
+        """Yield (wav_chunk int16 PCM [n], info) as audio becomes available.
 
         The last yield carries info["final"] = True and the full-quality
         re-decoded waveform for the entire utterance.
@@ -430,6 +434,11 @@ class Generator:
                 ck, cv, rg, pos, pad_len, nf, tok, k,
             )
             state = (ck, cv, rg, pos, tok, k, nf)
+            # start async host copies at dispatch: the transfer overlaps the
+            # next chunk's compute instead of serializing at device_get
+            for arr in (n_valid, codes, wav):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
             inflight.append((chunk, (n_valid, codes, wav)))
             dispatched += chunk
             chunk_idx += 1
@@ -466,7 +475,7 @@ class Generator:
         wav_full = (
             np.concatenate(wav_pieces)
             if wav_pieces
-            else np.zeros(0, dtype=np.float32)
+            else np.zeros(0, dtype=np.int16)
         )
         wall = time.perf_counter() - start
         yield wav_full, {
@@ -495,7 +504,7 @@ class Generator:
         on_chunk: Callable[[np.ndarray], None] | None = None,
     ) -> GenerationResult:
         """Run the full pipeline; returns the final full-quality waveform."""
-        final_wav = np.zeros(0, dtype=np.float32)
+        final_wav = np.zeros(0, dtype=np.int16)
         info: dict = {"frames": 0, "ttfa_s": 0.0, "wall_s": 0.0}
         for wav_chunk, meta in self.stream(prompt, max_frames=max_frames, seed=seed):
             if meta["final"]:

@@ -191,6 +191,7 @@ class ServingEngine:
             return self._decode_fns[wins]
         from ..models.codec import decode_codes_streaming
         from ..models.talker import merge_step_tokens, mtp_logits
+        from ..ops.pcm import wav_to_pcm16
 
         cfg = self.cfg
         t = cfg.talker
@@ -277,8 +278,10 @@ class ServingEngine:
             if A < S:  # write the prefix back into the donated buffers
                 ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
                 cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
+            # device-side 16-bit PCM: halves the per-chunk host fetch, the
+            # serving throughput floor on a tunneled TPU (ops/pcm.py)
             return (ck, cv, cstate, p, tk, key, frames,
-                    n_valid, codes, wav_chunk)
+                    n_valid, codes, wav_to_pcm16(wav_chunk))
 
         self._decode_fns[wins] = decode_chunk
         return decode_chunk
@@ -474,6 +477,13 @@ class ServingEngine:
         for slot, _ in active:
             self._host_pos[slot] += steps
         snapshot = [(slot, s.stream_id) for slot, s in active]
+        # start the device->host copies as soon as the step finishes on
+        # device: with a multi-chunk pipeline the transfer of chunk k then
+        # overlaps the compute of chunks k+1.. instead of serializing one
+        # ~30 ms tunnel round trip per chunk at collect time
+        for arr in (n_valid, codes, wav):
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
         return (snapshot, n_valid, codes, wav)
 
     def collect_step(self, payload) -> list[int]:
@@ -533,22 +543,30 @@ class ServingEngine:
         wav = (
             np.concatenate(stream.wav_chunks)
             if stream.wav_chunks
-            else np.zeros(0, np.float32)
+            else np.zeros(0, np.int16)
         )
         return wav, stream
 
     # -- convenience driver -------------------------------------------------
 
     def run(
-        self, prompts: list[PromptSpec], *, max_frames: int | list[int]
+        self,
+        prompts: list[PromptSpec],
+        *,
+        max_frames: int | list[int],
+        pipeline_depth: int = 3,
     ) -> list[tuple[np.ndarray, Stream]]:
         """Serve all prompts to completion (continuous batching: new prompts
         enter as slots free up); returns [(wav, stream), ...] in order.
         ``max_frames`` is one shared budget or one per prompt.
 
-        The loop keeps one decode step speculatively in flight so the
-        per-step host round trip overlaps device compute (same pattern as
-        runtime.generate's single-stream driver)."""
+        The loop keeps ``pipeline_depth`` decode steps speculatively in
+        flight (with async host copies started at dispatch), so the ~30 ms
+        per-chunk tunnel round trip hides under the compute of the chunks
+        behind it. Steps dispatched past a stream's EOS/budget are clipped
+        by the snapshot accounting in :meth:`collect_step` — deeper
+        pipelines waste at most ``depth * chunk`` frames of compute per
+        finishing stream, never correctness."""
         budgets = (
             list(max_frames)
             if isinstance(max_frames, (list, tuple))
@@ -572,12 +590,13 @@ class ServingEngine:
             )
 
         fill_slots()
-        inflight = None
-        while unfinished() or inflight is not None:
-            # speculative next step: EOS'd slots waste one chunk, but the
-            # fetch of `inflight` happens while the device runs `nxt`
-            nxt = self.dispatch_step() if unfinished() else None
-            if self.collect_step(inflight):
+        inflight: list = []
+        while unfinished() or inflight:
+            while unfinished() and len(inflight) < max(1, pipeline_depth):
+                payload = self.dispatch_step()
+                if payload is None:
+                    break
+                inflight.append(payload)
+            if self.collect_step(inflight.pop(0) if inflight else None):
                 fill_slots()
-            inflight = nxt
         return [self.collect(ids[i]) for i in range(len(prompts))]

@@ -78,7 +78,7 @@ def test_sharded_generation_matches_single_device():
     r2 = model2.generator.synthesize(prompt, max_frames=6, seed=3)
 
     assert r1.frames == r2.frames
-    np.testing.assert_allclose(r1.wav, r2.wav, atol=2e-2)
+    np.testing.assert_allclose(r1.wav, r2.wav, atol=0.02 * 32767)  # PCM units
 
 
 def test_quantized_model_shards():

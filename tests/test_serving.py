@@ -61,7 +61,7 @@ def test_serving_matches_single_stream_greedy(model):
         assert stream.done
         assert stream.frames == res.frames
         assert wav_served.shape == wav_single.shape
-        np.testing.assert_allclose(wav_served, wav_single, atol=2e-2)
+        np.testing.assert_allclose(wav_served, wav_single, atol=0.02 * 32767)  # PCM units
 
 
 def test_serving_continuous_batching_recycles_slots(model):
@@ -153,8 +153,8 @@ def test_midflight_join_leaves_other_streams_token_identical(model):
     wav_b, stream_b = eng.collect(b)
     np.testing.assert_array_equal(_all_codes(stream_a), _all_codes(sa))
     np.testing.assert_array_equal(_all_codes(stream_b), _all_codes(sb))
-    np.testing.assert_allclose(wav_a, wav_a_solo, atol=1e-5)
-    np.testing.assert_allclose(wav_b, wav_b_solo, atol=1e-5)
+    np.testing.assert_allclose(wav_a, wav_a_solo, atol=1)  # +-1 PCM LSB
+    np.testing.assert_allclose(wav_b, wav_b_solo, atol=1)  # +-1 PCM LSB
 
 
 def test_prefill_is_chunked_under_load(model):
@@ -212,5 +212,5 @@ def test_slot_groups_separate_long_and_short_streams(model, monkeypatch):
     wav_b, stream_b = eng.collect(b)
     np.testing.assert_array_equal(_all_codes(stream_a), _all_codes(sl))
     np.testing.assert_array_equal(_all_codes(stream_b), _all_codes(ss))
-    np.testing.assert_allclose(wav_a, wav_long_solo, atol=1e-5)
-    np.testing.assert_allclose(wav_b, wav_short_solo, atol=1e-5)
+    np.testing.assert_allclose(wav_a, wav_long_solo, atol=1)  # +-1 PCM LSB
+    np.testing.assert_allclose(wav_b, wav_short_solo, atol=1)  # +-1 PCM LSB

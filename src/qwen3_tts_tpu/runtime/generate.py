@@ -436,9 +436,14 @@ class Generator:
             state = (ck, cv, rg, pos, tok, k, nf)
             # start async host copies at dispatch: the transfer overlaps the
             # next chunk's compute instead of serializing at device_get
-            for arr in (n_valid, codes, wav):
-                if hasattr(arr, "copy_to_host_async"):
-                    arr.copy_to_host_async()
+            # (gated: on a single-connection tunnel early copies can delay
+            # the next dispatch instead — measured per deployment)
+            from .serving import _async_fetch
+
+            if _async_fetch():
+                for arr in (n_valid, codes, wav):
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
             inflight.append((chunk, (n_valid, codes, wav)))
             dispatched += chunk
             chunk_idx += 1

@@ -49,6 +49,17 @@ from .prompts import PromptSpec
 from .sampling import SamplingConfig, sample_token
 
 
+def _async_fetch() -> bool:
+    """Start device->host copies at dispatch time (QWEN3_TTS_ASYNC_FETCH).
+
+    Helps when transfers and compute genuinely overlap; on single-connection
+    tunneled devices an early copy can instead DELAY the next dispatch, so
+    this stays measurable per deployment (tools/ab_serving.py)."""
+    import os
+
+    return os.environ.get("QWEN3_TTS_ASYNC_FETCH", "1") != "0"
+
+
 @dataclass
 class Stream:
     """Host-side state of one serving slot."""
@@ -481,9 +492,10 @@ class ServingEngine:
         # device: with a multi-chunk pipeline the transfer of chunk k then
         # overlaps the compute of chunks k+1.. instead of serializing one
         # ~30 ms tunnel round trip per chunk at collect time
-        for arr in (n_valid, codes, wav):
-            if hasattr(arr, "copy_to_host_async"):
-                arr.copy_to_host_async()
+        if _async_fetch():
+            for arr in (n_valid, codes, wav):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
         return (snapshot, n_valid, codes, wav)
 
     def collect_step(self, payload) -> list[int]:

@@ -148,6 +148,7 @@ class ServingEngine:
         self.n_groups = 2 if (max_streams >= 4 and max_streams % 2 == 0) else 1
         self._pending: list[_PendingPrefill] = []
         self._prefill_fns: dict[tuple[int, int], Callable] = {}
+        self._prefill_batch_fns: dict[tuple[int, int], Callable] = {}
         self._scatter_fns: dict[int, Callable] = {}
         self._decode_fns: dict[int | None, Callable] = {}
         self._host_pos = [0] * self.B  # host mirror for attn bucketing
@@ -175,6 +176,30 @@ class ServingEngine:
 
         self._prefill_fns[key] = prefill_slice
         return prefill_slice
+
+    def _prefill_batch_fn(self, Lb: int, nb: int) -> Callable:
+        """Jitted batched prefill: ``nb`` whole single-slice prompts (same
+        bucket ``Lb``) in ONE dispatch — the cold-start path, where N
+        simultaneous submissions would otherwise cost N sequential
+        prefill dispatches before the first decode step."""
+        key = (Lb, nb)
+        if key in self._prefill_batch_fns:
+            return self._prefill_batch_fns[key]
+        cfg = self.cfg
+        t = cfg.talker
+
+        @partial(jax.jit, donate_argnums=(3, 4))
+        def prefill_batch(params, emb, pad_len, sk, sv):
+            # emb [nb, Lb, D]; pad_len [nb]; sk/sv [L, nb, Lb, H_kv, hd]
+            cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
+            hidden, logits, sk, sv = talker_forward(
+                params, t, emb, sk, sv, jnp.int32(0), cos_t, sin_t,
+                pad_len=pad_len,
+            )
+            return sk, sv, logits[:, -1, :], hidden[:, -1, :]
+
+        self._prefill_batch_fns[key] = prefill_batch
+        return prefill_batch
 
     def _scatter_fn(self, Lb: int) -> Callable:
         """Jitted scatter of a finished scratch cache into a slot's range of
@@ -396,6 +421,9 @@ class ServingEngine:
                 s is not None and s.active and not s.done for s in self._slots
             )
 
+        if not live() and len(self._pending) > 1:
+            self._batch_cold_prefills()
+
         stalled_once = False
         while self._pending and not (live() and stalled_once):
             pp = self._pending[0]
@@ -411,6 +439,50 @@ class ServingEngine:
             if pp.pos >= pp.Lb:
                 self._finish_prefill(pp)
                 self._pending.pop(0)
+
+    def _batch_cold_prefills(self) -> None:
+        """Cold start (no live streams): prefill all pending SINGLE-SLICE
+        prompts of the same bucket length in one batched dispatch instead of
+        one dispatch each, then activate them together — N simultaneous
+        submissions reach their first decode step after ~1 prefill's
+        latency, not N. Batch sizes are padded to power-of-two buckets to
+        bound compile variants. Multi-slice (long) prompts keep the
+        slice-per-step path."""
+        t = self.cfg.talker
+        dtype = self.cache_k.dtype
+        by_len: dict[int, list[_PendingPrefill]] = {}
+        for pp in self._pending:
+            if pp.pos == 0 and pp.Lb <= self.prefill_chunk:
+                by_len.setdefault(pp.Lb, []).append(pp)
+        for Lb, group in by_len.items():
+            if len(group) < 2:
+                continue
+            nb = 2
+            while nb < len(group):
+                nb *= 2
+            # pad the batch by replicating entry 0 (outputs discarded)
+            emb = jnp.concatenate(
+                [pp.emb for pp in group]
+                + [group[0].emb] * (nb - len(group)),
+                axis=0,
+            )                                               # [nb, Lb, D]
+            pads = jnp.asarray(
+                [pp.pad for pp in group] + [group[0].pad] * (nb - len(group)),
+                jnp.int32,
+            )
+            sk = jnp.zeros((t.n_layers, nb, Lb, t.n_kv_heads, t.head_dim),
+                           dtype)
+            sk, sv, logits, hidden = self._prefill_batch_fn(Lb, nb)(
+                self.model.params, emb, pads, sk, jnp.zeros_like(sk)
+            )
+            for i, pp in enumerate(group):
+                pp.sk = sk[:, i:i + 1]
+                pp.sv = sv[:, i:i + 1]
+                pp.last_logits = logits[i]
+                pp.last_hidden = hidden[i]
+                pp.pos = Lb
+                self._finish_prefill(pp)
+                self._pending.remove(pp)
 
     def _finish_prefill(self, pp: _PendingPrefill) -> None:
         """Scatter the scratch cache into the slot and activate the stream."""

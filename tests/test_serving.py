@@ -214,3 +214,47 @@ def test_slot_groups_separate_long_and_short_streams(model, monkeypatch):
     np.testing.assert_array_equal(_all_codes(stream_b), _all_codes(ss))
     np.testing.assert_allclose(wav_a, wav_long_solo, atol=1)  # +-1 PCM LSB
     np.testing.assert_allclose(wav_b, wav_short_solo, atol=1)  # +-1 PCM LSB
+
+
+def test_cold_start_prefill_is_batched(model):
+    """N simultaneous cold submissions must prefill in ONE batched dispatch
+    (per bucket length), with an odd count padded to the power-of-two batch,
+    and stay token-identical to the single-stream pipeline."""
+    prompts = [_prompt(11), _prompt(12), _prompt(13)]  # 3 -> nb=4 (padded)
+    max_frames = 10
+    singles = [_single_stream_chunks(model, p, max_frames) for p in prompts]
+
+    engine = ServingEngine(model, max_streams=4, chunk=8, sampling=GREEDY)
+    calls = []
+    orig = engine._prefill_batch_fn
+
+    def spy(Lb, nb):
+        calls.append((Lb, nb))
+        return orig(Lb, nb)
+
+    engine._prefill_batch_fn = spy
+    served = engine.run(prompts, max_frames=max_frames)
+
+    assert calls == [(calls[0][0], 4)], calls  # one batched dispatch, padded
+    assert not engine._prefill_fns  # the sequential path never compiled
+    for (wav_single, res), (wav_served, stream) in zip(singles, served):
+        assert stream.done
+        assert stream.frames == res.frames
+        np.testing.assert_allclose(wav_served, wav_single, atol=1)  # 1 LSB
+
+
+def test_join_under_load_still_uses_sliced_prefill(model):
+    """With live streams decoding, a joining prompt must NOT take the
+    batched cold-start path (it would stall the live streams)."""
+    engine = ServingEngine(model, max_streams=4, chunk=8, sampling=GREEDY)
+    a = engine.submit(_prompt(21), max_frames=24)
+    for _ in range(2):
+        engine.step()
+    engine._prefill_batch_fns.clear()
+    b = engine.submit(_prompt(22), max_frames=8)
+    guard = 0
+    while not (engine.streams[a].done and engine.streams[b].done):
+        engine.step()
+        guard += 1
+        assert guard < 200
+    assert not engine._prefill_batch_fns  # join used the sliced path

@@ -98,22 +98,22 @@ def main() -> None:
     cache_v = jnp.zeros_like(cache_k)
 
     @jax.jit
-    def talker_chunk(carry):
+    def talker_chunk(params, carry):
         ck, cv, pos, tok, key = carry
         cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
 
         def step(c, _):
             ck, cv, p, tk, k = c
-            emb = merge_step_tokens(model.params, t, tk)[:, None, :]
+            emb = merge_step_tokens(params, t, tk)[:, None, :]
             hidden, logits, ck, cv = talker_forward(
-                model.params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=0
+                params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=0
             )
             h = hidden[:, -1, :]
             k, sub = jax.random.split(k)
             toks = [sample_token(logits[:, -1, :], sub, sampling)]
             hj = h
             for _j in range(1, fps):
-                lg, hj = mtp_logits(model.params, t, hj, toks[-1])
+                lg, hj = mtp_logits(params, t, hj, toks[-1])
                 k, sub = jax.random.split(k)
                 toks.append(sample_token(lg, sub, sampling))
             nxt = jnp.stack(toks, axis=1)
@@ -129,13 +129,14 @@ def main() -> None:
         cache_k, cache_v, jnp.full((), 16, jnp.int32),
         jnp.zeros((B, fps), jnp.int32), jax.random.PRNGKey(0),
     )
-    talker_s = timed(f"talker scan (A={A})", talker_chunk, carry)
+    talker_s = timed(f"talker scan (A={A})",
+                     partial(talker_chunk, model.params), carry)
 
     # ---- code predictor (batched over B*chunk frames) --------------------
     @jax.jit
-    def cp_stage(carry):
+    def cp_stage(cp_params, carry):
         h, cb0 = carry
-        res = predict_residuals(model.cp_params, cfg, h, cb0)
+        res = predict_residuals(cp_params, cfg, h, cb0)
         # feed outputs back so inputs evolve every iteration
         h = h + (res[:, :1] - 512).astype(h.dtype) * 1e-3
         cb0 = (cb0 + res[:, 0] + 1) % cc.codebook_size
@@ -145,17 +146,18 @@ def main() -> None:
         np.random.default_rng(0).normal(0, 1, (B * chunk, t.hidden)), dtype
     )
     cb0 = jnp.arange(B * chunk, dtype=jnp.int32) % cc.codebook_size
-    cp_s = timed(f"code predictor (B*T={B * chunk})", cp_stage, (h0, cb0))
+    cp_s = timed(f"code predictor (B*T={B * chunk})",
+                 partial(cp_stage, model.cp_params), (h0, cb0))
 
     # ---- streaming codec --------------------------------------------------
     tail = max(8, conv_receptive_latent_frames(cc))
     cstate0 = init_codec_stream_state(cfg, B, tail=tail, dtype=dtype)
 
     @jax.jit
-    def codec_stage(carry):
+    def codec_stage(codec_params, carry):
         codes, cstate, pos = carry
         wav, cstate = decode_codes_streaming(
-            model.codec_params, cfg, codes, cstate, pos
+            codec_params, cfg, codes, cstate, pos
         )
         codes = (codes + 1) % cc.residual_codebook_size
         pos = jnp.where(pos + chunk < 3000, pos + chunk, 0)
@@ -163,7 +165,7 @@ def main() -> None:
 
     codes0 = jnp.zeros((B, cc.num_codebooks, chunk), jnp.int32)
     codec_s = timed(
-        "codec streaming decode", codec_stage,
+        "codec streaming decode", partial(codec_stage, model.codec_params),
         (codes0, cstate0, jnp.zeros((B,), jnp.int32)),
     )
 

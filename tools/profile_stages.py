@@ -75,15 +75,20 @@ def main() -> None:
     sampling = SamplingConfig()
     dtype = jnp.bfloat16
 
-    def timed(name, fn, carry, iters=args.iters):
-        # compile + warm
+    def timed(name, fn, carry, probe, iters=args.iters):
+        # compile + warm. block_until_ready is NOT enough on the tunneled
+        # device (execution is deferred until a value is actually fetched),
+        # so each measurement ends with a small device_get of a probe value
+        # that data-depends on EVERY iteration's full compute; the stage
+        # functions thread their heavy outputs into the carried state so no
+        # iteration can be elided. Error: one fetch RTT / iters.
         carry1 = fn(carry)
-        jax.block_until_ready(carry1)
+        jax.device_get(probe(carry1))
         start = time.perf_counter()
         c = carry1
         for _ in range(iters):
             c = fn(c)
-        jax.block_until_ready(c)
+        jax.device_get(probe(c))
         per = (time.perf_counter() - start) / iters
         per_frame = per / (chunk * B)
         print(
@@ -130,7 +135,8 @@ def main() -> None:
         jnp.zeros((B, fps), jnp.int32), jax.random.PRNGKey(0),
     )
     talker_s = timed(f"talker scan (A={A})",
-                     partial(talker_chunk, model.params), carry)
+                     partial(talker_chunk, model.params), carry,
+                     probe=lambda c: c[3])
 
     # ---- code predictor (batched over B*chunk frames) --------------------
     @jax.jit
@@ -147,7 +153,8 @@ def main() -> None:
     )
     cb0 = jnp.arange(B * chunk, dtype=jnp.int32) % cc.codebook_size
     cp_s = timed(f"code predictor (B*T={B * chunk})",
-                 partial(cp_stage, model.cp_params), (h0, cb0))
+                 partial(cp_stage, model.cp_params), (h0, cb0),
+                 probe=lambda c: c[1])
 
     # ---- streaming codec --------------------------------------------------
     tail = max(8, conv_receptive_latent_frames(cc))
@@ -160,13 +167,17 @@ def main() -> None:
             codec_params, cfg, codes, cstate, pos
         )
         codes = (codes + 1) % cc.residual_codebook_size
-        pos = jnp.where(pos + chunk < 3000, pos + chunk, 0)
+        # data-dependency on the conv-stack output (value is always 0, but
+        # the compiler cannot prove it without computing wav)
+        wav_dep = (jnp.sum(wav.astype(jnp.float32)) * 1e-30).astype(jnp.int32)
+        pos = jnp.where(pos + chunk < 3000, pos + chunk, 0) + wav_dep
         return (codes, cstate, pos)
 
     codes0 = jnp.zeros((B, cc.num_codebooks, chunk), jnp.int32)
     codec_s = timed(
         "codec streaming decode", partial(codec_stage, model.codec_params),
         (codes0, cstate0, jnp.zeros((B,), jnp.int32)),
+        probe=lambda c: c[2],
     )
 
     # ---- full fused chunk (the production path) ---------------------------
@@ -181,7 +192,8 @@ def main() -> None:
             ck, cv, cstate, pos, 0, nf, tok, key,
         )
         pos = jnp.where(pos + n_steps < A - n_steps, pos, 16)
-        nf = jnp.where(nf + chunk < 3000, nf, 0)
+        wav_dep = (jnp.sum(wav.astype(jnp.float32)) * 1e-30).astype(jnp.int32)
+        nf = jnp.where(nf + chunk < 3000, nf, 0) + wav_dep + jnp.sum(n_valid) * 0
         return (ck, cv, cstate, pos, tok, key, nf)
 
     S = cfg.max_seq_len
@@ -192,7 +204,8 @@ def main() -> None:
         jnp.full((), 16, jnp.int32), jnp.zeros((B, fps), jnp.int32),
         jax.random.PRNGKey(1), jnp.zeros((), jnp.int32),
     )
-    fused_s = timed("FULL fused chunk", fused_step, carry)
+    fused_s = timed("FULL fused chunk", fused_step, carry,
+                    probe=lambda c: (c[4], c[6]))
 
     other = fused_s - talker_s - cp_s - codec_s
     tot = fused_s

@@ -178,28 +178,57 @@ class ServingEngine:
         return prefill_slice
 
     def _prefill_batch_fn(self, Lb: int, nb: int) -> Callable:
-        """Jitted batched prefill: ``nb`` whole single-slice prompts (same
-        bucket ``Lb``) in ONE dispatch — the cold-start path, where N
-        simultaneous submissions would otherwise cost N sequential
-        prefill dispatches before the first decode step."""
+        """Jitted fused cold-start prefill: ``nb`` whole single-slice prompts
+        (same bucket ``Lb``) prefilled, seed tokens sampled (incl. MTP seed
+        frames), caches scattered into their slots, and every per-slot state
+        vector updated — all in ONE dispatch. Without this, N simultaneous
+        submissions cost N prefill dispatches + N scatters + ~10 tiny eager
+        device ops each before the first decode step.
+
+        Padded batch rows replicate entry 0 (same emb/pad/slot), so their
+        duplicate scatter writes are bit-identical to entry 0's — harmless.
+        """
         key = (Lb, nb)
         if key in self._prefill_batch_fns:
             return self._prefill_batch_fns[key]
         cfg = self.cfg
         t = cfg.talker
+        fps = self.fps
+        sampling = self.sampling
+        from ..models.talker import mtp_logits
 
-        @partial(jax.jit, donate_argnums=(3, 4))
-        def prefill_batch(params, emb, pad_len, sk, sv):
-            # emb [nb, Lb, D]; pad_len [nb]; sk/sv [L, nb, Lb, H_kv, hd]
+        @partial(jax.jit, donate_argnums=(5, 6))
+        def prefill_activate(params, emb, pads, sk, sv, cache_k, cache_v,
+                             slots, pos_v, pad_v, tok_v, frames_v, active_v,
+                             tail, key):
+            # emb [nb, Lb, D]; pads/slots [nb]; sk/sv [L, nb, Lb, H_kv, hd]
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
             hidden, logits, sk, sv = talker_forward(
                 params, t, emb, sk, sv, jnp.int32(0), cos_t, sin_t,
-                pad_len=pad_len,
+                pad_len=pads,
             )
-            return sk, sv, logits[:, -1, :], hidden[:, -1, :]
+            h = hidden[:, -1, :]
+            key, sub = jax.random.split(key)
+            toks = [sample_token(logits[:, -1, :], sub, sampling)]
+            for _ in range(1, fps):  # MTP seed frames
+                lg, h = mtp_logits(params, t, h, toks[-1])
+                key, sub = jax.random.split(key)
+                toks.append(sample_token(lg, sub, sampling))
+            first = jnp.stack(toks, axis=1)                  # [nb, fps]
 
-        self._prefill_batch_fns[key] = prefill_batch
-        return prefill_batch
+            cache_k = cache_k.at[:, slots, :Lb].set(sk)
+            cache_v = cache_v.at[:, slots, :Lb].set(sv)
+            pos_v = pos_v.at[slots].set(Lb)
+            pad_v = pad_v.at[slots].set(pads)
+            tok_v = tok_v.at[slots].set(first)
+            frames_v = frames_v.at[slots].set(0)
+            active_v = active_v.at[slots].set(True)
+            tail = tail.at[slots].set(0.0)  # reset codec conv left-context
+            return (cache_k, cache_v, pos_v, pad_v, tok_v, frames_v,
+                    active_v, tail, key)
+
+        self._prefill_batch_fns[key] = prefill_activate
+        return prefill_activate
 
     def _scatter_fn(self, Lb: int) -> Callable:
         """Jitted scatter of a finished scratch cache into a slot's range of
@@ -455,33 +484,45 @@ class ServingEngine:
             if pp.pos == 0 and pp.Lb <= self.prefill_chunk:
                 by_len.setdefault(pp.Lb, []).append(pp)
         for Lb, group in by_len.items():
+            group = [
+                pp for pp in group
+                if self._slots[pp.stream.slot] is pp.stream
+                and not pp.stream.done
+            ]
             if len(group) < 2:
                 continue
             nb = 2
             while nb < len(group):
                 nb *= 2
-            # pad the batch by replicating entry 0 (outputs discarded)
+            # pad the batch by replicating entry 0 (duplicate slot writes
+            # carry identical values — see _prefill_batch_fn)
+            fill = nb - len(group)
             emb = jnp.concatenate(
-                [pp.emb for pp in group]
-                + [group[0].emb] * (nb - len(group)),
-                axis=0,
+                [pp.emb for pp in group] + [group[0].emb] * fill, axis=0
             )                                               # [nb, Lb, D]
             pads = jnp.asarray(
-                [pp.pad for pp in group] + [group[0].pad] * (nb - len(group)),
+                [pp.pad for pp in group] + [group[0].pad] * fill, jnp.int32
+            )
+            slots = jnp.asarray(
+                [pp.stream.slot for pp in group]
+                + [group[0].stream.slot] * fill,
                 jnp.int32,
             )
             sk = jnp.zeros((t.n_layers, nb, Lb, t.n_kv_heads, t.head_dim),
                            dtype)
-            sk, sv, logits, hidden = self._prefill_batch_fn(Lb, nb)(
-                self.model.params, emb, pads, sk, jnp.zeros_like(sk)
+            (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
+             self.frames_dev, self.active_mask, tail, self.key) = (
+                self._prefill_batch_fn(Lb, nb)(
+                    self.model.params, emb, pads, sk, jnp.zeros_like(sk),
+                    self.cache_k, self.cache_v, slots,
+                    self.pos, self.pad, self.tok, self.frames_dev,
+                    self.active_mask, self.cstate["tail"], self.key,
+                )
             )
-            for i, pp in enumerate(group):
-                pp.sk = sk[:, i:i + 1]
-                pp.sv = sv[:, i:i + 1]
-                pp.last_logits = logits[i]
-                pp.last_hidden = hidden[i]
-                pp.pos = Lb
-                self._finish_prefill(pp)
+            self.cstate = dict(self.cstate, tail=tail)
+            for pp in group:
+                self._host_pos[pp.stream.slot] = Lb
+                pp.stream.active = True
                 self._pending.remove(pp)
 
     def _finish_prefill(self, pp: _PendingPrefill) -> None:

@@ -248,6 +248,10 @@ class Generator:
     # transformer scan, host round trip); the last entry repeats for the
     # rest of the utterance
     chunk_schedule: tuple = (8, 16, 32)
+    # chunks kept in flight ahead of the one being fetched (2 = the classic
+    # one-speculative-chunk pattern; serving measured depth 2->3 nearly
+    # flat, tools/ab_serving.py)
+    pipeline_depth: int = 2
     _fns: dict = field(default_factory=dict)
 
     @property
@@ -448,11 +452,17 @@ class Generator:
             dispatched += chunk
             chunk_idx += 1
 
-        # speculative pipelining: one chunk always in flight ahead of the
-        # one being read, so the device never idles on host round trips
+        # speculative pipelining: keep up to pipeline_depth chunks in flight
+        # ahead of the one being read, so the device never idles on host
+        # round trips (chunks dispatched past EOS waste compute, never
+        # correctness — n_valid clips them)
+        depth = max(1, self.pipeline_depth)
         dispatch()
         while inflight:
-            if dispatched < max_frames and not done:
+            while (
+                dispatched < max_frames and not done
+                and len(inflight) < depth
+            ):
                 dispatch()
             # ONE host fetch per chunk (round trips are the latency budget)
             chunk, payload = inflight.pop(0)

@@ -250,10 +250,13 @@ class ServingEngine:
         return scatter
 
     def _decode_fn(self, wins: tuple[int, ...]) -> Callable:
-        """Fused serve step compiled for one tuple of per-group attention
-        windows (one entry per slot group; a single entry = no split)."""
-        if wins in self._decode_fns:
-            return self._decode_fns[wins]
+        """Fused serve step compiled for one (chunk, per-group attention
+        window tuple); one window entry per slot group (a single entry =
+        no split). ``self.chunk`` may be changed between runs (never while
+        streams are active) — each chunk size compiles its own variant."""
+        fn_key = (self.chunk, wins)
+        if fn_key in self._decode_fns:
+            return self._decode_fns[fn_key]
         from ..models.codec import decode_codes_streaming
         from ..models.talker import merge_step_tokens, mtp_logits
         from ..ops.pcm import wav_to_pcm16
@@ -348,7 +351,7 @@ class ServingEngine:
             return (ck, cv, cstate, p, tk, key, frames,
                     n_valid, codes, wav_to_pcm16(wav_chunk))
 
-        self._decode_fns[wins] = decode_chunk
+        self._decode_fns[fn_key] = decode_chunk
         return decode_chunk
 
     # -- stream lifecycle ---------------------------------------------------
@@ -573,6 +576,7 @@ class ServingEngine:
         were advanced)."""
         from .generate import attn_bucket
 
+        assert self.chunk % self.fps == 0, (self.chunk, self.fps)
         self._advance_prefills()
         active = [
             (slot, s) for slot, s in enumerate(self._slots)

@@ -205,8 +205,9 @@ def test_slot_groups_separate_long_and_short_streams(model, monkeypatch):
         guard += 1
         assert guard < 200
     # distinct per-group windows were actually compiled at some point
+    # (keys are (chunk, wins) tuples)
     assert any(
-        len(set(w)) > 1 for w in eng._decode_fns if isinstance(w, tuple)
+        len(set(wins)) > 1 for _, wins in eng._decode_fns
     ), list(eng._decode_fns)
     wav_a, stream_a = eng.collect(a)
     wav_b, stream_b = eng.collect(b)
@@ -258,3 +259,19 @@ def test_join_under_load_still_uses_sliced_prefill(model):
         guard += 1
         assert guard < 200
     assert not engine._prefill_batch_fns  # join used the sliced path
+
+
+def test_chunk_switch_between_runs_matches_fresh_engine(model):
+    """self.chunk may change between runs; outputs must match an engine
+    built with that chunk from the start (greedy)."""
+    prompts = [_prompt(31), _prompt(32)]
+    eng = ServingEngine(model, max_streams=2, chunk=8, sampling=GREEDY)
+    eng.run(prompts, max_frames=8)          # run + finish at chunk 8
+    eng.chunk = 4
+    served = eng.run(prompts, max_frames=10)
+
+    fresh = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    expected = fresh.run(prompts, max_frames=10)
+    for (wav_a, sa), (wav_b, sb) in zip(served, expected):
+        assert sa.frames == sb.frames
+        np.testing.assert_array_equal(wav_a, wav_b)

@@ -26,6 +26,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--streams", type=int, nargs="+", default=[8],
+                    help="slot counts; ONE engine per process — two live "
+                         "engines (8+16 slots) over-subscribe HBM and hang "
+                         "the remote service")
+    ap.add_argument("--chunks", type=int, nargs="+", default=[8, 16])
     args = ap.parse_args()
 
     from qwen3_tts_tpu.engine import configs, enable_compilation_cache
@@ -54,13 +59,13 @@ def main() -> None:
         ]
 
     engines: dict[int, ServingEngine] = {}
-    for n in (8, 16):
+    for n in args.streams:
         t1 = time.perf_counter()
         engines[n] = ServingEngine(model, max_streams=n)
         print(f"[engine {n}-slot alloc {time.perf_counter() - t1:.0f}s]",
               flush=True)
 
-    grid = [(8, 8), (8, 16), (16, 8), (16, 16)]
+    grid = [(n, c) for n in args.streams for c in args.chunks]
     # warmup every condition (compiles its serve-step + prefill variants)
     for n, chunk in grid:
         t1 = time.perf_counter()

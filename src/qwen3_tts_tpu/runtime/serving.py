@@ -60,6 +60,19 @@ def _async_fetch() -> bool:
     return os.environ.get("QWEN3_TTS_ASYNC_FETCH", "1") != "0"
 
 
+def _defer_wav() -> bool:
+    """Leave waveform bytes on device during steady-state serving
+    (QWEN3_TTS_DEFER_WAV): each chunk fetches only n_valid+codes (a few KB)
+    and the wav rows are gathered in one batched fetch at collect() time.
+    A stream's FIRST audible chunk is still fetched synchronously so TTFA
+    stays an audio-on-host measurement, and streams with an on_chunk
+    callback keep per-chunk fetches. Off by default until measured
+    (tools/probe_fetch.py quantifies the win per deployment)."""
+    import os
+
+    return os.environ.get("QWEN3_TTS_DEFER_WAV", "0") != "0"
+
+
 @dataclass
 class Stream:
     """Host-side state of one serving slot."""
@@ -72,10 +85,23 @@ class Stream:
     max_frames: int = 0
     expected_end: int = 0     # predicted final cache position (grouping)
     codes: list[np.ndarray] = field(default_factory=list)   # [Q, n] slabs
-    wav_chunks: list[np.ndarray] = field(default_factory=list)
+    # int16 host arrays, or _DeferredWav device views (QWEN3_TTS_DEFER_WAV)
+    # until collect() resolves them
+    wav_chunks: list = field(default_factory=list)
     submitted_at: float = 0.0
     ttfa_s: float | None = None
     on_chunk: Callable[[np.ndarray], None] | None = None
+
+
+@dataclass
+class _DeferredWav:
+    """A wav chunk left on device (QWEN3_TTS_DEFER_WAV): a view into one
+    decode step's [B, chunk*hop] output. Resolved host-side in one batched
+    fetch by ServingEngine.collect."""
+
+    dev: Any                  # the step's full wav array (device)
+    slot: int
+    n: int                    # valid samples for this stream
 
 
 @dataclass
@@ -610,7 +636,8 @@ class ServingEngine:
         # overlaps the compute of chunks k+1.. instead of serializing one
         # ~30 ms tunnel round trip per chunk at collect time
         if _async_fetch():
-            for arr in (n_valid, codes, wav):
+            arrs = (n_valid, codes) if _defer_wav() else (n_valid, codes, wav)
+            for arr in arrs:
                 if hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()
         return (snapshot, n_valid, codes, wav)
@@ -622,9 +649,14 @@ class ServingEngine:
             return []
         snapshot, n_valid, codes, wav = payload
         hop = self.cfg.codec.hop
-        valid_host, codes_host, wav_host = jax.device_get(
-            (n_valid, codes, wav)
-        )
+        defer = _defer_wav()
+        if defer:
+            valid_host, codes_host = jax.device_get((n_valid, codes))
+            wav_host = None
+        else:
+            valid_host, codes_host, wav_host = jax.device_get(
+                (n_valid, codes, wav)
+            )
         now = time.perf_counter()
 
         for slot, stream_id in snapshot:
@@ -637,8 +669,20 @@ class ServingEngine:
             valid = min(valid, remaining)
             if valid > 0:
                 stream.codes.append(codes_host[slot][:, :valid])
-                chunk_wav = wav_host[slot, : valid * hop]
-                stream.wav_chunks.append(chunk_wav)
+                if wav_host is not None:
+                    chunk_wav = stream_wav = wav_host[slot, : valid * hop]
+                elif stream.ttfa_s is None or stream.on_chunk is not None:
+                    # first audible chunk (TTFA honesty) or a streaming
+                    # consumer: fetch just this stream's row now
+                    chunk_wav = stream_wav = np.asarray(
+                        wav[slot, : valid * hop]
+                    )
+                else:
+                    # steady state: keep the row on device; one batched
+                    # fetch at collect() resolves every deferred chunk
+                    stream_wav = _DeferredWav(wav, slot, valid * hop)
+                    chunk_wav = None
+                stream.wav_chunks.append(stream_wav)
                 stream.frames += valid
                 if stream.ttfa_s is None:
                     stream.ttfa_s = now - stream.submitted_at
@@ -667,8 +711,21 @@ class ServingEngine:
         return self.collect_step(self.dispatch_step())
 
     def collect(self, stream_id: int) -> tuple[np.ndarray, Stream]:
-        """Concatenated waveform + state for a (finished) stream."""
+        """Concatenated waveform + state for a (finished) stream. Deferred
+        device rows (QWEN3_TTS_DEFER_WAV) are resolved here in ONE batched
+        fetch instead of one per chunk."""
         stream = self.streams[stream_id]
+        deferred = [c for c in stream.wav_chunks
+                    if isinstance(c, _DeferredWav)]
+        if deferred:
+            rows = jax.device_get([c.dev for c in deferred])
+            resolved = iter(
+                row[c.slot, : c.n] for c, row in zip(deferred, rows)
+            )
+            stream.wav_chunks = [
+                next(resolved) if isinstance(c, _DeferredWav) else c
+                for c in stream.wav_chunks
+            ]
         wav = (
             np.concatenate(stream.wav_chunks)
             if stream.wav_chunks

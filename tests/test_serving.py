@@ -275,3 +275,50 @@ def test_chunk_switch_between_runs_matches_fresh_engine(model):
     for (wav_a, sa), (wav_b, sb) in zip(served, expected):
         assert sa.frames == sb.frames
         np.testing.assert_array_equal(wav_a, wav_b)
+
+
+def test_deferred_wav_fetch_matches_eager(model, monkeypatch):
+    """QWEN3_TTS_DEFER_WAV leaves steady-state wav rows on device until
+    collect(); output must be byte-identical to eager fetching, the first
+    chunk must still arrive eagerly (TTFA honesty), and later chunks must
+    actually be deferred."""
+    from qwen3_tts_tpu.runtime.serving import _DeferredWav
+
+    p = _prompt(41)
+    eager = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    (wav_eager, se), = eager.run([p], max_frames=12)
+
+    monkeypatch.setenv("QWEN3_TTS_DEFER_WAV", "1")
+    eng = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    sid = eng.submit(p, max_frames=12)
+    stream = eng.streams[sid]
+    guard = 0
+    while not stream.done:
+        eng.step()
+        guard += 1
+        assert guard < 50
+    assert not isinstance(stream.wav_chunks[0], _DeferredWav)  # ttfa chunk
+    assert any(isinstance(c, _DeferredWav) for c in stream.wav_chunks[1:])
+    wav, stream = eng.collect(sid)
+    assert stream.frames == se.frames
+    np.testing.assert_array_equal(wav, wav_eager)
+    # collect is idempotent after resolution
+    wav2, _ = eng.collect(sid)
+    np.testing.assert_array_equal(wav2, wav_eager)
+
+
+def test_deferred_wav_keeps_on_chunk_streaming(model, monkeypatch):
+    """Streams with an on_chunk callback keep per-chunk host audio even in
+    deferred mode."""
+    monkeypatch.setenv("QWEN3_TTS_DEFER_WAV", "1")
+    eng = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    chunks = []
+    sid = eng.submit(_prompt(42), max_frames=8, on_chunk=chunks.append)
+    guard = 0
+    while not eng.streams[sid].done:
+        eng.step()
+        guard += 1
+        assert guard < 50
+    wav, stream = eng.collect(sid)
+    assert chunks and all(c is not None and c.dtype == np.int16 for c in chunks)
+    np.testing.assert_array_equal(np.concatenate(chunks), wav)

@@ -59,8 +59,9 @@ def main() -> None:
     engine.run(prompts(1), max_frames=engine.chunk * 2)
     engine.run(prompts(args.streams), max_frames=engine.chunk * 2)
 
-    def serve_once(depth: int, async_fetch: bool) -> float:
+    def serve_once(depth: int, async_fetch: bool, defer: bool = False) -> float:
         os.environ["QWEN3_TTS_ASYNC_FETCH"] = "1" if async_fetch else "0"
+        os.environ["QWEN3_TTS_DEFER_WAV"] = "1" if defer else "0"
         t = time.perf_counter()
         results = engine.run(
             prompts(args.streams), max_frames=args.frames,
@@ -68,6 +69,7 @@ def main() -> None:
         )
         wall = time.perf_counter() - t
         audio = sum(len(w) for w, _ in results) / cfg.codec.sample_rate
+        os.environ["QWEN3_TTS_DEFER_WAV"] = "0"
         return audio / wall
 
     conditions = [
@@ -77,6 +79,8 @@ def main() -> None:
         ("serve d2 async", lambda: serve_once(2, True)),
         ("serve d3 sync ", lambda: serve_once(3, False)),
         ("serve d3 async", lambda: serve_once(3, True)),
+        ("serve d3 defer", lambda: serve_once(3, True, defer=True)),
+        ("serve d2 defer", lambda: serve_once(2, True, defer=True)),
     ]
     scores: dict[str, list[float]] = {name: [] for name, _ in conditions}
     for rep in range(args.reps):

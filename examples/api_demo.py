@@ -12,6 +12,11 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
+if os.environ.get("QWEN3_TTS_CPU"):  # force CPU (the TPU plugin preloads
+    import jax                        # via sitecustomize, so plain
+                                      # JAX_PLATFORMS env is too late)
+    jax.config.update("jax_platforms", "cpu")
+
 from qwen3_tts_tpu.engine import generate_audio, load_model  # noqa: E402
 
 out = tempfile.mkdtemp(prefix="q3tts_demo_")

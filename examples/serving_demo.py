@@ -7,6 +7,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
+if os.environ.get("QWEN3_TTS_CPU"):  # force CPU (the TPU plugin preloads
+    import jax                        # via sitecustomize, so plain
+                                      # JAX_PLATFORMS env is too late)
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 from qwen3_tts_tpu.engine import load_model  # noqa: E402

@@ -176,7 +176,7 @@ class ServingEngine:
         self._prefill_fns: dict[tuple[int, int], Callable] = {}
         self._prefill_batch_fns: dict[tuple[int, int], Callable] = {}
         self._scatter_fns: dict[int, Callable] = {}
-        self._decode_fns: dict[int | None, Callable] = {}
+        self._decode_fns: dict[tuple[int, tuple[int, ...]], Callable] = {}
         self._host_pos = [0] * self.B  # host mirror for attn bucketing
 
     # -- jitted stages ------------------------------------------------------
@@ -659,6 +659,20 @@ class ServingEngine:
             )
         now = time.perf_counter()
 
+        wav_fetched = wav_host
+
+        def fetch_wav_host():
+            # deferred mode, but THIS step needs host audio (a stream's
+            # first audible chunk, or an on_chunk consumer): fetch the
+            # step's whole [B, chunk*hop] buffer once and slice host-side.
+            # Never slice on device — a (slot, valid*hop)-shaped slice op
+            # would compile a fresh executable per distinct pair, and
+            # remote compiles cost minutes (CLAUDE.md).
+            nonlocal wav_fetched
+            if wav_fetched is None:
+                wav_fetched = jax.device_get(wav)
+            return wav_fetched
+
         for slot, stream_id in snapshot:
             stream = self.streams.get(stream_id)
             if stream is None or stream.done or self._slots[slot] is not stream:
@@ -673,9 +687,10 @@ class ServingEngine:
                     chunk_wav = stream_wav = wav_host[slot, : valid * hop]
                 elif stream.ttfa_s is None or stream.on_chunk is not None:
                     # first audible chunk (TTFA honesty) or a streaming
-                    # consumer: fetch just this stream's row now
-                    chunk_wav = stream_wav = np.asarray(
-                        wav[slot, : valid * hop]
+                    # consumer: host audio now (one whole-step fetch,
+                    # shared by every such stream in this step)
+                    chunk_wav = stream_wav = (
+                        fetch_wav_host()[slot, : valid * hop]
                     )
                 else:
                     # steady state: keep the row on device; one batched
@@ -710,22 +725,33 @@ class ServingEngine:
             return []
         return self.collect_step(self.dispatch_step())
 
+    def _resolve_deferred(self) -> None:
+        """Resolve every stream's _DeferredWav views in ONE batched fetch,
+        deduplicated by step buffer: streams decoded in the same steps share
+        those steps' [B, chunk*hop] arrays, so each buffer crosses the link
+        exactly once (and its HBM is released once no view references it)."""
+        pending: dict[int, Any] = {}
+        for st in self.streams.values():
+            for c in st.wav_chunks:
+                if isinstance(c, _DeferredWav):
+                    pending.setdefault(id(c.dev), c.dev)
+        if not pending:
+            return
+        keys = list(pending)
+        host = dict(zip(keys, jax.device_get([pending[k] for k in keys])))
+        for st in self.streams.values():
+            st.wav_chunks = [
+                host[id(c.dev)][c.slot, : c.n]
+                if isinstance(c, _DeferredWav) else c
+                for c in st.wav_chunks
+            ]
+
     def collect(self, stream_id: int) -> tuple[np.ndarray, Stream]:
         """Concatenated waveform + state for a (finished) stream. Deferred
-        device rows (QWEN3_TTS_DEFER_WAV) are resolved here in ONE batched
-        fetch instead of one per chunk."""
+        device rows (QWEN3_TTS_DEFER_WAV) resolve for ALL streams here —
+        one batched, buffer-deduplicated fetch instead of one per chunk."""
         stream = self.streams[stream_id]
-        deferred = [c for c in stream.wav_chunks
-                    if isinstance(c, _DeferredWav)]
-        if deferred:
-            rows = jax.device_get([c.dev for c in deferred])
-            resolved = iter(
-                row[c.slot, : c.n] for c, row in zip(deferred, rows)
-            )
-            stream.wav_chunks = [
-                next(resolved) if isinstance(c, _DeferredWav) else c
-                for c in stream.wav_chunks
-            ]
+        self._resolve_deferred()
         wav = (
             np.concatenate(stream.wav_chunks)
             if stream.wav_chunks

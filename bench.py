@@ -233,7 +233,41 @@ def main() -> None:
     )
 
 
+def preflight(deadline_s: float = 900.0, probe_timeout_s: float = 90.0) -> None:
+    """Wait until the device service answers a trivial op before loading.
+
+    The remote TPU service can wedge (blocked calls, no error — CLAUDE.md)
+    and usually recovers after idle time; a hung in-process JAX call can't
+    be cancelled, so each probe runs in a killable subprocess. Proceeds
+    anyway at the deadline (the CPU backend still works)."""
+    import subprocess
+
+    start = time.time()
+    attempt = 0
+    while time.time() - start < deadline_s:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.arange(8.0).sum()))"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[preflight: device up after {attempt} probes, "
+                          f"{time.time() - start:.0f}s]", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[preflight: device unresponsive (probe {attempt}), retrying]",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+    print("[preflight: deadline reached, proceeding anyway]", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    preflight()
     if len(sys.argv) > 1 and sys.argv[1] == "--serving":
         serving_bench(int(sys.argv[2]) if len(sys.argv) > 2 else BASELINE_STREAMS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--longform":

@@ -256,25 +256,6 @@ class ServingEngine:
         self._prefill_batch_fns[key] = prefill_activate
         return prefill_activate
 
-    def _scatter_fn(self, Lb: int) -> Callable:
-        """Jitted scatter of a finished scratch cache into a slot's range of
-        the big batched caches."""
-        if Lb in self._scatter_fns:
-            return self._scatter_fns[Lb]
-
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def scatter(cache_k, cache_v, sk, sv, slot):
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, sk, (0, slot, 0, 0, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, sv, (0, slot, 0, 0, 0)
-            )
-            return cache_k, cache_v
-
-        self._scatter_fns[Lb] = scatter
-        return scatter
-
     def _decode_fn(self, wins: tuple[int, ...]) -> Callable:
         """Fused serve step compiled for one (chunk, per-group attention
         window tuple); one window entry per slot group (a single entry =
@@ -554,41 +535,75 @@ class ServingEngine:
                 pp.stream.active = True
                 self._pending.remove(pp)
 
+    def _activate_fn(self, Lb: int) -> Callable:
+        """Jitted single-stream activation for the sliced (under-load) join
+        path: scatter the finished scratch cache into the slot, sample the
+        seed (+MTP) tokens, and update every per-slot state vector — ONE
+        dispatch instead of a dozen eager ops stalling the decode pipeline
+        at every join. The slot's codec conv tail resets here; its codec
+        transformer cache is overwritten progressively (positions restart
+        at 0 and are always written before being attended)."""
+        key = ("activate", Lb)
+        if key in self._scatter_fns:
+            return self._scatter_fns[key]
+        cfg = self.cfg
+        t = cfg.talker
+        fps = self.fps
+        sampling = self.sampling
+        from ..models.talker import mtp_logits
+
+        @partial(jax.jit, donate_argnums=(3, 4))
+        def activate(params, sk, sv, cache_k, cache_v, slot, pad,
+                     last_logits, last_hidden, pos_v, pad_v, tok_v,
+                     frames_v, active_v, tail, key):
+            key, sub = jax.random.split(key)
+            toks = [sample_token(last_logits[None], sub, sampling)]
+            h = last_hidden[None]
+            for _ in range(1, fps):  # MTP seed frames
+                lg, h = mtp_logits(params, t, h, toks[-1])
+                key, sub = jax.random.split(key)
+                toks.append(sample_token(lg, sub, sampling))
+            first = jnp.stack(toks, axis=1)[0]                # [fps]
+
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, sk, (0, slot, 0, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, sv, (0, slot, 0, 0, 0)
+            )
+            onehot = jnp.arange(tok_v.shape[0]) == slot
+            pos_v = jnp.where(onehot, Lb, pos_v)
+            pad_v = jnp.where(onehot, pad, pad_v)
+            tok_v = jnp.where(onehot[:, None], first[None, :], tok_v)
+            frames_v = jnp.where(onehot, 0, frames_v)
+            active_v = jnp.where(onehot, True, active_v)
+            tail = jnp.where(onehot[:, None, None], 0.0, tail)
+            return (cache_k, cache_v, pos_v, pad_v, tok_v, frames_v,
+                    active_v, tail, key)
+
+        self._scatter_fns[key] = activate
+        return activate
+
     def _finish_prefill(self, pp: _PendingPrefill) -> None:
-        """Scatter the scratch cache into the slot and activate the stream."""
+        """Scatter the scratch cache into the slot and activate the stream
+        (one fused dispatch — see _activate_fn)."""
         stream = pp.stream
         slot = stream.slot
         if self._slots[slot] is not stream or stream.done:
             return  # stream was cancelled/recycled while pending
-        self.cache_k, self.cache_v = self._scatter_fn(pp.Lb)(
-            self.cache_k, self.cache_v, pp.sk, pp.sv, jnp.int32(slot)
+        tail = self.cstate["tail"]
+        (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
+         self.frames_dev, self.active_mask, tail, self.key) = (
+            self._activate_fn(pp.Lb)(
+                self.model.params, pp.sk, pp.sv, self.cache_k, self.cache_v,
+                jnp.int32(slot), jnp.int32(pp.pad),
+                pp.last_logits, pp.last_hidden,
+                self.pos, self.pad, self.tok, self.frames_dev,
+                self.active_mask, tail, self.key,
+            )
         )
-        from ..models.talker import mtp_logits
-
-        t = self.cfg.talker
-        self.key, sub = jax.random.split(self.key)
-        toks = [sample_token(pp.last_logits[None], sub, self.sampling)]
-        h = pp.last_hidden[None]
-        for _ in range(1, self.fps):  # MTP seed frames
-            lg, h = mtp_logits(self.model.params, t, h, toks[-1])
-            self.key, sub = jax.random.split(self.key)
-            toks.append(sample_token(lg, sub, self.sampling))
-        first = jnp.stack(toks, axis=1)[0]                    # [fps]
-
-        onehot = jnp.arange(self.B) == slot
         self._host_pos[slot] = pp.Lb
-        self.pos = jnp.where(onehot, pp.Lb, self.pos)
-        self.pad = jnp.where(onehot, pp.pad, self.pad)
-        self.tok = jnp.where(onehot[:, None], first[None, :], self.tok)
-        self.frames_dev = jnp.where(onehot, 0, self.frames_dev)
-        # reset the slot's codec conv tail; its transformer cache is
-        # overwritten progressively (positions restart at 0 and are
-        # always written before being attended)
-        self.cstate = dict(
-            self.cstate,
-            tail=jnp.where(onehot[:, None, None], 0, self.cstate["tail"]),
-        )
-        self.active_mask = jnp.where(onehot, True, self.active_mask)
+        self.cstate = dict(self.cstate, tail=tail)
         stream.active = True
 
     def dispatch_step(self):

@@ -1,0 +1,45 @@
+"""The driver captures BENCH_r*.json from bench.py's output — its helper
+paths must keep working on any backend. Runs the serving-metrics helper on
+the tiny config (CPU) and checks the JSON-facing shape."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+import bench  # noqa: E402  (repo root on sys.path via pytest rootdir)
+from qwen3_tts_tpu.engine import configs  # noqa: E402
+from qwen3_tts_tpu.engine.api import Qwen3TTSModel  # noqa: E402
+
+
+def test_serving_metrics_shape_and_sanity():
+    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=0)
+    m = bench._serving_metrics(model, n_streams=2)
+    assert set(m) == {
+        "streams", "agg_rtf", "total_audio_s", "wall_s",
+        "ttfa_s_p50", "join_ttfa_s_under_load",
+    }
+    assert m["streams"] == 2
+    assert m["agg_rtf"] > 0 and m["total_audio_s"] > 0
+    assert m["ttfa_s_p50"] > 0 and m["join_ttfa_s_under_load"] > 0
+
+
+def test_preflight_returns_quickly_when_device_answers(monkeypatch):
+    """preflight must return fast when the probe subprocess succeeds
+    (CPU backend answers trivially in the child)."""
+    import subprocess
+
+    calls = []
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench.preflight(deadline_s=5.0, probe_timeout_s=1.0)
+    assert len(calls) == 1

@@ -33,17 +33,12 @@ import numpy as np
 
 from ..engine.configs import ModelConfig
 from ..models.code_predictor import predict_residuals
-from ..models.codec import decode_codes
 from ..models.talker import talker_forward
 from ..models.layers import rope_tables
 from .prompts import PromptSpec
 from .sampling import SamplingConfig, sample_token
 
 PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
-# codec decode pads the frame axis to one of these (compile-once per bucket;
-# streaming windows hit the smallest bucket, so per-chunk codec work is
-# proportional to the chunk, not to a fixed large pad)
-FRAME_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
 def bucket_len(n: int) -> int:
@@ -51,13 +46,6 @@ def bucket_len(n: int) -> int:
         if n <= b:
             return b
     return PROMPT_BUCKETS[-1]
-
-
-def frame_bucket(n: int) -> int:
-    for b in FRAME_BUCKETS:
-        if n <= b:
-            return b
-    return -(-n // FRAME_BUCKETS[-1]) * FRAME_BUCKETS[-1]
 
 
 # decode attention reads only a bucketed prefix of the KV cache: a short
@@ -222,14 +210,6 @@ def make_decode_chunk_fn(
     return decode_chunk
 
 
-def make_codec_decode_fn(cfg: ModelConfig) -> Callable:
-    @partial(jax.jit, static_argnums=())
-    def dec(codec_params, codes, pos0):
-        return decode_codes(codec_params, cfg, codes, pos0)
-
-    return dec
-
-
 # --------------------------------------------------------------------------
 # the synthesis driver
 # --------------------------------------------------------------------------
@@ -278,12 +258,6 @@ class Generator:
             self._fns[key] = make_decode_chunk_fn(
                 self.cfg, chunk, self.sampling, attn_len=attn_len,
             )
-        return self._fns[key]
-
-    def _codec_fn(self):
-        key = "codec"
-        if key not in self._fns:
-            self._fns[key] = make_codec_decode_fn(self.cfg)
         return self._fns[key]
 
     def _alloc_cache(self, batch: int = 1):
@@ -357,14 +331,23 @@ class Generator:
         parts.append(self.params["codec_emb"][t.codec_bos][None, :])
         emb = jnp.concatenate(parts, axis=0)  # [L, D]
 
+        # conditioning rows (speaker embedding/vector) sit at the head and
+        # must survive truncation — only text/acoustic rows may be trimmed
+        n_head = (prompt.speaker_id is not None) + (
+            prompt.speaker_vector is not None
+        )
+
         L = int(emb.shape[0])
         # clamp the bucket so decode keeps headroom inside max_seq_len
         max_prompt = max(16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule))
         allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
         cap = allowed[-1] if allowed else max_prompt
         Lb = min(bucket_len(L), cap)
-        if L > Lb:  # over-long prompt: keep the tail (BOS must survive)
-            emb = emb[L - Lb:]
+        if L > Lb:  # over-long prompt: keep head conditioning + the tail
+            # (BOS must survive; voice conditioning must survive)
+            emb = jnp.concatenate(
+                [emb[:n_head], emb[L - (Lb - n_head):]], axis=0
+            )
             L = Lb
         pad = Lb - L
         padded = jnp.zeros((Lb, emb.shape[1]), emb.dtype)
@@ -391,7 +374,14 @@ class Generator:
         hop = cfg.codec.hop
         emb, pad = self.assemble_prompt(prompt)
         Lb = emb.shape[1]
-        budget = (cfg.max_seq_len - Lb) * fps
+        from ..models.codec import _MAX_FRAMES
+
+        # cap against both the talker cache (positions) and the codec
+        # latent-transformer cache (frames) — see ServingEngine.submit
+        budget = min(
+            (cfg.max_seq_len - Lb) * fps,
+            _MAX_FRAMES - 2 * max(self.chunk_schedule),
+        )
         max_frames = max(1, min(max_frames, budget))
 
         start = time.perf_counter()
@@ -499,16 +489,6 @@ class Generator:
             "ttfa_s": ttfa if ttfa is not None else wall,
             "wall_s": wall,
         }
-
-    def _codec_decode_padded(self, codec_fn, codes_np: np.ndarray, pos0: int):
-        """Pad the frame axis to a bucket (causal decoder => exact) and
-        decode; returns float32 numpy [T*hop]."""
-        Q, T = codes_np.shape
-        Tb = frame_bucket(T)
-        padded = np.zeros((1, Q, Tb), dtype=np.int32)
-        padded[0, :, :T] = codes_np
-        wav = codec_fn(self.codec_params, jnp.asarray(padded), jnp.int32(max(pos0, 0)))
-        return np.asarray(wav[0, : T * self.cfg.codec.hop])
 
     def synthesize(
         self,

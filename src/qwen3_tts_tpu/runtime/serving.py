@@ -24,7 +24,7 @@ Design (continuous batching, slot model):
   sampling; inactive slots hold position and re-write the same cache row
   (bounded, no overflow);
 - the codec decodes all slots' new frames in one batched call with
-  per-slot streaming lookback windows and absolute positions.
+  per-slot conv-tail state and absolute positions.
 
 EOS detection is the only host sync per chunk, same as the single-stream
 path (runtime.generate).
@@ -129,7 +129,6 @@ class ServingEngine:
         *,
         max_streams: int = 8,
         chunk: int = 8,
-        lookback: int = 8,
         prefill_chunk: int = 128,
         sampling: SamplingConfig | None = None,
     ):
@@ -137,7 +136,6 @@ class ServingEngine:
         self.cfg: ModelConfig = model.cfg
         self.B = max_streams
         self.chunk = chunk
-        self.lookback = lookback
         self.sampling = sampling or SamplingConfig()
         t = self.cfg.talker
         S = self.cfg.max_seq_len
@@ -211,8 +209,10 @@ class ServingEngine:
         submissions cost N prefill dispatches + N scatters + ~10 tiny eager
         device ops each before the first decode step.
 
-        Padded batch rows replicate entry 0 (same emb/pad/slot), so their
-        duplicate scatter writes are bit-identical to entry 0's — harmless.
+        Padded batch rows replicate entry 0 (same emb/pad/slot) and sample
+        with slot-folded per-row keys, so their duplicate scatter writes
+        are bit-identical to entry 0's under BOTH greedy and stochastic
+        sampling — order-independent, harmless.
         """
         key = (Lb, nb)
         if key in self._prefill_batch_fns:
@@ -234,12 +234,23 @@ class ServingEngine:
                 pad_len=pads,
             )
             h = hidden[:, -1, :]
+
+            def row_sample(lg, sub):
+                # per-row keys folded from the SLOT id: padding rows
+                # replicate entry 0's slot AND logits, so they sample the
+                # IDENTICAL token — the duplicate-index scatter below stays
+                # order-independent under stochastic sampling too
+                keys = jax.vmap(lambda s: jax.random.fold_in(sub, s))(slots)
+                return jax.vmap(
+                    lambda l, k: sample_token(l[None, :], k, sampling)[0]
+                )(lg, keys)
+
             key, sub = jax.random.split(key)
-            toks = [sample_token(logits[:, -1, :], sub, sampling)]
+            toks = [row_sample(logits[:, -1, :], sub)]
             for _ in range(1, fps):  # MTP seed frames
                 lg, h = mtp_logits(params, t, h, toks[-1])
                 key, sub = jax.random.split(key)
-                toks.append(sample_token(lg, sub, sampling))
+                toks.append(row_sample(lg, sub))
             first = jnp.stack(toks, axis=1)                  # [nb, fps]
 
             cache_k = cache_k.at[:, slots, :Lb].set(sk)
@@ -381,7 +392,17 @@ class ServingEngine:
         gen = self.model.generator  # reuse its prompt assembly
         emb, pad = gen.assemble_prompt(prompt)
         Lb = emb.shape[1]
-        budget = (self.cfg.max_seq_len - Lb) * self.fps
+        from ..models.codec import _MAX_FRAMES
+
+        # cap against BOTH the talker cache (positions) and the codec
+        # latent-transformer cache (frames): with frames_per_step>1 the
+        # talker budget alone can exceed the codec's 4096-frame capacity,
+        # and overflow there clamps writes silently (garbage audio). The
+        # 2*chunk margin covers speculative whole-chunk overshoot.
+        budget = min(
+            (self.cfg.max_seq_len - Lb) * self.fps,
+            _MAX_FRAMES - 2 * self.chunk,
+        )
         max_frames = max(1, min(max_frames, budget))
 
         # final cache position this stream can reach (prompt bucket is
@@ -466,7 +487,7 @@ class ServingEngine:
         stalled_once = False
         while self._pending and not (live() and stalled_once):
             pp = self._pending[0]
-            C = min(self.prefill_chunk, pp.Lb)
+            C = min(self.prefill_chunk, pp.Lb - pp.pos)
             fn = self._prefill_slice_fn(C, pp.Lb)
             emb_slice = jax.lax.dynamic_slice_in_dim(pp.emb, pp.pos, C, axis=1)
             pp.sk, pp.sv, pp.last_logits, pp.last_hidden = fn(
@@ -672,8 +693,6 @@ class ServingEngine:
             valid_host, codes_host, wav_host = jax.device_get(
                 (n_valid, codes, wav)
             )
-        now = time.perf_counter()
-
         wav_fetched = wav_host
 
         def fetch_wav_host():
@@ -715,7 +734,9 @@ class ServingEngine:
                 stream.wav_chunks.append(stream_wav)
                 stream.frames += valid
                 if stream.ttfa_s is None:
-                    stream.ttfa_s = now - stream.submitted_at
+                    # timestamp AFTER any lazy first-chunk wav fetch above,
+                    # so deferred-mode TTFA still measures audio-on-host
+                    stream.ttfa_s = time.perf_counter() - stream.submitted_at
                 if stream.on_chunk is not None:
                     stream.on_chunk(chunk_wav)
             if done:

@@ -144,3 +144,25 @@ def test_sampling_semantics():
         for i in range(20)
     }
     assert draws == {1}
+
+
+def test_overlong_prompt_truncation_keeps_speaker_row():
+    """Over-long prompts truncate TEXT, never the speaker conditioning at
+    the head of the sequence."""
+    import numpy as np
+
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=0)
+    gen = model.generator
+    long_text = np.arange(220, dtype=np.int32) % 200
+    emb, pad = gen.assemble_prompt(
+        PromptSpec(text_tokens=long_text, speaker_id=2)
+    )
+    assert pad == 0  # truncated to the bucket exactly
+    spk = np.asarray(model.params["spk_emb"][2], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(emb[0, 0], np.float32), spk
+    )

@@ -322,3 +322,39 @@ def test_deferred_wav_keeps_on_chunk_streaming(model, monkeypatch):
     wav, stream = eng.collect(sid)
     assert chunks and all(c is not None and c.dtype == np.int16 for c in chunks)
     np.testing.assert_array_equal(np.concatenate(chunks), wav)
+
+
+def test_non_divisor_prefill_chunk_is_exact(model):
+    """prefill_chunk that does not divide the prompt bucket must still
+    prefill exactly (the final slice clamps to the remaining tokens)."""
+    p = _prompt(51)
+    solo = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    (wav_solo, ss), = solo.run([p], max_frames=10)
+
+    eng = ServingEngine(
+        model, max_streams=2, chunk=4, prefill_chunk=24, sampling=GREEDY
+    )  # bucket 64 = 24 + 24 + 16: the last slice is short
+    a = eng.submit(_prompt(52), max_frames=24)   # keep one stream live
+    eng.step()
+    b = eng.submit(p, max_frames=10)             # sliced join path
+    guard = 0
+    while not (eng.streams[a].done and eng.streams[b].done):
+        eng.step()
+        guard += 1
+        assert guard < 200
+    wav_b, stream_b = eng.collect(b)
+    assert stream_b.frames == ss.frames
+    np.testing.assert_array_equal(_all_codes(stream_b), _all_codes(ss))
+    np.testing.assert_allclose(wav_b, wav_solo, atol=1)  # +-1 PCM LSB
+
+
+def test_frame_budget_caps_at_codec_capacity(model, monkeypatch):
+    """max_frames must clamp to the codec latent-transformer capacity, not
+    just the talker's position budget (silent cache-clamp corruption past
+    _MAX_FRAMES otherwise)."""
+    import qwen3_tts_tpu.models.codec as codec_mod
+
+    monkeypatch.setattr(codec_mod, "_MAX_FRAMES", 32)
+    eng = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    sid = eng.submit(_prompt(53), max_frames=10_000)
+    assert eng.streams[sid].max_frames <= 32 - 2 * eng.chunk

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine.configs import CodecConfig, ModelConfig
-from .layers import rmsnorm, rope_tables, transformer_block
+from .layers import rmsnorm, rope_slice, rope_tables, transformer_block
 
 Params = dict[str, Any]
 
@@ -103,7 +103,9 @@ def _tf_block_init(rng, d: int, heads: int, head_dim: int, ffn: int, dtype) -> P
 
 
 def _stack_trees(trees: list[Params]) -> Params:
-    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+    from .talker import _stack  # one shared pytree-stacking helper
+
+    return _stack(trees)
 
 
 def init_codec(cfg: ModelConfig, seed: int = 2) -> Params:
@@ -189,14 +191,7 @@ def _latent_transformer(
     B, T, D = latent.shape
     head_dim = D // cc.transformer_heads
     cos_t, sin_t = rope_tables(_MAX_FRAMES, head_dim, 10_000.0)
-    pos0 = jnp.asarray(pos0)
-    if pos0.ndim == 1:
-        idx = pos0[:, None] + jnp.arange(T)[None, :]
-        cos = jnp.take(cos_t, idx, axis=0, mode="clip")
-        sin = jnp.take(sin_t, idx, axis=0, mode="clip")
-    else:
-        cos = jax.lax.dynamic_slice(cos_t, (pos0, 0), (T, head_dim // 2))
-        sin = jax.lax.dynamic_slice(sin_t, (pos0, 0), (T, head_dim // 2))
+    cos, sin = rope_slice(cos_t, sin_t, pos0, T)
 
     def body(x, layer_p):
         zeros = jnp.zeros((B, T, cc.transformer_heads, head_dim), dtype=x.dtype)
@@ -221,6 +216,22 @@ def _res_unit(p: Params, x: jnp.ndarray, kernel_dilations=(1, 3)) -> jnp.ndarray
     return x + h
 
 
+def _conv_stack(dec: Params, cc: CodecConfig, latent: jnp.ndarray) -> jnp.ndarray:
+    """The decoder conv stack: latent [B, T, D] -> waveform [B, T*hop].
+
+    Shared by decode_codes and decode_codes_streaming — the streaming
+    invariant (streamed chunks EQUAL the one-shot decode) depends on both
+    paths running the IDENTICAL stack."""
+    x = causal_conv1d(latent, dec["in_proj"]["w"], dec["in_proj"]["b"])
+    for i, rate in enumerate(cc.upsample_rates):
+        stage = dec["stages"][i]
+        x = upsample_repeat(x, rate)
+        x = causal_conv1d(x, stage["up"]["w"], stage["up"]["b"])
+        x = _res_unit(stage["res"], x)
+    wav = causal_conv1d(jax.nn.gelu(x), dec["out_conv"]["w"], dec["out_conv"]["b"])
+    return jnp.tanh(wav[..., 0].astype(jnp.float32))
+
+
 def decode_codes(
     params: Params,
     cfg: ModelConfig,
@@ -234,15 +245,7 @@ def decode_codes(
 
     latent = codes_to_latent(dec, cc, codes)
     latent = _latent_transformer(dec, cc, latent, pos0)
-
-    x = causal_conv1d(latent, dec["in_proj"]["w"], dec["in_proj"]["b"])
-    for i, rate in enumerate(cc.upsample_rates):
-        stage = dec["stages"][i]
-        x = upsample_repeat(x, rate)
-        x = causal_conv1d(x, stage["up"]["w"], stage["up"]["b"])
-        x = _res_unit(stage["res"], x)
-    wav = causal_conv1d(jax.nn.gelu(x), dec["out_conv"]["w"], dec["out_conv"]["b"])
-    return jnp.tanh(wav[..., 0].astype(jnp.float32))
+    return _conv_stack(dec, cc, latent)
 
 
 # --------------------------------------------------------------------------
@@ -311,13 +314,7 @@ def decode_codes_streaming(
     latent = codes_to_latent(dec, cc, codes_new)          # [B, T, D]
 
     cos_t, sin_t = rope_tables(_MAX_FRAMES, head_dim, 10_000.0)
-    if pos.ndim == 1:
-        idx = pos[:, None] + jnp.arange(T)[None, :]
-        cos = jnp.take(cos_t, idx, axis=0, mode="clip")
-        sin = jnp.take(sin_t, idx, axis=0, mode="clip")
-    else:
-        cos = jax.lax.dynamic_slice(cos_t, (pos, 0), (T, head_dim // 2))
-        sin = jax.lax.dynamic_slice(sin_t, (pos, 0), (T, head_dim // 2))
+    cos, sin = rope_slice(cos_t, sin_t, pos, T)
 
     def body(x, layer):
         layer_p, ck, cv = layer
@@ -337,15 +334,7 @@ def decode_codes_streaming(
 
     window = jnp.concatenate([state["tail"], new_lat], axis=1)
     tail_len = state["tail"].shape[1]
-
-    x = causal_conv1d(window, dec["in_proj"]["w"], dec["in_proj"]["b"])
-    for i, rate in enumerate(cc.upsample_rates):
-        stage = dec["stages"][i]
-        x = upsample_repeat(x, rate)
-        x = causal_conv1d(x, stage["up"]["w"], stage["up"]["b"])
-        x = _res_unit(stage["res"], x)
-    wav = causal_conv1d(jax.nn.gelu(x), dec["out_conv"]["w"], dec["out_conv"]["b"])
-    wav = jnp.tanh(wav[..., 0].astype(jnp.float32))       # [B, (tail+T)*hop]
+    wav = _conv_stack(dec, cc, window)                    # [B, (tail+T)*hop]
 
     new_state = {
         "tf_k": new_k,

@@ -44,6 +44,31 @@ def rope_tables(
     return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
 
 
+def rope_slice(
+    cos_table: jnp.ndarray,       # [S, hd/2]
+    sin_table: jnp.ndarray,
+    pos: jnp.ndarray,             # scalar, or [B] per-stream positions
+    T: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Slice RoPE tables for T query positions starting at ``pos``.
+
+    Scalar pos -> [T, hd/2] via dynamic_slice; vector pos -> per-stream
+    [B, T, hd/2] via clipped gather (positions past the table budget clamp
+    to the last row — callers bound positions, see runtime budget caps)."""
+    pos = jnp.asarray(pos)
+    if pos.ndim == 1:
+        idx = pos[:, None] + jnp.arange(T)[None, :]          # [B, T]
+        return (
+            jnp.take(cos_table, idx, axis=0, mode="clip"),
+            jnp.take(sin_table, idx, axis=0, mode="clip"),
+        )
+    half = cos_table.shape[-1]
+    return (
+        jax.lax.dynamic_slice(cos_table, (pos, 0), (T, half)),
+        jax.lax.dynamic_slice(sin_table, (pos, 0), (T, half)),
+    )
+
+
 def apply_rope(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:

@@ -23,7 +23,7 @@ import numpy as np
 from ..engine.configs import ModelConfig, TalkerConfig
 from ..ops.linear import linear
 from ..ops.quant import quantize_weights
-from .layers import rmsnorm, transformer_block
+from .layers import rmsnorm, rope_slice, transformer_block
 
 Params = dict[str, Any]
 
@@ -73,8 +73,9 @@ def _init_linear(
             "bias": np.full((out_dim, g), -std, np.float32),
         }
     if fast:
+        # match N(0, std) variance with U(-a, a): Var = a^2/3 => a = std*sqrt(3)
         w = (rng.random((out_dim, in_dim), dtype=np.float32) - 0.5) * (
-            2.0 * std * 3.46  # match N(0, std) variance with U(-a, a)
+            2.0 * std * 1.7320508
         )
         return {"w": w.astype(dtype)}
     w = rng.normal(0.0, std, size=(out_dim, in_dim)).astype(np.float32)
@@ -168,22 +169,21 @@ def talker_forward(
     sin_table: jnp.ndarray,
     pad_len: jnp.ndarray | int = 0,
     window_split: tuple | None = None,
+    head_last_only: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run all layers; returns (hidden [B,T,D], logits [B,T,codec_vocab],
-    new_cache_k, new_cache_v). Works for prefill (T>1) and decode (T=1).
+    """Run all layers; returns (hidden [B,T,D], logits, new_cache_k,
+    new_cache_v). Works for prefill (T>1) and decode (T=1).
 
     ``pos``/``pad_len`` may be scalars or [B] vectors (per-stream offsets,
-    continuous batched serving — see models.layers.attention)."""
+    continuous batched serving — see models.layers.attention).
+
+    ``head_last_only``: apply the codec head to the LAST position only
+    (logits [B, 1, V]) — prefill callers discard everything else, and the
+    full-sequence head matmul + f32 logits buffer is pure HBM waste on a
+    long prompt slice."""
     T = x_emb.shape[1]
-    half = t.head_dim // 2
     pos = jnp.asarray(pos)
-    if pos.ndim == 1:  # per-stream positions -> per-stream RoPE tables
-        idx = pos[:, None] + jnp.arange(T)[None, :]          # [B, T]
-        cos = jnp.take(cos_table, idx, axis=0, mode="clip")  # [B, T, half]
-        sin = jnp.take(sin_table, idx, axis=0, mode="clip")
-    else:
-        cos = jax.lax.dynamic_slice(cos_table, (pos, 0), (T, half))
-        sin = jax.lax.dynamic_slice(sin_table, (pos, 0), (T, half))
+    cos, sin = rope_slice(cos_table, sin_table, pos, T)
 
     def body(x, layer):
         block_p, ck, cv = layer
@@ -213,7 +213,8 @@ def talker_forward(
         unroll=_scan_unroll(),
     )
     hidden = rmsnorm(x, params["ln_f"], t.rms_eps)
-    logits = linear(hidden, params["head"]).astype(jnp.float32)
+    head_in = hidden[:, -1:, :] if head_last_only else hidden
+    logits = linear(head_in, params["head"]).astype(jnp.float32)
     return hidden, logits, new_k, new_v
 
 

@@ -27,8 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# N-tile sized so q(u8) + w(f32) + double-buffering stay well under VMEM:
-# 256×8192 u8 = 2 MB, dequant f32 tile 256×512×4 = 0.5 MB.
+# N-tile size. VMEM per tile at K (the kernel materializes FULL-K f32
+# intermediates — widened q, expanded scale, expanded bias, each
+# [TILE_N, K] f32): 3 x 256 x K x 4 B ≈ 6 MB at K=2048, ~18 MB at K=6144,
+# plus the u8 input tile and double buffering. Shrink _TILE_N before
+# raising K-side bucket sizes; pallas_compatible() bounds neither K nor M.
 _TILE_N = 256
 _MIN_M = 16  # bf16 sublane minimum
 

@@ -88,7 +88,7 @@ def make_prefill_fn(cfg: ModelConfig) -> Callable:
         cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
         hidden, logits, ck, cv = talker_forward(
             params, t, emb, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
-            pad_len=pad_len,
+            pad_len=pad_len, head_last_only=True,
         )
         return hidden[:, -1, :], logits[:, -1, :], ck, cv
 

@@ -194,7 +194,7 @@ class ServingEngine:
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
             hidden, logits, sk, sv = talker_forward(
                 params, t, emb_slice, sk, sv, pos, cos_t, sin_t,
-                pad_len=pad_len,
+                pad_len=pad_len, head_last_only=True,
             )
             return sk, sv, logits[0, -1, :], hidden[0, -1, :]
 
@@ -231,7 +231,7 @@ class ServingEngine:
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
             hidden, logits, sk, sv = talker_forward(
                 params, t, emb, sk, sv, jnp.int32(0), cos_t, sin_t,
-                pad_len=pads,
+                pad_len=pads, head_last_only=True,
             )
             h = hidden[:, -1, :]
 

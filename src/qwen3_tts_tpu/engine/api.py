@@ -39,6 +39,11 @@ def compute_format() -> str:
     mode = os.environ.get("QWEN3_TTS_COMPUTE", "auto")
     if mode in ("int8", "bf16"):
         return mode
+    if mode not in ("", "auto"):
+        raise ValueError(
+            f"QWEN3_TTS_COMPUTE={mode!r}: expected 'int8' or 'bf16' "
+            "(lowercase) — refusing to silently fall back to auto-detection"
+        )
     import jax
 
     return "bf16" if jax.default_backend() == "tpu" else "int8"
@@ -232,23 +237,44 @@ class Qwen3TTSModel:
 
         hop = self.cfg.codec.hop
         n = len(wav)
-        # pad to a whole number of frames (and at least one)
-        T = max(1, -(-n // hop))
-        padded = np.zeros(T * hop, dtype=np.float32)
+        T = max(1, -(-n // hop))            # true frame count
+        # pad the FRAME count to a bucket so the jitted encoder compiles
+        # once per bucket, not once per distinct clip length (remote
+        # compiles cost minutes — CLAUDE.md); the encoder is causal, so
+        # trailing zero-padding cannot change the true frames' latents
+        Tb = T
+        for b in (64, 128, 256, 512, 1024, 2048):
+            if T <= b:
+                Tb = b
+                break
+        else:
+            Tb = -(-T // 2048) * 2048
+        padded = np.zeros(Tb * hop, dtype=np.float32)
         padded[:n] = wav
 
         if self._enc_fn is None:
             @jax.jit
-            def enc(codec_params, w):
+            def enc(codec_params, w, true_t):
                 latent = encode_waveform(codec_params, self.cfg, w)
                 codes = rvq_quantize(codec_params, self.cfg, latent)
-                spk = speaker_embedding(codec_params, self.cfg, latent)
+                # mask the padding frames out of the speaker pooling (the
+                # mean must cover the REAL clip only)
+                mask = (
+                    jnp.arange(latent.shape[1]) < true_t
+                )[None, :, None].astype(latent.dtype)
+                spk = speaker_embedding(
+                    codec_params, self.cfg, latent * mask,
+                    n_frames=true_t,
+                )
                 return codes, spk
 
             self._enc_fn = enc
 
-        codes, spk = self._enc_fn(self.codec_params, jnp.asarray(padded)[None])
-        return np.asarray(codes[0]), np.asarray(spk[0])
+        codes, spk = self._enc_fn(
+            self.codec_params, jnp.asarray(padded)[None], jnp.int32(T)
+        )
+        # trim the bucket padding's garbage codes host-side
+        return np.asarray(codes[0])[:, :T], np.asarray(spk[0])
 
 
 # --------------------------------------------------------------------------
@@ -278,7 +304,9 @@ def load_model(model_path: str, **kwargs) -> Qwen3TTSModel:
 # generate_audio
 # --------------------------------------------------------------------------
 
-_SENTENCE_SPLIT = re.compile(r"(?<=[.!?。！？；;])\s+")
+# latin enders need trailing whitespace (don't split "3.14"); CJK full-width
+# enders split unconditionally — unspaced 。！？； is the norm in zh/ja text
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?;])\s+|(?<=[。！？；])\s*")
 _MAX_SEGMENT_CHARS = 600
 _SEGMENT_GAP_S = 0.15
 

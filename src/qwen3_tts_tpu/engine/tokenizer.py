@@ -47,6 +47,11 @@ def load_tokenizer(model_path: str | None, vocab_size: int):
     than 256 (tiny test configs clamp byte ids with a modulo in that case —
     handled by the caller via ``clamp_ids``).
     """
+    if vocab_size < 256:
+        # tiny test configs: a real tokenizer would emit ids past the
+        # embedding table; the byte fallback + caller-side clamp_ids is
+        # the supported path
+        return ByteTokenizer()
     if model_path is not None:
         for fname in ("tokenizer.json", "tokenizer_config.json", "vocab.json"):
             if os.path.exists(os.path.join(model_path, fname)):

@@ -597,6 +597,12 @@ def _import_transformer(
             dest, idx = indexed[mi.group(1)], int(mi.group(2))
             slot = tree[dest]
             if idx < slot.shape[0] and np.shape(slot[idx]) == np.shape(arr):
+                # lossless like put_top/put_block: an fp32 per-codebook
+                # tensor must not round into a bf16 init stack
+                want = np.result_type(slot.dtype, np.asarray(arr).dtype)
+                if slot.dtype != want:
+                    slot = slot.astype(want)
+                    tree[dest] = slot
                 slot[idx] = arr
                 count += 1
                 consumed.add(name)

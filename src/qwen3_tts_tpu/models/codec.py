@@ -395,9 +395,19 @@ def rvq_quantize(
 
 
 def speaker_embedding(
-    params: Params, cfg: ModelConfig, latent: jnp.ndarray
+    params: Params, cfg: ModelConfig, latent: jnp.ndarray,
+    n_frames: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Mean-pooled encoder latent -> talker-hidden speaker vector [B, D_t]."""
-    pooled = jnp.mean(latent.astype(jnp.float32), axis=1)
+    """Mean-pooled encoder latent -> talker-hidden speaker vector [B, D_t].
+
+    ``n_frames``: divide by the REAL frame count instead of the (possibly
+    bucket-padded) latent length — callers zero the padding rows, this
+    keeps the mean unbiased."""
+    summed = jnp.sum(latent.astype(jnp.float32), axis=1)
+    denom = (
+        jnp.asarray(n_frames, jnp.float32)
+        if n_frames is not None else jnp.float32(latent.shape[1])
+    )
+    pooled = summed / denom
     w = params["spk_proj"]["w"].astype(jnp.float32)
     return (pooled @ w.T).astype(latent.dtype)

@@ -39,7 +39,7 @@ def latest_checkpoint(directory: str) -> str | None:
     steps = sorted(
         d for d in os.listdir(directory)
         if d.startswith("step_")
-        and not d.endswith("-tmp")  # in-flight async orbax saves
+        and "-tmp" not in d  # in-flight orbax saves ("-tmp" or "-tmp-<ts>")
         and os.path.isdir(os.path.join(directory, d))
     )
     return os.path.join(directory, steps[-1]) if steps else None

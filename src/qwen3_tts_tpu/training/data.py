@@ -36,6 +36,7 @@ class Example:
 
     text_tokens: np.ndarray   # [Tt] int32
     codes: np.ndarray         # [Q, Tf] int32
+    speaker_id: int = -1      # built-in speaker row to condition on (-1 = none)
 
 
 def encode_example(model, text: str, wav: np.ndarray, sample_rate: int) -> Example:
@@ -61,7 +62,13 @@ def encode_example(model, text: str, wav: np.ndarray, sample_rate: int) -> Examp
 
 
 def pad_batch(examples: Sequence[Example], pad_id: int = 0) -> dict:
-    """Right-pad a list of examples into one bucketed batch dict."""
+    """Right-pad a list of examples into one bucketed batch dict.
+
+    Examples longer than the largest bucket are truncated with a LOUD
+    warning — truncated codes paired with full text corrupt alignment and
+    EOS behavior, so callers should split long clips upstream instead."""
+    import warnings
+
     assert examples
     tt = _bucket(max(len(e.text_tokens) for e in examples), TEXT_BUCKETS)
     tf = _bucket(max(e.codes.shape[1] for e in examples), FRAME_BUCKETS)
@@ -72,18 +79,30 @@ def pad_batch(examples: Sequence[Example], pad_id: int = 0) -> dict:
     text_mask = np.zeros((B, tt), bool)
     codes = np.zeros((B, q, tf), np.int32)
     frame_mask = np.zeros((B, tf), bool)
+    speaker_id = np.full((B,), -1, np.int32)
     for i, e in enumerate(examples):
+        if len(e.text_tokens) > tt or e.codes.shape[1] > tf:
+            warnings.warn(
+                f"example {i} exceeds the largest bucket "
+                f"(text {len(e.text_tokens)}>{tt} or frames "
+                f"{e.codes.shape[1]}>{tf}) and is being TRUNCATED — split "
+                "long clips before batching (alignment/EOS training "
+                "degrades on truncated pairs)",
+                stacklevel=2,
+            )
         nt = min(len(e.text_tokens), tt)
         nf = min(e.codes.shape[1], tf)
         text[i, :nt] = e.text_tokens[:nt]
         text_mask[i, :nt] = True
         codes[i, :, :nf] = e.codes[:, :nf]
         frame_mask[i, :nf] = True
+        speaker_id[i] = e.speaker_id
     return {
         "text_tokens": text,
         "text_mask": text_mask,
         "codes": codes,
         "frame_mask": frame_mask,
+        "speaker_id": speaker_id,
     }
 
 

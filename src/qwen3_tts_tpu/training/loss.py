@@ -56,13 +56,34 @@ def _talker_hidden_and_logits(
     codes0 = batch["codes"][:, 0, :]                  # [B, Tf]
     B, Tt = text.shape
 
-    # right-padded -> left-padded: token j comes from source j - shift
-    n_real = jnp.sum(text_mask.astype(jnp.int32), axis=1)   # [B]
-    shift = (Tt - n_real).astype(jnp.int32)                 # [B] pad length
-    src = jnp.arange(Tt)[None, :] - shift[:, None]
-    left_text = jnp.take_along_axis(text, jnp.clip(src, 0, Tt - 1), axis=1)
+    # optional speaker conditioning: inference prompts lead with the
+    # speaker embedding row (runtime/generate.py assemble_prompt), so
+    # fine-tunes must see the same [pad][spk][text][BOS][frames] layout.
+    # speaker_id -1 (or absent) = unconditioned example.
+    spk_id = jnp.asarray(
+        batch.get("speaker_id", jnp.full((B,), -1, jnp.int32))
+    )
+    have_spk = (spk_id >= 0).astype(jnp.int32)               # [B]
 
-    text_emb = jnp.take(params["text_emb"], left_text, axis=0)
+    n_real = jnp.sum(text_mask.astype(jnp.int32), axis=1)    # [B]
+    W = Tt + 1                                               # room for spk
+    shift = (W - n_real - have_spk).astype(jnp.int32)        # [B] pad length
+
+    # right layout [spk][text_real][text_pad] -> gather into left layout;
+    # rows without a speaker start the gather one past the spk row. Rows
+    # before `shift` are left-padding (masked via pad_len below).
+    spk_row = jnp.take(
+        params["spk_emb"], jnp.maximum(spk_id, 0), axis=0
+    )[:, None, :]                                            # [B, 1, D]
+    text_emb_r = jnp.take(params["text_emb"], text, axis=0)  # [B, Tt, D]
+    seq_r = jnp.concatenate([spk_row.astype(text_emb_r.dtype), text_emb_r],
+                            axis=1)                          # [B, W, D]
+    src = (
+        jnp.arange(W)[None, :] - shift[:, None] + (1 - have_spk)[:, None]
+    )
+    text_emb = jnp.take_along_axis(
+        seq_r, jnp.clip(src, 0, W - 1)[:, :, None], axis=1
+    )
     bos = jnp.broadcast_to(
         params["codec_emb"][t.codec_bos][None, None, :], (B, 1, text_emb.shape[-1])
     )
@@ -85,7 +106,7 @@ def _talker_hidden_and_logits(
             lambda tk: merge_step_tokens(params, t, tk), in_axes=1, out_axes=1
         )(grouped)                                       # [B, K, D]
         frame_in = merged[:, :-1].astype(text_emb.dtype)
-    x = jnp.concatenate([text_emb, bos, frame_in], axis=1)  # [B, Tt+K, D]
+    x = jnp.concatenate([text_emb, bos, frame_in], axis=1)  # [B, W+K, D]
 
     S = x.shape[1]
     dtype = x.dtype
@@ -96,9 +117,10 @@ def _talker_hidden_and_logits(
         params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
         pad_len=shift,
     )
-    # positions Tt-1+k+1 = Tt+k hold the prediction for step k (BOS at Tt)
-    step_hidden = hidden[:, Tt:, :]
-    step_logits = logits[:, Tt:, :]
+    # BOS sits at index W; its output predicts step 0, so positions W+k
+    # hold the prediction for step k
+    step_hidden = hidden[:, W:, :]
+    step_logits = logits[:, W:, :]
     if fps == 1:
         return step_hidden, step_logits
 

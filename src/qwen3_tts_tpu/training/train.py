@@ -117,4 +117,15 @@ def synthetic_batch(
         "text_mask": np.ones((batch_size, t_text), dtype=bool),
         "codes": codes,
         "frame_mask": np.ones((batch_size, t_frames), dtype=bool),
+        # alternate conditioned / unconditioned rows so the speaker-aware
+        # training layout (training/loss.py) is always exercised
+        "speaker_id": _alternating_speakers(batch_size, t.n_speakers),
     }
+
+
+def _alternating_speakers(batch_size: int, n_speakers: int):
+    import numpy as np
+
+    sid = np.arange(batch_size, dtype=np.int32) % n_speakers
+    sid[1::2] = -1  # odd rows train unconditioned
+    return sid

@@ -26,14 +26,26 @@ def time_stretch(
     aligned within ±search window by cross-correlation against the natural
     continuation of the previous output frame.
     """
+    if not 0.25 <= rate <= 4.0:
+        raise ValueError(
+            f"speed rate {rate} out of the supported range [0.25, 4.0]"
+        )
     x = np.asarray(wav, dtype=np.float32)
     if abs(rate - 1.0) < 1e-3 or len(x) == 0:
         return x
 
     frame = max(256, int(sample_rate * frame_ms / 1000.0))
     frame -= frame % 2
+    if len(x) < frame:
+        # shorter than one analysis frame (~30 ms): zero-pad, stretch, trim
+        # to the rate-scaled length (overlap-add needs one full frame)
+        padded = np.zeros(frame + 1, np.float32)
+        padded[: len(x)] = x
+        out = time_stretch(padded, rate, sample_rate,
+                           frame_ms=frame_ms, search_ms=search_ms)
+        return out[: max(1, int(round(len(x) / rate)))]
     hop_s = frame // 2                      # synthesis hop (50% overlap)
-    hop_a = int(round(hop_s * rate))        # analysis hop
+    hop_a = max(1, int(round(hop_s * rate)))  # analysis hop
     search = max(1, int(sample_rate * search_ms / 1000.0))
     window = np.hanning(frame).astype(np.float32)
 
@@ -63,7 +75,11 @@ def time_stretch(
             cands = np.lib.stride_tricks.sliding_window_view(
                 x[lo: hi + corr_len], corr_len
             )[: hi - lo + 1]
-            scores = cands @ nat_h
+            # NORMALIZED cross-correlation: a raw dot product lets loud
+            # candidates (clicks/plosives) win regardless of waveform
+            # similarity, splicing dissimilar segments
+            norms = np.sqrt(np.sum(cands * cands, axis=1)) + 1e-6
+            scores = (cands @ nat_h) / norms
             best = lo + int(np.argmax(scores))
         seg = x[best: best + frame]
         pos = i * hop_s

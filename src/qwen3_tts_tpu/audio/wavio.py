@@ -48,7 +48,11 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         data = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
         data = (data - 128.0) / 128.0
     elif width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        # audio-INPUT scaling is /32768 (native.i16_to_f32 matches); the
+        # decode path's /32767 inverse lives in ops/pcm.py — do not mix
+        from ..native import i16_to_f32
+
+        data = i16_to_f32(np.frombuffer(raw, dtype="<i2"))
     elif width == 3:
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
         as32 = (
@@ -96,8 +100,10 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
 
 
 def to_mono(samples: np.ndarray) -> np.ndarray:
-    """Average channels down to mono float32."""
+    """Average channels down to mono float32 (native kernel when built)."""
     arr = np.asarray(samples, dtype=np.float32)
     if arr.ndim == 2:
-        arr = arr.mean(axis=1)
+        from ..native import downmix_mono
+
+        arr = downmix_mono(np.ascontiguousarray(arr))
     return arr

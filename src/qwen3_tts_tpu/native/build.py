@@ -43,7 +43,12 @@ def ensure_built() -> str | None:
     cxx = os.environ.get("CXX") or shutil.which("g++") or shutil.which("clang++")
     if cxx is None:
         return None
-    tmp = tempfile.mktemp(suffix=".so", dir=_cache_dir())
+    # pid-unique temp name: two cold-starting processes must never compile
+    # into the SAME path (interleaved g++ output would cache a corrupt .so
+    # under the hash key forever)
+    tmp = os.path.join(
+        _cache_dir(), f".build_{os.getpid()}_{_src_hash()}.so"
+    )
     cmd = [
         cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
         "-o", tmp, _SRC,

@@ -53,3 +53,26 @@ def test_generate_audio_applies_speed(temp_dir):
     # same frames generated, but the fast file is ~1/1.5 the duration
     ratio = m2["audio_s"] / m1["audio_s"]
     assert 0.55 < ratio < 0.8
+
+
+def test_short_input_stretches_without_crashing():
+    import numpy as np
+
+    from qwen3_tts_tpu.audio.stretch import time_stretch
+
+    x = np.sin(np.linspace(0, 20, 500)).astype(np.float32)  # < one frame
+    out = time_stretch(x, 1.3, 24000)
+    assert len(out) > 0
+    out2 = time_stretch(x, 0.8, 24000)
+    assert len(out2) > 0
+
+
+def test_absurd_rate_raises():
+    import numpy as np
+    import pytest
+
+    from qwen3_tts_tpu.audio.stretch import time_stretch
+
+    x = np.zeros(24000, np.float32)
+    with pytest.raises(ValueError, match="speed rate"):
+        time_stretch(x, 0.0, 24000)

@@ -49,10 +49,11 @@ def _serving_metrics(model, n_streams: int = BASELINE_STREAMS) -> dict:
             for i in range(n)
         ]
 
-    # warmup: compiles prefill slices + batched cold-start prefill + fused
-    # serve step + codec buckets (one short full-width run)
-    engine.run(prompts(1), max_frames=engine.chunk * 2)
-    engine.run(prompts(n_streams, base=29), max_frames=engine.chunk)
+    # warmup: compiles prefill slices + batched cold-start prefill + every
+    # serve-step chunk variant in the adaptive schedule + codec buckets
+    warm_frames = sum(engine.chunk_schedule) + engine.chunk_schedule[-1]
+    engine.run(prompts(1), max_frames=warm_frames)
+    engine.run(prompts(n_streams, base=29), max_frames=warm_frames)
 
     frames_target = 120
     t0 = time.perf_counter()

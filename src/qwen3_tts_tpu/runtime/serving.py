@@ -128,14 +128,25 @@ class ServingEngine:
         model,
         *,
         max_streams: int = 8,
-        chunk: int = 8,
+        chunk: int | None = None,
+        chunk_schedule: tuple[int, ...] | None = None,
         prefill_chunk: int = 128,
         sampling: SamplingConfig | None = None,
     ):
         self.model = model
         self.cfg: ModelConfig = model.cfg
         self.B = max_streams
-        self.chunk = chunk
+        # adaptive chunk schedule (mirrors runtime.generate): dispatches use
+        # small chunks while the YOUNGEST active stream is early (protecting
+        # its TTFA) and grow to the last entry in steady state, amortizing
+        # the per-chunk host round trip + fetch. An explicit ``chunk`` pins
+        # a fixed single-size schedule (tests, fixed-latency deployments).
+        if chunk_schedule is not None:
+            self.chunk_schedule = tuple(chunk_schedule)
+        elif chunk is not None:
+            self.chunk_schedule = (chunk,)
+        else:
+            self.chunk_schedule = (8, 16, 32)
         self.sampling = sampling or SamplingConfig()
         t = self.cfg.talker
         S = self.cfg.max_seq_len
@@ -156,7 +167,9 @@ class ServingEngine:
         self.pad = jnp.zeros((self.B,), jnp.int32)
         self.frames_dev = jnp.zeros((self.B,), jnp.int32)
         self.fps = t.frames_per_step
-        assert chunk % self.fps == 0, (chunk, self.fps)
+        assert all(c % self.fps == 0 for c in self.chunk_schedule), (
+            self.chunk_schedule, self.fps,
+        )
         self.tok = jnp.full((self.B, self.fps), t.codec_pad, jnp.int32)
         self.active_mask = jnp.zeros((self.B,), jnp.bool_)
         self.key = jax.random.PRNGKey(0)
@@ -176,6 +189,34 @@ class ServingEngine:
         self._scatter_fns: dict[int, Callable] = {}
         self._decode_fns: dict[tuple[int, tuple[int, ...]], Callable] = {}
         self._host_pos = [0] * self.B  # host mirror for attn bucketing
+        self._host_frames = [0] * self.B  # dispatched frames (chunk picking)
+
+    @property
+    def chunk(self) -> int:
+        """First-chunk size (TTFA granularity). Assigning pins a fixed
+        single-size schedule — the pre-adaptive behavior."""
+        return self.chunk_schedule[0]
+
+    @chunk.setter
+    def chunk(self, value: int) -> None:
+        assert value % self.fps == 0, (value, self.fps)
+        self.chunk_schedule = (value,)
+
+    def _pick_chunk(self, active) -> int:
+        """Schedule position from the YOUNGEST active stream: a stream that
+        has not yet emitted its first-chunk frames keeps dispatches small
+        (its TTFA is one chunk away); once every active stream is past the
+        ramp, steady-state chunks amortize the per-dispatch host costs."""
+        sched = self.chunk_schedule
+        if len(sched) == 1:
+            return sched[0]
+        youngest = min(self._host_frames[slot] for slot, _ in active)
+        edge = 0
+        for c in sched[:-1]:
+            edge += c
+            if youngest < edge:
+                return c
+        return sched[-1]
 
     # -- jitted stages ------------------------------------------------------
 
@@ -267,12 +308,11 @@ class ServingEngine:
         self._prefill_batch_fns[key] = prefill_activate
         return prefill_activate
 
-    def _decode_fn(self, wins: tuple[int, ...]) -> Callable:
+    def _decode_fn(self, chunk: int, wins: tuple[int, ...]) -> Callable:
         """Fused serve step compiled for one (chunk, per-group attention
         window tuple); one window entry per slot group (a single entry =
-        no split). ``self.chunk`` may be changed between runs (never while
-        streams are active) — each chunk size compiles its own variant."""
-        fn_key = (self.chunk, wins)
+        no split). Each (chunk, windows) pair compiles its own variant."""
+        fn_key = (chunk, wins)
         if fn_key in self._decode_fns:
             return self._decode_fns[fn_key]
         from ..models.codec import decode_codes_streaming
@@ -281,7 +321,6 @@ class ServingEngine:
 
         cfg = self.cfg
         t = cfg.talker
-        chunk = self.chunk
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
         S = cfg.max_seq_len
@@ -401,7 +440,7 @@ class ServingEngine:
         # 2*chunk margin covers speculative whole-chunk overshoot.
         budget = min(
             (self.cfg.max_seq_len - Lb) * self.fps,
-            _MAX_FRAMES - 2 * self.chunk,
+            _MAX_FRAMES - 2 * max(self.chunk_schedule),
         )
         max_frames = max(1, min(max_frames, budget))
 
@@ -553,6 +592,7 @@ class ServingEngine:
             self.cstate = dict(self.cstate, tail=tail)
             for pp in group:
                 self._host_pos[pp.stream.slot] = Lb
+                self._host_frames[pp.stream.slot] = 0
                 pp.stream.active = True
                 self._pending.remove(pp)
 
@@ -624,6 +664,7 @@ class ServingEngine:
             )
         )
         self._host_pos[slot] = pp.Lb
+        self._host_frames[slot] = 0
         self.cstate = dict(self.cstate, tail=tail)
         stream.active = True
 
@@ -638,7 +679,6 @@ class ServingEngine:
         were advanced)."""
         from .generate import attn_bucket
 
-        assert self.chunk % self.fps == 0, (self.chunk, self.fps)
         self._advance_prefills()
         active = [
             (slot, s) for slot, s in enumerate(self._slots)
@@ -646,7 +686,8 @@ class ServingEngine:
         ]
         if not active:
             return None
-        steps = self.chunk // self.fps  # positions advanced per dispatch
+        chunk = self._pick_chunk(active)
+        steps = chunk // self.fps       # positions advanced per dispatch
         S = self.cfg.max_seq_len
         group_size = self.B // self.n_groups
         wins = []
@@ -658,7 +699,7 @@ class ServingEngine:
             wins.append(attn_bucket((max(gpos) if gpos else 0) + steps, S))
         (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
          self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
-            tuple(wins)
+            chunk, tuple(wins)
         )(
             self.model.params, self.model.cp_params, self.model.codec_params,
             self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
@@ -666,7 +707,8 @@ class ServingEngine:
         )
         for slot, _ in active:
             self._host_pos[slot] += steps
-        snapshot = [(slot, s.stream_id) for slot, s in active]
+            self._host_frames[slot] += chunk
+        snapshot = [(slot, s.stream_id, chunk) for slot, s in active]
         # start the device->host copies as soon as the step finishes on
         # device: with a multi-chunk pipeline the transfer of chunk k then
         # overlaps the compute of chunks k+1.. instead of serializing one
@@ -707,13 +749,13 @@ class ServingEngine:
                 wav_fetched = jax.device_get(wav)
             return wav_fetched
 
-        for slot, stream_id in snapshot:
+        for slot, stream_id, chunk in snapshot:
             stream = self.streams.get(stream_id)
             if stream is None or stream.done or self._slots[slot] is not stream:
                 continue  # slot was recycled since dispatch
             valid = int(valid_host[slot])
             remaining = stream.max_frames - stream.frames
-            done = valid < self.chunk or valid >= remaining
+            done = valid < chunk or valid >= remaining
             valid = min(valid, remaining)
             if valid > 0:
                 stream.codes.append(codes_host[slot][:, :valid])

@@ -358,3 +358,63 @@ def test_frame_budget_caps_at_codec_capacity(model, monkeypatch):
     eng = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
     sid = eng.submit(_prompt(53), max_frames=10_000)
     assert eng.streams[sid].max_frames <= 32 - 2 * eng.chunk
+
+
+def test_adaptive_chunk_schedule_grows_and_stays_exact(model):
+    """The default engine ramps chunk sizes as active streams age; greedy
+    output must equal a fixed-chunk engine's (chunk size never changes
+    tokens: decode is stepwise and the streaming codec is chunk-invariant)."""
+    prompts = [_prompt(61), _prompt(62)]
+    fixed = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    expected = fixed.run(prompts, max_frames=20)
+
+    eng = ServingEngine(
+        model, max_streams=2, chunk_schedule=(4, 8, 12), sampling=GREEDY
+    )
+    chunks_used = []
+    orig = eng._decode_fn
+
+    def spy(chunk, wins):
+        chunks_used.append(chunk)
+        return orig(chunk, wins)
+
+    eng._decode_fn = spy
+    served = eng.run(prompts, max_frames=20)
+
+    assert chunks_used[0] == 4 and max(chunks_used) == 12, chunks_used
+    assert chunks_used == sorted(chunks_used)  # monotone ramp, no joins here
+    for (wav_a, sa), (wav_b, sb) in zip(served, expected):
+        assert sa.frames == sb.frames
+        np.testing.assert_array_equal(_all_codes(sa), _all_codes(sb))
+        np.testing.assert_array_equal(wav_a, wav_b)
+
+
+def test_adaptive_schedule_drops_back_for_joining_stream(model):
+    """A stream joining mid-flight pulls the next dispatches back to the
+    first-chunk size (its TTFA is one small chunk away), then the ramp
+    resumes."""
+    eng = ServingEngine(
+        model, max_streams=2, chunk_schedule=(4, 8, 12), sampling=GREEDY
+    )
+    chunks_used = []
+    orig = eng._decode_fn
+
+    def spy(chunk, wins):
+        chunks_used.append(chunk)
+        return orig(chunk, wins)
+
+    eng._decode_fn = spy
+    a = eng.submit(_prompt(63), max_frames=40)
+    for _ in range(4):
+        eng.step()
+    assert chunks_used[-1] > 4          # ramped up
+    b = eng.submit(_prompt(64), max_frames=8)
+    eng.step()
+    eng.step()
+    joined = chunks_used[-2:]
+    assert 4 in joined, chunks_used      # dropped back for the join
+    guard = 0
+    while not (eng.streams[a].done and eng.streams[b].done):
+        eng.step()
+        guard += 1
+        assert guard < 100

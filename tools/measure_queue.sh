@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 python - <<'EOF'
 import subprocess, sys, time
 start = time.time()
-while time.time() - start < 6 * 3600:
+while time.time() - start < 12 * 3600:
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -31,3 +31,5 @@ timeout 2400 python tools/ab_scale.py --reps 3 --streams 8 --chunks 8 16 32 > /t
 timeout 2400 python tools/ab_scale.py --reps 3 --streams 16 --chunks 8 16 > /tmp/mq_scale16.log 2>&1
 timeout 2400 python tools/probe_fetch.py --reps 3 > /tmp/mq_probe_fetch.log 2>&1
 echo "MEASUREMENT QUEUE DONE"
+timeout 3000 python bench.py > /tmp/mq_bench.log 2>&1
+echo "BENCH DONE TOO"

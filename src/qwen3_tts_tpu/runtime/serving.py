@@ -132,6 +132,7 @@ class ServingEngine:
         chunk_schedule: tuple[int, ...] | None = None,
         prefill_chunk: int = 128,
         sampling: SamplingConfig | None = None,
+        n_groups: int | None = None,
     ):
         self.model = model
         self.cfg: ModelConfig = model.cfg
@@ -182,7 +183,13 @@ class ServingEngine:
         # prefix, so one long-running stream doesn't tax every short
         # stream's KV bandwidth (weight reads stay shared — the split is
         # inside attention only, models/layers.py window_split)
-        self.n_groups = 2 if (max_streams >= 4 and max_streams % 2 == 0) else 1
+        if n_groups is not None:
+            assert max_streams % n_groups == 0, (max_streams, n_groups)
+            self.n_groups = n_groups
+        else:
+            self.n_groups = (
+                2 if (max_streams >= 4 and max_streams % 2 == 0) else 1
+            )
         self._pending: list[_PendingPrefill] = []
         self._prefill_fns: dict[tuple[int, int], Callable] = {}
         self._prefill_batch_fns: dict[tuple[int, int], Callable] = {}

@@ -418,3 +418,19 @@ def test_adaptive_schedule_drops_back_for_joining_stream(model):
         eng.step()
         guard += 1
         assert guard < 100
+
+
+def test_four_slot_groups(model):
+    """n_groups is configurable (16-slot experiments use 4); outputs stay
+    exact."""
+    prompts = [_prompt(i + 70) for i in range(4)]
+    base = ServingEngine(model, max_streams=4, chunk=4, sampling=GREEDY)
+    expected = base.run(prompts, max_frames=8)
+    eng = ServingEngine(
+        model, max_streams=4, chunk=4, sampling=GREEDY, n_groups=4
+    )
+    assert eng.n_groups == 4
+    served = eng.run(prompts, max_frames=8)
+    for (wav_a, sa), (wav_b, sb) in zip(served, expected):
+        assert sa.frames == sb.frames
+        np.testing.assert_array_equal(wav_a, wav_b)

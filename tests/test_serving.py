@@ -434,3 +434,20 @@ def test_four_slot_groups(model):
     for (wav_a, sa), (wav_b, sb) in zip(served, expected):
         assert sa.frames == sb.frames
         np.testing.assert_array_equal(wav_a, wav_b)
+
+
+def test_deferred_wav_survives_slot_recycling(model, monkeypatch):
+    """Deferred device views reference their own step buffers, so streams
+    that finished earlier in a run resolve correctly even after their slot
+    was recycled by later streams."""
+    monkeypatch.setenv("QWEN3_TTS_DEFER_WAV", "1")
+    prompts = [_prompt(i + 80) for i in range(3)]
+    eager = ServingEngine(model, max_streams=1, chunk=4, sampling=GREEDY)
+    monkeypatch.setenv("QWEN3_TTS_DEFER_WAV", "0")
+    expected = eager.run(prompts, max_frames=10)
+    monkeypatch.setenv("QWEN3_TTS_DEFER_WAV", "1")
+    eng = ServingEngine(model, max_streams=1, chunk=4, sampling=GREEDY)
+    served = eng.run(prompts, max_frames=10)  # 3 streams recycle 1 slot
+    for (wav_a, sa), (wav_b, sb) in zip(served, expected):
+        assert sa.frames == sb.frames
+        np.testing.assert_array_equal(wav_a, wav_b)

@@ -37,13 +37,14 @@ def time_stretch(
     frame = max(256, int(sample_rate * frame_ms / 1000.0))
     frame -= frame % 2
     if len(x) < frame:
-        # shorter than one analysis frame (~30 ms): zero-pad, stretch, trim
-        # to the rate-scaled length (overlap-add needs one full frame)
-        padded = np.zeros(frame + 1, np.float32)
-        padded[: len(x)] = x
-        out = time_stretch(padded, rate, sample_rate,
-                           frame_ms=frame_ms, search_ms=search_ms)
-        return out[: max(1, int(round(len(x) / rate)))]
+        # shorter than one analysis frame (~30 ms): WSOLA has nothing to
+        # overlap, so time-scale by interpolation instead — the pitch shift
+        # is inaudible at sub-frame durations
+        out_len = max(1, int(round(len(x) / rate)))
+        src = np.linspace(0.0, len(x) - 1.0, out_len, dtype=np.float64)
+        return np.interp(src, np.arange(len(x), dtype=np.float64), x).astype(
+            np.float32
+        )
     hop_s = frame // 2                      # synthesis hop (50% overlap)
     hop_a = max(1, int(round(hop_s * rate)))  # analysis hop
     search = max(1, int(sample_rate * search_ms / 1000.0))

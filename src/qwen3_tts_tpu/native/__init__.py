@@ -28,6 +28,11 @@ def _load() -> ctypes.CDLL | None:
     with _LOCK:
         if _LIB is not None or _TRIED:
             return _LIB
+        # QWEN3_TTS_NATIVE=never disables EVERY native kernel (resampler,
+        # PCM, downmix) — all wrappers fall back to numpy together
+        if os.environ.get("QWEN3_TTS_NATIVE", "auto") == "never":
+            _TRIED = True
+            return None
         _TRIED = True
         try:
             from .build import ensure_built

@@ -13,7 +13,6 @@ import hashlib
 import os
 import shutil
 import subprocess
-import tempfile
 
 _SRC = os.path.join(os.path.dirname(__file__), "audio_kernels.cpp")
 

@@ -109,3 +109,23 @@ def test_f32_to_i16_fallback_bit_identical_to_native(monkeypatch):
     monkeypatch.setattr(native, "_load", lambda: None)
     got_fallback = native.f32_to_i16(x)
     np.testing.assert_array_equal(got_native, got_fallback)
+
+
+def test_native_never_disables_all_kernels(monkeypatch):
+    """QWEN3_TTS_NATIVE=never must make every wrapper take its numpy
+    fallback (the knob governs the whole native data plane)."""
+    import importlib
+
+    import numpy as np
+
+    import qwen3_tts_tpu.native as native
+
+    monkeypatch.setenv("QWEN3_TTS_NATIVE", "never")
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    assert native._load() is None
+    # fallbacks still give correct results
+    x = np.array([0.0, 0.5, -0.5, 1.0], np.float32)
+    assert native.f32_to_i16(x).tolist() == [0, 16384, -16384, 32767]
+    stereo = np.array([[1.0, -1.0], [0.5, 0.5]], np.float32)
+    np.testing.assert_allclose(native.downmix_mono(stereo), [0.0, 0.5])

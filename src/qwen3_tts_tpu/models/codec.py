@@ -41,10 +41,15 @@ def causal_conv1d(
     *,
     stride: int = 1,
     dilation: int = 1,
+    pre_padded: bool = False,
 ) -> jnp.ndarray:
-    """Left-padded (causal) 1-D convolution."""
+    """Left-padded (causal) 1-D convolution.
+
+    ``pre_padded``: the caller already prepended the ``dilation*(k-1)`` left
+    rows (streaming per-conv carried context — see `_conv_stack`), so run a
+    valid conv instead of zero-padding."""
     k = w.shape[0]
-    pad_left = dilation * (k - 1)
+    pad_left = 0 if pre_padded else dilation * (k - 1)
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -216,20 +221,48 @@ def _res_unit(p: Params, x: jnp.ndarray, kernel_dilations=(1, 3)) -> jnp.ndarray
     return x + h
 
 
-def _conv_stack(dec: Params, cc: CodecConfig, latent: jnp.ndarray) -> jnp.ndarray:
+def _conv_stack(
+    dec: Params,
+    cc: CodecConfig,
+    latent: jnp.ndarray,
+    state: dict | None = None,
+) -> jnp.ndarray | tuple[jnp.ndarray, dict]:
     """The decoder conv stack: latent [B, T, D] -> waveform [B, T*hop].
 
     Shared by decode_codes and decode_codes_streaming — the streaming
     invariant (streamed chunks EQUAL the one-shot decode) depends on both
-    paths running the IDENTICAL stack."""
-    x = causal_conv1d(latent, dec["in_proj"]["w"], dec["in_proj"]["b"])
+    paths running the IDENTICAL stack.
+
+    ``state`` (see init_conv_state) carries each conv's left input context
+    at that conv's own temporal rate, so streaming decodes ONLY the new
+    frames — zero recompute — and returns ``(wav, new_state)``. A
+    zero-initialised state reproduces causal zero-padding exactly, so
+    streamed chunks concatenate to the one-shot output bit-for-bit
+    (tests/test_codec.py::test_streaming_decode_matches_full)."""
+    streaming = state is not None
+    new_state: dict = {}
+
+    def conv(name: str, x: jnp.ndarray, p: Params, dilation: int = 1):
+        if not streaming:
+            return causal_conv1d(x, p["w"], p["b"], dilation=dilation)
+        ctx = state[name].astype(x.dtype)
+        xin = jnp.concatenate([ctx, x], axis=1)
+        new_state[name] = xin[:, xin.shape[1] - ctx.shape[1]:]
+        return causal_conv1d(xin, p["w"], p["b"], dilation=dilation,
+                             pre_padded=True)
+
+    x = causal_conv1d(latent, dec["in_proj"]["w"], dec["in_proj"]["b"])  # k=1
     for i, rate in enumerate(cc.upsample_rates):
         stage = dec["stages"][i]
         x = upsample_repeat(x, rate)
-        x = causal_conv1d(x, stage["up"]["w"], stage["up"]["b"])
-        x = _res_unit(stage["res"], x)
-    wav = causal_conv1d(jax.nn.gelu(x), dec["out_conv"]["w"], dec["out_conv"]["b"])
-    return jnp.tanh(wav[..., 0].astype(jnp.float32))
+        x = conv(f"s{i}_up", x, stage["up"])
+        # res unit (mirrors _res_unit; contexts carry post-gelu values)
+        h = conv(f"s{i}_r1", jax.nn.gelu(x), stage["res"]["c1"], dilation=1)
+        h = conv(f"s{i}_r2", jax.nn.gelu(h), stage["res"]["c2"], dilation=3)
+        x = x + h
+    wav = conv("out", jax.nn.gelu(x), dec["out_conv"])
+    wav = jnp.tanh(wav[..., 0].astype(jnp.float32))
+    return (wav, new_state) if streaming else wav
 
 
 def decode_codes(
@@ -253,34 +286,42 @@ def decode_codes(
 # --------------------------------------------------------------------------
 #
 # The latent transformer is causal, so it takes a persistent KV cache and
-# processes ONLY each new chunk of frames with full left context; the conv
-# stack has a small finite receptive field (~9 latent frames for the
-# flagship geometry), so re-running it over [latent_tail | new_latents] with
-# a tail >= that receptive field reproduces the full-decode output exactly
-# (causal convs left-pad with zeros, and a zero-initialised tail is
-# identical to that padding at stream start). Streamed chunks therefore
-# EQUAL the one-shot decode_codes output — no final re-decode pass needed
+# processes ONLY each new chunk of frames with full left context; every
+# conv in the decoder stack carries its own left input context at its own
+# temporal rate (state spec below), so the conv stack also processes ONLY
+# the new frames — no receptive-field tail recompute per chunk. A
+# zero-initialised context is identical to the causal zero left-padding at
+# stream start, so streamed chunks EQUAL the one-shot decode_codes output —
+# no final re-decode pass needed
 # (tests/test_codec.py::test_streaming_decode_matches_full).
 
-def conv_receptive_latent_frames(cc: CodecConfig) -> int:
-    """Left receptive field of the conv stack, in latent-frame units."""
-    rf = 0.0
-    upsample = 1
+def conv_state_spec(cc: CodecConfig) -> dict[str, tuple[int, int]]:
+    """Per-conv streaming context shapes: name -> (rows, channels), where
+    ``rows`` = dilation*(k-1) input rows at that conv's own rate. Names
+    match the conv() calls in _conv_stack."""
+    spec: dict[str, tuple[int, int]] = {}
+    kd = cc.decoder_kernel - 1
     for i, rate in enumerate(cc.upsample_rates):
-        upsample *= rate
-        k_up = 2 * rate + 1
-        rf += (k_up - 1) / upsample
-        # res unit: two convs, dilations 1 and 3
-        rf += (cc.decoder_kernel - 1) * (1 + 3) / upsample
-    rf += (cc.decoder_kernel - 1) / upsample  # out conv
-    return int(np.ceil(rf)) + 1
+        spec[f"s{i}_up"] = (2 * rate, cc.decoder_channels[i])
+        spec[f"s{i}_r1"] = (kd, cc.decoder_channels[i + 1])
+        spec[f"s{i}_r2"] = (3 * kd, cc.decoder_channels[i + 1])
+    spec["out"] = (kd, cc.decoder_channels[-1])
+    return spec
+
+
+def init_conv_state(cc: CodecConfig, batch: int, dtype=jnp.bfloat16) -> dict:
+    """Zeroed per-conv left contexts (== causal zero padding at start)."""
+    return {
+        name: jnp.zeros((batch, rows, ch), dtype)
+        for name, (rows, ch) in conv_state_spec(cc).items()
+    }
 
 
 def init_codec_stream_state(
-    cfg: ModelConfig, batch: int, *, tail: int, dtype=jnp.bfloat16
+    cfg: ModelConfig, batch: int, *, dtype=jnp.bfloat16
 ) -> dict:
     """Device state for incremental codec decoding: latent-transformer KV
-    caches (full-utterance length) + the conv left-context tail."""
+    caches (full-utterance length) + per-conv left contexts."""
     cc = cfg.codec
     head_dim = cc.latent_dim // cc.transformer_heads
     cache_shape = (
@@ -290,7 +331,7 @@ def init_codec_stream_state(
     return {
         "tf_k": jnp.zeros(cache_shape, dtype),
         "tf_v": jnp.zeros(cache_shape, dtype),
-        "tail": jnp.zeros((batch, tail, cc.latent_dim), dtype),
+        "conv": init_conv_state(cc, batch, dtype),
     }
 
 
@@ -332,16 +373,8 @@ def decode_codes_streaming(
     )
     new_lat = rmsnorm(x, dec["ln"], 1e-6)                 # [B, T, D]
 
-    window = jnp.concatenate([state["tail"], new_lat], axis=1)
-    tail_len = state["tail"].shape[1]
-    wav = _conv_stack(dec, cc, window)                    # [B, (tail+T)*hop]
-
-    new_state = {
-        "tf_k": new_k,
-        "tf_v": new_v,
-        "tail": window[:, -tail_len:, :],
-    }
-    return wav[:, tail_len * cc.hop:], new_state
+    wav, conv_state = _conv_stack(dec, cc, new_lat, state["conv"])
+    return wav, {"tf_k": new_k, "tf_v": new_v, "conv": conv_state}
 
 
 # --------------------------------------------------------------------------

@@ -108,11 +108,12 @@ def make_decode_chunk_fn(
     the host<->device round trip fully overlaps device compute.
 
     The codec decodes incrementally (models.codec.decode_codes_streaming):
-    its latent transformer carries a KV cache and the conv stack re-runs
-    over a short latent tail covering its receptive field, so every
-    streamed chunk IS the final-quality output — no end-of-utterance
-    re-decode pass. The codec state shapes are chunk-size-independent, so
-    the adaptive chunk schedule hands the same state between variants.
+    its latent transformer carries a KV cache and every decoder conv
+    carries its own left input context, so each chunk decodes ONLY its new
+    frames (zero conv recompute) and every streamed chunk IS the
+    final-quality output — no end-of-utterance re-decode pass. The codec
+    state shapes are chunk-size-independent, so the adaptive chunk
+    schedule hands the same state between variants.
     """
     from ..models.codec import decode_codes_streaming
     from ..models.talker import merge_step_tokens, mtp_logits
@@ -238,13 +239,6 @@ class Generator:
     def chunk(self) -> int:
         """First-chunk size (TTFA granularity)."""
         return self.chunk_schedule[0]
-
-    @property
-    def codec_tail(self) -> int:
-        """Conv left-context frames for incremental codec decode."""
-        from ..models.codec import conv_receptive_latent_frames
-
-        return max(8, conv_receptive_latent_frames(self.cfg.codec))
 
     def _prefill_fn(self):
         key = "prefill"
@@ -397,8 +391,7 @@ class Generator:
         from ..models.codec import init_codec_stream_state
 
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        cstate = init_codec_stream_state(cfg, 1, tail=self.codec_tail,
-                                         dtype=dtype)
+        cstate = init_codec_stream_state(cfg, 1, dtype=dtype)
         state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
                  jnp.int32(0))
         wav_pieces: list[np.ndarray] = []  # final-quality chunk outputs

@@ -24,7 +24,7 @@ Design (continuous batching, slot model):
   sampling; inactive slots hold position and re-write the same cache row
   (bounded, no overflow);
 - the codec decodes all slots' new frames in one batched call with
-  per-slot conv-tail state and absolute positions.
+  per-slot per-conv left contexts and absolute positions.
 
 EOS detection is the only host sync per chunk, same as the single-stream
 path (runtime.generate).
@@ -155,15 +155,9 @@ class ServingEngine:
         shape = (t.n_layers, self.B, S, t.n_kv_heads, t.head_dim)
         self.cache_k = jnp.zeros(shape, dtype)
         self.cache_v = jnp.zeros(shape, dtype)
-        from ..models.codec import (
-            conv_receptive_latent_frames,
-            init_codec_stream_state,
-        )
+        from ..models.codec import init_codec_stream_state
 
-        tail = max(8, conv_receptive_latent_frames(self.cfg.codec))
-        self.cstate = init_codec_stream_state(
-            self.cfg, self.B, tail=tail, dtype=dtype
-        )
+        self.cstate = init_codec_stream_state(self.cfg, self.B, dtype=dtype)
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.pad = jnp.zeros((self.B,), jnp.int32)
         self.frames_dev = jnp.zeros((self.B,), jnp.int32)
@@ -274,7 +268,7 @@ class ServingEngine:
         @partial(jax.jit, donate_argnums=(5, 6))
         def prefill_activate(params, emb, pads, sk, sv, cache_k, cache_v,
                              slots, pos_v, pad_v, tok_v, frames_v, active_v,
-                             tail, key):
+                             conv, key):
             # emb [nb, Lb, D]; pads/slots [nb]; sk/sv [L, nb, Lb, H_kv, hd]
             cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim, t.rope_theta)
             hidden, logits, sk, sv = talker_forward(
@@ -308,9 +302,10 @@ class ServingEngine:
             tok_v = tok_v.at[slots].set(first)
             frames_v = frames_v.at[slots].set(0)
             active_v = active_v.at[slots].set(True)
-            tail = tail.at[slots].set(0.0)  # reset codec conv left-context
+            # reset the codec's per-conv left contexts for the joining slots
+            conv = jax.tree.map(lambda a: a.at[slots].set(0.0), conv)
             return (cache_k, cache_v, pos_v, pad_v, tok_v, frames_v,
-                    active_v, tail, key)
+                    active_v, conv, key)
 
         self._prefill_batch_fns[key] = prefill_activate
         return prefill_activate
@@ -588,15 +583,15 @@ class ServingEngine:
             sk = jnp.zeros((t.n_layers, nb, Lb, t.n_kv_heads, t.head_dim),
                            dtype)
             (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
-             self.frames_dev, self.active_mask, tail, self.key) = (
+             self.frames_dev, self.active_mask, conv, self.key) = (
                 self._prefill_batch_fn(Lb, nb)(
                     self.model.params, emb, pads, sk, jnp.zeros_like(sk),
                     self.cache_k, self.cache_v, slots,
                     self.pos, self.pad, self.tok, self.frames_dev,
-                    self.active_mask, self.cstate["tail"], self.key,
+                    self.active_mask, self.cstate["conv"], self.key,
                 )
             )
-            self.cstate = dict(self.cstate, tail=tail)
+            self.cstate = dict(self.cstate, conv=conv)
             for pp in group:
                 self._host_pos[pp.stream.slot] = Lb
                 self._host_frames[pp.stream.slot] = 0
@@ -608,9 +603,9 @@ class ServingEngine:
         path: scatter the finished scratch cache into the slot, sample the
         seed (+MTP) tokens, and update every per-slot state vector — ONE
         dispatch instead of a dozen eager ops stalling the decode pipeline
-        at every join. The slot's codec conv tail resets here; its codec
-        transformer cache is overwritten progressively (positions restart
-        at 0 and are always written before being attended)."""
+        at every join. The slot's codec per-conv left contexts reset here;
+        its codec transformer cache is overwritten progressively (positions
+        restart at 0 and are always written before being attended)."""
         key = ("activate", Lb)
         if key in self._scatter_fns:
             return self._scatter_fns[key]
@@ -623,7 +618,7 @@ class ServingEngine:
         @partial(jax.jit, donate_argnums=(3, 4))
         def activate(params, sk, sv, cache_k, cache_v, slot, pad,
                      last_logits, last_hidden, pos_v, pad_v, tok_v,
-                     frames_v, active_v, tail, key):
+                     frames_v, active_v, conv, key):
             key, sub = jax.random.split(key)
             toks = [sample_token(last_logits[None], sub, sampling)]
             h = last_hidden[None]
@@ -645,9 +640,11 @@ class ServingEngine:
             tok_v = jnp.where(onehot[:, None], first[None, :], tok_v)
             frames_v = jnp.where(onehot, 0, frames_v)
             active_v = jnp.where(onehot, True, active_v)
-            tail = jnp.where(onehot[:, None, None], 0.0, tail)
+            conv = jax.tree.map(
+                lambda a: jnp.where(onehot[:, None, None], 0.0, a), conv
+            )
             return (cache_k, cache_v, pos_v, pad_v, tok_v, frames_v,
-                    active_v, tail, key)
+                    active_v, conv, key)
 
         self._scatter_fns[key] = activate
         return activate
@@ -659,20 +656,19 @@ class ServingEngine:
         slot = stream.slot
         if self._slots[slot] is not stream or stream.done:
             return  # stream was cancelled/recycled while pending
-        tail = self.cstate["tail"]
         (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
-         self.frames_dev, self.active_mask, tail, self.key) = (
+         self.frames_dev, self.active_mask, conv, self.key) = (
             self._activate_fn(pp.Lb)(
                 self.model.params, pp.sk, pp.sv, self.cache_k, self.cache_v,
                 jnp.int32(slot), jnp.int32(pp.pad),
                 pp.last_logits, pp.last_hidden,
                 self.pos, self.pad, self.tok, self.frames_dev,
-                self.active_mask, tail, self.key,
+                self.active_mask, self.cstate["conv"], self.key,
             )
         )
         self._host_pos[slot] = pp.Lb
         self._host_frames[slot] = 0
-        self.cstate = dict(self.cstate, tail=tail)
+        self.cstate = dict(self.cstate, conv=conv)
         stream.active = True
 
     def dispatch_step(self):

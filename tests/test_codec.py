@@ -115,8 +115,8 @@ def test_code_predictor_shapes_and_determinism():
 
 
 def test_streaming_decode_matches_full():
-    """Incremental decode (latent-transformer KV cache + conv tail) must
-    reproduce the one-shot full decode exactly.
+    """Incremental decode (latent-transformer KV cache + per-conv carried
+    left contexts) must reproduce the one-shot full decode exactly.
 
     f32 weights isolate the structural claim: in bf16 the cached and
     one-shot transformer differ by reduction-order noise (~1e-2 latents),
@@ -127,7 +127,6 @@ def test_streaming_decode_matches_full():
     import jax.numpy as jnp
 
     from qwen3_tts_tpu.models.codec import (
-        conv_receptive_latent_frames,
         decode_codes,
         decode_codes_streaming,
         init_codec,
@@ -149,8 +148,7 @@ def test_streaming_decode_matches_full():
 
     full = np.asarray(decode_codes(params, cfg, jnp.asarray(codes), 0))
 
-    tail = max(8, conv_receptive_latent_frames(cc))
-    state = init_codec_stream_state(cfg, 1, tail=tail, dtype=jnp.float32)
+    state = init_codec_stream_state(cfg, 1, dtype=jnp.float32)
     pieces = []
     for k in range(0, T, chunk):
         wav_chunk, state = decode_codes_streaming(
@@ -158,6 +156,52 @@ def test_streaming_decode_matches_full():
             jnp.int32(k),
         )
         pieces.append(np.asarray(wav_chunk[0]))
+    streamed = np.concatenate(pieces)
+
+    assert streamed.shape == full[0].shape
+    np.testing.assert_allclose(streamed, full[0], atol=5e-3)
+
+
+def test_streaming_decode_mixed_chunk_sizes():
+    """The per-conv carried state is chunk-size independent: the adaptive
+    chunk schedule (runtime serving/generate) hands the SAME state between
+    differently-sized decode variants, so parity must hold across an
+    uneven chunk split too."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.models.codec import (
+        decode_codes,
+        decode_codes_streaming,
+        init_codec,
+        init_codec_stream_state,
+    )
+
+    cfg = dataclasses.replace(configs.tiny(quant=False), dtype="float32")
+    params = jax.device_put(init_codec(cfg, seed=2))
+    cc = cfg.codec
+    rng = np.random.default_rng(7)
+    T = 28
+    codes = np.concatenate(
+        [
+            rng.integers(0, cc.codebook_size, (1, 1, T)),
+            rng.integers(0, cc.residual_codebook_size, (1, cc.num_codebooks - 1, T)),
+        ],
+        axis=1,
+    ).astype(np.int32)
+
+    full = np.asarray(decode_codes(params, cfg, jnp.asarray(codes), 0))
+
+    state = init_codec_stream_state(cfg, 1, dtype=jnp.float32)
+    pieces, k = [], 0
+    for chunk in (4, 8, 12, 4):  # ramping schedule, uneven boundaries
+        wav_chunk, state = decode_codes_streaming(
+            params, cfg, jnp.asarray(codes[:, :, k: k + chunk]), state,
+            jnp.int32(k),
+        )
+        pieces.append(np.asarray(wav_chunk[0]))
+        k += chunk
     streamed = np.concatenate(pieces)
 
     assert streamed.shape == full[0].shape

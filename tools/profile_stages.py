@@ -45,7 +45,6 @@ def main() -> None:
     from qwen3_tts_tpu.models.codec import (
         decode_codes_streaming,
         init_codec_stream_state,
-        conv_receptive_latent_frames,
     )
     from qwen3_tts_tpu.models.code_predictor import predict_residuals
     from qwen3_tts_tpu.models.layers import rope_tables
@@ -157,8 +156,7 @@ def main() -> None:
                  probe=lambda c: c[1])
 
     # ---- streaming codec --------------------------------------------------
-    tail = max(8, conv_receptive_latent_frames(cc))
-    cstate0 = init_codec_stream_state(cfg, B, tail=tail, dtype=dtype)
+    cstate0 = init_codec_stream_state(cfg, B, dtype=dtype)
 
     @jax.jit
     def codec_stage(codec_params, carry):
@@ -200,7 +198,7 @@ def main() -> None:
     full_k = jnp.zeros((t.n_layers, B, S, t.n_kv_heads, t.head_dim), dtype)
     carry = (
         full_k, jnp.zeros_like(full_k),
-        init_codec_stream_state(cfg, B, tail=tail, dtype=dtype),
+        init_codec_stream_state(cfg, B, dtype=dtype),
         jnp.full((), 16, jnp.int32), jnp.zeros((B, fps), jnp.int32),
         jax.random.PRNGKey(1), jnp.zeros((), jnp.int32),
     )

@@ -26,6 +26,18 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
 if _SRC not in sys.path:
     sys.path.insert(0, _SRC)
 
+# QWEN3_TTS_CPU forces the CPU backend via jax.config before any backend
+# initialisation (the TPU plugin preloads through sitecustomize, so a plain
+# JAX_PLATFORMS env var is too late) — same escape hatch as examples/ and
+# serve.py. Useful when the remote TPU service is unreachable or wedged.
+if os.environ.get("QWEN3_TTS_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu":
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # engine check below reports the real problem
+        pass
+
 from qwen3_tts_tpu import config  # noqa: E402
 from qwen3_tts_tpu.io import get_smart_path  # noqa: E402
 from qwen3_tts_tpu.sessions import (  # noqa: E402

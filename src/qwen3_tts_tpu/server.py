@@ -1,0 +1,552 @@
+"""HTTP serving daemon: a deployment front end for the TPU engine.
+
+The reference is a local terminal app with no network surface (SURVEY.md §2;
+`/root/reference/app.py` drives sessions interactively). For production
+serving this module adds the missing piece: a long-lived process that keeps
+ONE continuous-batching engine hot (one big-cache engine per process — the
+HBM rule in CLAUDE.md) and serves concurrent synthesis requests over plain
+HTTP with optional chunked audio streaming.
+
+Threading model (JAX + the remote-device tunnel are the constraints):
+
+- a single **driver thread** owns ALL device work: prompt prefills, decode
+  steps (pipelined ``pipeline_depth`` deep, as ``ServingEngine.run`` does),
+  and voice-cloning reference encoding. No other thread touches JAX.
+- HTTP handler threads (stdlib ``ThreadingHTTPServer``) do host-only work:
+  parse the request, tokenize via ``build_prompt`` (pure host), enqueue a
+  job, then block on that job's chunk queue.
+- backpressure: the intake queue is bounded; a full queue returns 503
+  instead of stacking unbounded work behind the device.
+
+Endpoints:
+
+- ``GET /healthz``       → liveness + slot/queue occupancy JSON
+- ``GET /v1/models``     → model name + config summary
+- ``POST /v1/synthesize``→ ``audio/wav`` bytes. JSON body mirrors
+  ``engine.api.generate_audio``'s contract (reference call shapes
+  custom.py:163-170 / design.py:76-81 / clone.py:218-224): ``text``,
+  ``voice``, ``instruct``, ``speed``, ``ref_audio`` (server-local path) or
+  ``ref_audio_b64`` (base64 WAV bytes), ``ref_text``, ``max_seconds``,
+  ``stream`` (chunked transfer of audio as it is generated).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import queue
+import struct
+import tempfile
+import threading
+import time
+import wave
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import numpy as np
+
+_PIPELINE_DEPTH = 3
+
+
+# --------------------------------------------------------------------------
+# jobs
+# --------------------------------------------------------------------------
+
+@dataclass
+class _Job:
+    """One synthesis request moving through the driver thread."""
+
+    text: str
+    voice: str | None
+    instruct: str | None
+    speed: float
+    ref_wav_path: str | None
+    ref_text: str | None
+    max_frames: int | None
+    stream: bool
+    # segment bookkeeping (filled by the driver)
+    prompts: list = field(default_factory=list)
+    budgets: list = field(default_factory=list)
+    next_seg: int = 0                   # next segment to submit
+    seg_of_stream: dict = field(default_factory=dict)   # stream_id -> seg
+    seg_chunks: dict = field(default_factory=dict)      # seg -> [np.int16]
+    seg_done: set = field(default_factory=set)
+    cur_seg: int = 0                    # next segment to EMIT (in order)
+    live: bool = True                   # chunk-level streaming allowed
+    # output: (kind, payload) tuples; kind in {"chunk", "done", "error"}
+    out: queue.Queue = field(default_factory=queue.Queue)
+    submitted_at: float = field(default_factory=time.perf_counter)
+    ttfa_s: float | None = None
+    frames: int = 0
+    error: str | None = None
+
+    def emit(self, kind: str, payload: Any = None) -> None:
+        self.out.put((kind, payload))
+
+
+# --------------------------------------------------------------------------
+# the service (engine + driver thread)
+# --------------------------------------------------------------------------
+
+class TTSService:
+    """Owns one ServingEngine and the single thread that drives it."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        max_streams: int = 8,
+        sampling=None,
+        queue_size: int = 64,
+    ):
+        from .runtime.serving import ServingEngine
+
+        self.model = model
+        self.cfg = model.cfg
+        if sampling is not None:
+            self.engine = ServingEngine(
+                model, max_streams=max_streams, sampling=sampling
+            )
+        else:
+            self.engine = model.serving_engine(max_streams)
+        self._intake: queue.Queue[_Job] = queue.Queue(
+            maxsize=max(1, queue_size)
+        )
+        self._jobs: list[_Job] = []        # jobs with unsubmitted segments
+        self._active: dict[int, _Job] = {}  # stream_id -> job
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()      # guards the counters below
+        self.requests_total = 0
+        self.errors_total = 0
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "TTSService":
+        self._thread = threading.Thread(
+            target=self._drive, name="tts-driver", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    # -- intake (HTTP handler threads) --------------------------------------
+
+    def submit(self, **kwargs) -> _Job:
+        """Validate + enqueue one request; raises queue.Full on overload and
+        ValueError on bad parameters (mapped to 503/400 by the handler)."""
+        job = _Job(
+            text=str(kwargs["text"]),
+            voice=kwargs.get("voice"),
+            instruct=kwargs.get("instruct"),
+            speed=float(kwargs.get("speed", 1.0)),
+            ref_wav_path=kwargs.get("ref_wav_path"),
+            ref_text=kwargs.get("ref_text"),
+            max_frames=kwargs.get("max_frames"),
+            stream=bool(kwargs.get("stream", False)),
+        )
+        if not job.text.strip():
+            raise ValueError("empty text")
+        if not (0.25 <= job.speed <= 4.0):
+            raise ValueError(f"speed {job.speed} out of range [0.25, 4]")
+        # chunk-level streaming needs the model to natively honor the speed
+        # tag; otherwise WSOLA (host, whole-signal) runs per SEGMENT, so the
+        # response still streams but segment-at-a-time (engine.api speed
+        # contract)
+        job.live = self.cfg.native_speed or abs(job.speed - 1.0) < 1e-3
+        with self._lock:
+            self.requests_total += 1
+        self._intake.put_nowait(job)      # queue.Full -> 503 upstream
+        return job
+
+    def stats(self) -> dict:
+        eng = self.engine
+        with self._lock:
+            reqs, errs = self.requests_total, self.errors_total
+        return {
+            "ok": True,
+            "model": self.model.name,
+            "max_streams": eng.B,
+            "free_slots": eng.free_slots(),
+            "queue_depth": self._intake.qsize(),
+            "requests_total": reqs,
+            "errors_total": errs,
+        }
+
+    # -- driver thread ------------------------------------------------------
+
+    def _prepare(self, job: _Job) -> None:
+        """Segment + tokenize + (for cloning) encode the reference sample.
+        Device work — driver thread only."""
+        from .engine.api import _estimate_frames, _split_segments
+        from .runtime.prompts import build_prompt
+
+        acoustic_codes = speaker_vector = None
+        if job.ref_wav_path is not None:
+            from .audio import read_wav, resample
+            from .audio.wavio import to_mono
+
+            sr = self.cfg.codec.sample_rate
+            data, rate = read_wav(job.ref_wav_path)
+            wav_ref = resample(to_mono(data), rate, sr)
+            if len(wav_ref) > 30.0 * sr:
+                wav_ref = wav_ref[: int(30.0 * sr)]
+            acoustic_codes, speaker_vector = self.model.encode_reference(
+                wav_ref
+            )
+
+        segments = _split_segments(job.text)
+        job.prompts = [
+            build_prompt(
+                self.model.tokenizer,
+                self.cfg.mode,
+                seg,
+                voice=job.voice,
+                speakers=self.cfg.speakers,
+                instruct=job.instruct,
+                speed=job.speed,
+                ref_text=job.ref_text,
+                acoustic_codes=acoustic_codes,
+                speaker_vector=speaker_vector,
+                template=self.model.template,
+            )
+            for seg in segments
+        ]
+        job.budgets = [
+            job.max_frames
+            if job.max_frames is not None
+            else _estimate_frames(seg, self.cfg.codec.frame_rate)
+            for seg in segments
+        ]
+
+    def _admit(self) -> None:
+        """Submit waiting segments into free slots, oldest job first."""
+        for job in list(self._jobs):
+            while job.next_seg < len(job.prompts) and self.engine.free_slots():
+                seg = job.next_seg
+                sid = self.engine.submit(
+                    job.prompts[seg],
+                    max_frames=job.budgets[seg],
+                    on_chunk=self._chunk_cb(job, seg),
+                )
+                job.seg_of_stream[sid] = seg
+                job.seg_chunks[seg] = []
+                self._active[sid] = job
+                job.next_seg += 1
+            if job.next_seg >= len(job.prompts):
+                self._jobs.remove(job)
+
+    def _chunk_cb(self, job: _Job, seg: int):
+        def cb(chunk: np.ndarray) -> None:
+            if job.ttfa_s is None and seg == 0:
+                job.ttfa_s = time.perf_counter() - job.submitted_at
+            if job.stream and job.live and seg == job.cur_seg:
+                job.emit("chunk", chunk)
+            else:
+                job.seg_chunks[seg].append(chunk)
+
+        return cb
+
+    def _gap(self) -> np.ndarray:
+        from .engine.api import _SEGMENT_GAP_S
+
+        sr = self.cfg.codec.sample_rate
+        return np.zeros(int(_SEGMENT_GAP_S * sr), dtype=np.int16)
+
+    def _segment_wav(self, job: _Job, seg: int) -> np.ndarray:
+        """Buffered segment audio, speed-stretched when the model does not
+        handle the tag natively (same contract as engine.api)."""
+        parts = job.seg_chunks.pop(seg, [])
+        wav = np.concatenate(parts) if parts else np.zeros(0, np.int16)
+        if not job.live and len(wav):
+            from .audio.stretch import time_stretch
+            from .ops.pcm import pcm16_to_f32
+
+            sr = self.cfg.codec.sample_rate
+            out = time_stretch(pcm16_to_f32(wav), job.speed, sr)
+            wav = np.clip(out * 32767.0, -32768, 32767).astype(np.int16)
+        return wav
+
+    def _on_finished(self, stream_id: int) -> None:
+        job = self._active.pop(stream_id, None)
+        if job is None:
+            return
+        seg = job.seg_of_stream[stream_id]
+        st = self.engine.streams.pop(stream_id)  # also frees codes/chunks
+        job.frames += st.frames
+        job.seg_done.add(seg)
+        # flush segments in order; when the (new) current segment is still
+        # decoding in live-stream mode, hand its buffered chunks over NOW so
+        # its subsequent live-emitted chunks append in order behind them
+        while True:
+            if job.cur_seg in job.seg_done:
+                wav = self._segment_wav(job, job.cur_seg)
+                if len(wav):
+                    job.emit("chunk", wav)
+                job.cur_seg += 1
+                if job.cur_seg < len(job.prompts):
+                    job.emit("chunk", self._gap())
+            elif job.stream and job.live and job.seg_chunks.get(job.cur_seg):
+                for c in job.seg_chunks[job.cur_seg]:
+                    job.emit("chunk", c)
+                job.seg_chunks[job.cur_seg] = []
+                break
+            else:
+                break
+        if len(job.seg_done) == len(job.prompts):
+            job.emit("done", {"frames": job.frames, "ttfa_s": job.ttfa_s})
+
+    def _fail_job(self, job: _Job, msg: str) -> None:
+        job.error = msg
+        job.emit("error", msg)
+        with self._lock:
+            self.errors_total += 1
+
+    def _drive(self) -> None:
+        inflight: list = []
+        while not self._stop.is_set():
+            busy = bool(self._active) or bool(self._jobs) or inflight
+            # drain intake (block briefly when idle — no spinning)
+            try:
+                jb = self._intake.get(timeout=0.0 if busy else 0.2)
+            except queue.Empty:
+                jb = None
+            if jb is not None:
+                try:
+                    self._prepare(jb)
+                    self._jobs.append(jb)
+                except Exception as e:  # bad voice, unreadable ref, ...
+                    self._fail_job(jb, f"{type(e).__name__}: {e}")
+            try:
+                self._admit()
+                if not (self._active or self._jobs or inflight):
+                    continue
+                # pipelined decode (mirrors ServingEngine.run)
+                while (
+                    (self._active or self._jobs)
+                    and len(inflight) < _PIPELINE_DEPTH
+                ):
+                    payload = self.engine.dispatch_step()
+                    if payload is None:
+                        break
+                    inflight.append(payload)
+                finished = self.engine.collect_step(
+                    inflight.pop(0) if inflight else None
+                )
+                for sid in finished:
+                    self._on_finished(sid)
+            except Exception as e:  # never kill the driver
+                for job in {*self._active.values(), *self._jobs}:
+                    self._fail_job(job, f"engine failure: {e}")
+                self._active.clear()
+                self._jobs.clear()
+                inflight.clear()
+
+
+# --------------------------------------------------------------------------
+# WAV framing
+# --------------------------------------------------------------------------
+
+def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def wav_stream_header(sample_rate: int) -> bytes:
+    """A 44-byte PCM WAV header with unknown (maxed) data length — the
+    standard framing for live streams; players read until EOF."""
+    byte_rate = sample_rate * 2
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate,
+                             2, 16),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
+# --------------------------------------------------------------------------
+# HTTP transport
+# --------------------------------------------------------------------------
+
+class _Handler(BaseHTTPRequestHandler):
+    service: TTSService = None  # type: ignore[assignment]
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if os.environ.get("QWEN3_TTS_HTTP_LOG"):
+            super().log_message(fmt, *args)
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._json(200, self.service.stats())
+        elif self.path == "/v1/models":
+            cfg = self.service.cfg
+            self._json(200, {
+                "name": self.service.model.name,
+                "mode": cfg.mode,
+                "sample_rate": cfg.codec.sample_rate,
+                "speakers": sorted(cfg.speakers),
+                "native_speed": cfg.native_speed,
+            })
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/v1/synthesize":
+            self._json(404, {"error": "not found"})
+            return
+        tmp_path = None
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if "ref_audio_b64" in req:
+                fd, tmp_path = tempfile.mkstemp(suffix=".wav")
+                with os.fdopen(fd, "wb") as f:
+                    f.write(base64.b64decode(req["ref_audio_b64"]))
+                req["ref_wav_path"] = tmp_path
+            elif "ref_audio" in req:
+                req["ref_wav_path"] = req["ref_audio"]
+            if "max_seconds" in req:
+                req["max_frames"] = max(1, int(
+                    float(req["max_seconds"])
+                    * self.service.cfg.codec.frame_rate
+                ))
+            job = self.service.submit(**req)
+        except queue.Full:
+            self._json(503, {"error": "server overloaded, retry later"})
+            return
+        except (ValueError, KeyError, TypeError) as e:
+            self._json(400, {"error": str(e)})
+            return
+        try:
+            if job.stream:
+                self._respond_streaming(job)
+            else:
+                self._respond_complete(job)
+        finally:
+            if tmp_path:
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
+
+    def _respond_complete(self, job: _Job) -> None:
+        pieces: list[np.ndarray] = []
+        while True:
+            kind, payload = job.out.get()
+            if kind == "chunk":
+                pieces.append(payload)
+            elif kind == "error":
+                self._json(400, {"error": payload})
+                return
+            else:
+                break
+        sr = self.service.cfg.codec.sample_rate
+        wav = np.concatenate(pieces) if pieces else np.zeros(0, np.int16)
+        body = wav_bytes(wav, sr)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(body)))
+        if job.ttfa_s is not None:
+            self.send_header("X-TTFA-Ms", f"{job.ttfa_s * 1e3:.0f}")
+        self.send_header("X-Audio-Seconds", f"{len(wav) / sr:.2f}")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _respond_streaming(self, job: _Job) -> None:
+        """Chunked transfer: WAV header first, then PCM as it decodes. The
+        first queue item decides the status code (an invalid request still
+        gets a clean 400 before any audio bytes)."""
+        kind, payload = job.out.get()
+        if kind == "error":
+            self._json(400, {"error": payload})
+            return
+        sr = self.service.cfg.codec.sample_rate
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def send(data: bytes) -> None:
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        send(wav_stream_header(sr))
+        while True:
+            if kind == "chunk" and len(payload):
+                send(np.ascontiguousarray(payload, np.int16).tobytes())
+            elif kind in ("done", "error"):
+                break
+            kind, payload = job.out.get()
+        send(b"")  # terminal chunk
+
+
+def make_server(
+    service: TTSService, host: str = "127.0.0.1", port: int = 8080
+) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="qwen3-tts-tpu HTTP server")
+    ap.add_argument("--model", default="synthetic",
+                    help="checkpoint path, or 'synthetic'/'synthetic-tiny'")
+    ap.add_argument("--mode", default="custom",
+                    choices=["custom", "design", "clone"])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--streams", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from .engine import configs
+    from .engine.api import Qwen3TTSModel, load_model
+
+    if args.model == "synthetic":
+        model = Qwen3TTSModel.synthetic(
+            configs.flagship(args.mode, frames_per_step=2)
+        )
+    elif args.model == "synthetic-tiny":
+        model = Qwen3TTSModel.synthetic(configs.tiny(args.mode))
+    else:
+        model = load_model(args.model)
+
+    service = TTSService(model, max_streams=args.streams).start()
+    srv = make_server(service, args.host, args.port)
+    print(f"qwen3-tts-tpu serving {model.name} on "
+          f"http://{args.host}:{srv.server_address[1]} "
+          f"({args.streams} streams)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        service.stop()
+
+
+if __name__ == "__main__":
+    main()

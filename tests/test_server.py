@@ -1,0 +1,178 @@
+"""HTTP serving daemon (server.py): request/response contract, streaming
+framing, error mapping, and parity between streamed and buffered responses.
+
+Runs a real ThreadingHTTPServer on an ephemeral port against a tiny
+synthetic model — no network beyond loopback, no weights."""
+
+import io
+import json
+import queue
+import threading
+import urllib.error
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from qwen3_tts_tpu.engine import configs  # noqa: E402
+from qwen3_tts_tpu.engine.api import Qwen3TTSModel  # noqa: E402
+from qwen3_tts_tpu.runtime.sampling import SamplingConfig  # noqa: E402
+from qwen3_tts_tpu.server import (  # noqa: E402
+    TTSService,
+    make_server,
+    wav_stream_header,
+)
+
+GREEDY = SamplingConfig(greedy=True)
+
+
+@pytest.fixture(scope="module")
+def served():
+    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
+    service = TTSService(model, max_streams=2, sampling=GREEDY).start()
+    srv = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, service
+    srv.shutdown()
+    service.stop()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(base, payload, timeout=600):
+    req = urllib.request.Request(
+        base + "/v1/synthesize",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_healthz_and_models(served):
+    base, service = served
+    status, body = _get(base + "/healthz")
+    assert status == 200 and body["ok"] is True
+    assert body["max_streams"] == 2
+
+    status, body = _get(base + "/v1/models")
+    assert status == 200
+    assert body["sample_rate"] == service.cfg.codec.sample_rate
+    assert isinstance(body["speakers"], list) and body["speakers"]
+
+
+def _parse_wav(data: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(data)) as w:
+        sr = w.getframerate()
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    return pcm, sr
+
+
+def test_synthesize_complete(served):
+    base, service = served
+    voice = sorted(service.cfg.speakers)[0]
+    status, headers, data = _post(
+        base, {"text": "hello from the tpu server", "voice": voice,
+               "max_seconds": 2}
+    )
+    assert status == 200
+    assert headers["Content-Type"] == "audio/wav"
+    pcm, sr = _parse_wav(data)
+    assert sr == service.cfg.codec.sample_rate
+    assert len(pcm) > 0
+    assert "X-TTFA-Ms" in headers
+
+
+def test_streaming_matches_buffered(served):
+    """Greedy decode: the chunked-streaming response must carry the exact
+    same PCM as the buffered response for the same request."""
+    base, service = served
+    voice = sorted(service.cfg.speakers)[0]
+    req = {"text": "stream parity check", "voice": voice, "max_seconds": 2}
+
+    _, _, buffered = _post(base, req)
+    pcm_buf, _ = _parse_wav(buffered)
+
+    _, headers, streamed = _post(base, dict(req, stream=True))
+    # urllib de-chunks; payload = 44-byte unknown-length header + raw PCM
+    header = wav_stream_header(service.cfg.codec.sample_rate)
+    assert streamed[: len(header)] == header
+    pcm_stream = np.frombuffer(streamed[len(header):], np.int16)
+
+    np.testing.assert_array_equal(pcm_stream, pcm_buf)
+
+
+def test_multi_segment_request(served):
+    """Text long enough to split into several segments synthesizes all of
+    them concurrently and joins with silence gaps, like generate_audio."""
+    base, service = served
+    voice = sorted(service.cfg.speakers)[0]
+    text = ("First sentence here. " * 20) + ("Second thought. " * 20)
+    status, _, data = _post(
+        base, {"text": text, "voice": voice, "max_seconds": 1}
+    )
+    assert status == 200
+    pcm, _ = _parse_wav(data)
+    from qwen3_tts_tpu.engine.api import _SEGMENT_GAP_S, _split_segments
+
+    n_segs = len(_split_segments(text))
+    assert n_segs > 1
+    gap = int(_SEGMENT_GAP_S * service.cfg.codec.sample_rate)
+    # at least the inter-segment gaps' worth of samples beyond one segment
+    assert len(pcm) > (n_segs - 1) * gap
+
+
+def test_bad_requests(served):
+    base, service = served
+    for payload in (
+        {"text": ""},                                  # empty text
+        {"text": "hi", "speed": 99.0},                 # speed out of range
+        {"voice": "x"},                                # missing text
+        {"text": "hi", "voice": "no-such-speaker-xyz"},  # unknown voice
+    ):
+        req = urllib.request.Request(
+            base + "/v1/synthesize",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=120)
+        assert e.value.code == 400, payload
+    status, body = _get(base + "/healthz")
+    assert body["errors_total"] >= 1  # unknown voice surfaced as an error
+
+
+def test_unknown_route(served):
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+    assert e.value.code == 404
+
+
+def test_intake_backpressure():
+    """A full intake queue raises queue.Full (503 at the HTTP layer) instead
+    of stacking unbounded work. Service deliberately NOT started."""
+    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
+    service = TTSService(model, max_streams=2, queue_size=1)
+    service.submit(text="one")
+    with pytest.raises(queue.Full):
+        service.submit(text="two")
+
+
+def test_server_does_not_leak_streams(served):
+    """Long-lived server: finished engine streams must be dropped (codes +
+    wav chunks would otherwise accumulate forever)."""
+    base, service = served
+    voice = sorted(service.cfg.speakers)[0]
+    _post(base, {"text": "leak check", "voice": voice, "max_seconds": 1})
+    assert len(service.engine.streams) == 0

@@ -30,7 +30,7 @@ if _SRC not in sys.path:
 # initialisation (the TPU plugin preloads through sitecustomize, so a plain
 # JAX_PLATFORMS env var is too late) — same escape hatch as examples/ and
 # serve.py. Useful when the remote TPU service is unreachable or wedged.
-if os.environ.get("QWEN3_TTS_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0") or os.environ.get("JAX_PLATFORMS") == "cpu":
     try:
         import jax
 

@@ -12,7 +12,7 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
-if os.environ.get("QWEN3_TTS_CPU"):  # force CPU (the TPU plugin preloads
+if os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0"):  # force CPU (the TPU plugin preloads
     import jax                        # via sitecustomize, so plain
                                       # JAX_PLATFORMS env is too late)
     jax.config.update("jax_platforms", "cpu")

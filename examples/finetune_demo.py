@@ -17,7 +17,7 @@ import jax  # noqa: E402
 # must run before any backend initialisation to take effect. QWEN3_TTS_CPU
 # forces the CPU backend via jax.config (the TPU plugin preloads through
 # sitecustomize, so a plain JAX_PLATFORMS env var is too late).
-if os.environ.get("QWEN3_TTS_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0") or os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 

@@ -342,34 +342,26 @@ def _estimate_frames(text: str, frame_rate: float) -> int:
     return int(est_seconds * frame_rate * 1.6) + 24
 
 
-def generate_audio(
-    *,
+def prepare_segments(
     model: Qwen3TTSModel,
     text: str,
+    *,
     voice: str | None = None,
     instruct: str | None = None,
     speed: float = 1.0,
     ref_audio: str | None = None,
     ref_text: str | None = None,
-    output_path: str,
     max_frames: int | None = None,
-    seed: int = 0,
-    on_chunk: Callable[[np.ndarray], None] | None = None,
-    file_name: str = "audio_000.wav",
-) -> dict:
-    """Synthesise ``text`` and write ``output_path/audio_000.wav``.
-
-    The three call shapes match the reference exactly (custom.py:163-170,
-    design.py:76-81, clone.py:218-224). Returns a metrics dict
-    {rtf, ttfa_s, frames, audio_s, wall_s, segments} — the observability the
-    reference lacks (SURVEY.md §5 metrics).
-    """
+) -> tuple[list, list[int]]:
+    """The shared request frontend of :func:`generate_audio` and the HTTP
+    daemon (``server.py``): split ``text`` into segments, encode the cloning
+    reference sample once (device work), and build one (prompt, frame
+    budget) pair per segment."""
     from ..runtime.prompts import build_prompt
 
     cfg = model.cfg
     sr = cfg.codec.sample_rate
 
-    # cloning frontend: encode the reference sample once per call
     acoustic_codes = None
     speaker_vector = None
     if ref_audio is not None:
@@ -407,6 +399,39 @@ def generate_audio(
         )
         for segment in segments
     ]
+    return prompts, budgets
+
+
+def generate_audio(
+    *,
+    model: Qwen3TTSModel,
+    text: str,
+    voice: str | None = None,
+    instruct: str | None = None,
+    speed: float = 1.0,
+    ref_audio: str | None = None,
+    ref_text: str | None = None,
+    output_path: str,
+    max_frames: int | None = None,
+    seed: int = 0,
+    on_chunk: Callable[[np.ndarray], None] | None = None,
+    file_name: str = "audio_000.wav",
+) -> dict:
+    """Synthesise ``text`` and write ``output_path/audio_000.wav``.
+
+    The three call shapes match the reference exactly (custom.py:163-170,
+    design.py:76-81, clone.py:218-224). Returns a metrics dict
+    {rtf, ttfa_s, frames, audio_s, wall_s, segments} — the observability the
+    reference lacks (SURVEY.md §5 metrics).
+    """
+    cfg = model.cfg
+    sr = cfg.codec.sample_rate
+
+    prompts, budgets = prepare_segments(
+        model, text, voice=voice, instruct=instruct, speed=speed,
+        ref_audio=ref_audio, ref_text=ref_text, max_frames=max_frames,
+    )
+    n_segments = len(prompts)
 
     pieces: list[np.ndarray] = []
     total_frames = 0
@@ -414,7 +439,7 @@ def generate_audio(
     wall = 0.0
 
     longform_mode = os.environ.get("QWEN3_TTS_LONGFORM", "serving")
-    if len(segments) > 1 and on_chunk is None and longform_mode == "serving":
+    if n_segments > 1 and on_chunk is None and longform_mode == "serving":
         # long-form fast path: synthesize all segments CONCURRENTLY through
         # the continuous-batching engine — segments are independent, so a
         # 10k-char text runs at multi-stream aggregate throughput instead of
@@ -478,7 +503,7 @@ def generate_audio(
         "wall_s": wall,
         "ttfa_s": ttfa or 0.0,
         "rtf": (audio_s / wall) if wall > 0 else 0.0,
-        "segments": len(segments),
+        "segments": n_segments,
         "sample_rate": sr,
     }
     from ..profiling import emit_metrics

@@ -798,6 +798,26 @@ class ServingEngine:
                 )
         return finished
 
+    def cancel(self, stream_id: int) -> None:
+        """Abort a stream: free its slot, deactivate its decode lane and
+        drop any queued prefill. Safe against in-flight speculative steps —
+        their payload snapshots fail the ``_slots[slot] is stream`` identity
+        check in :meth:`collect_step` once the slot is freed. The Stream
+        record is removed from :attr:`streams` (a cancelled stream has no
+        collectable result)."""
+        stream = self.streams.pop(stream_id, None)
+        if stream is None:
+            return
+        stream.done = True
+        stream.active = False
+        self._pending = [p for p in self._pending if p.stream is not stream]
+        slot = stream.slot
+        if self._slots[slot] is stream:
+            self._slots[slot] = None
+            self.active_mask = jnp.where(
+                jnp.arange(self.B) == slot, False, self.active_mask
+            )
+
     def step(self) -> list[int]:
         """Advance every active slot one chunk (and pending prefills one
         slice); returns stream ids finished in this step (synchronous

@@ -55,7 +55,7 @@ _PIPELINE_DEPTH = 3
 # jobs
 # --------------------------------------------------------------------------
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: jobs are tracked in sets/maps
 class _Job:
     """One synthesis request moving through the driver thread."""
 
@@ -82,6 +82,7 @@ class _Job:
     ttfa_s: float | None = None
     frames: int = 0
     error: str | None = None
+    cancelled: bool = False
 
     def emit(self, kind: str, payload: Any = None) -> None:
         self.out.put((kind, payload))
@@ -117,11 +118,13 @@ class TTSService:
         )
         self._jobs: list[_Job] = []        # jobs with unsubmitted segments
         self._active: dict[int, _Job] = {}  # stream_id -> job
+        self._cancels: queue.Queue[_Job] = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()      # guards the counters below
         self.requests_total = 0
         self.errors_total = 0
+        self.rejected_total = 0
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -142,6 +145,11 @@ class TTSService:
     def submit(self, **kwargs) -> _Job:
         """Validate + enqueue one request; raises queue.Full on overload and
         ValueError on bad parameters (mapped to 503/400 by the handler)."""
+        max_frames = kwargs.get("max_frames")
+        if max_frames is not None:
+            max_frames = int(max_frames)   # reject non-numeric JSON here
+            if max_frames < 1:
+                raise ValueError(f"max_frames {max_frames} must be >= 1")
         job = _Job(
             text=str(kwargs["text"]),
             voice=kwargs.get("voice"),
@@ -149,7 +157,7 @@ class TTSService:
             speed=float(kwargs.get("speed", 1.0)),
             ref_wav_path=kwargs.get("ref_wav_path"),
             ref_text=kwargs.get("ref_text"),
-            max_frames=kwargs.get("max_frames"),
+            max_frames=max_frames,
             stream=bool(kwargs.get("stream", False)),
         )
         if not job.text.strip():
@@ -161,15 +169,29 @@ class TTSService:
         # response still streams but segment-at-a-time (engine.api speed
         # contract)
         job.live = self.cfg.native_speed or abs(job.speed - 1.0) < 1e-3
+        try:
+            self._intake.put_nowait(job)  # queue.Full -> 503 upstream
+        except queue.Full:
+            with self._lock:
+                self.rejected_total += 1
+            raise
         with self._lock:
             self.requests_total += 1
-        self._intake.put_nowait(job)      # queue.Full -> 503 upstream
         return job
+
+    def cancel(self, job: _Job) -> None:
+        """Abort a job (e.g. the HTTP client disconnected mid-stream): its
+        engine streams are cancelled on the driver thread so the slots stop
+        burning decode compute on discarded audio."""
+        job.cancelled = True
+        self._cancels.put(job)
 
     def stats(self) -> dict:
         eng = self.engine
         with self._lock:
-            reqs, errs = self.requests_total, self.errors_total
+            reqs, errs, rej = (
+                self.requests_total, self.errors_total, self.rejected_total
+            )
         return {
             "ok": True,
             "model": self.model.name,
@@ -178,68 +200,48 @@ class TTSService:
             "queue_depth": self._intake.qsize(),
             "requests_total": reqs,
             "errors_total": errs,
+            "rejected_total": rej,
         }
 
     # -- driver thread ------------------------------------------------------
 
     def _prepare(self, job: _Job) -> None:
-        """Segment + tokenize + (for cloning) encode the reference sample.
+        """Segment + tokenize + (for cloning) encode the reference sample —
+        the same frontend generate_audio uses (engine.api.prepare_segments).
         Device work — driver thread only."""
-        from .engine.api import _estimate_frames, _split_segments
-        from .runtime.prompts import build_prompt
+        from .engine.api import prepare_segments
 
-        acoustic_codes = speaker_vector = None
-        if job.ref_wav_path is not None:
-            from .audio import read_wav, resample
-            from .audio.wavio import to_mono
-
-            sr = self.cfg.codec.sample_rate
-            data, rate = read_wav(job.ref_wav_path)
-            wav_ref = resample(to_mono(data), rate, sr)
-            if len(wav_ref) > 30.0 * sr:
-                wav_ref = wav_ref[: int(30.0 * sr)]
-            acoustic_codes, speaker_vector = self.model.encode_reference(
-                wav_ref
-            )
-
-        segments = _split_segments(job.text)
-        job.prompts = [
-            build_prompt(
-                self.model.tokenizer,
-                self.cfg.mode,
-                seg,
-                voice=job.voice,
-                speakers=self.cfg.speakers,
-                instruct=job.instruct,
-                speed=job.speed,
-                ref_text=job.ref_text,
-                acoustic_codes=acoustic_codes,
-                speaker_vector=speaker_vector,
-                template=self.model.template,
-            )
-            for seg in segments
-        ]
-        job.budgets = [
-            job.max_frames
-            if job.max_frames is not None
-            else _estimate_frames(seg, self.cfg.codec.frame_rate)
-            for seg in segments
-        ]
+        job.prompts, job.budgets = prepare_segments(
+            self.model, job.text,
+            voice=job.voice, instruct=job.instruct, speed=job.speed,
+            ref_audio=job.ref_wav_path, ref_text=job.ref_text,
+            max_frames=job.max_frames,
+        )
 
     def _admit(self) -> None:
-        """Submit waiting segments into free slots, oldest job first."""
+        """Submit waiting segments into free slots, oldest job first. A
+        submission failure fails THAT job only — other jobs keep serving."""
         for job in list(self._jobs):
-            while job.next_seg < len(job.prompts) and self.engine.free_slots():
-                seg = job.next_seg
-                sid = self.engine.submit(
-                    job.prompts[seg],
-                    max_frames=job.budgets[seg],
-                    on_chunk=self._chunk_cb(job, seg),
-                )
-                job.seg_of_stream[sid] = seg
-                job.seg_chunks[seg] = []
-                self._active[sid] = job
-                job.next_seg += 1
+            try:
+                while (
+                    job.next_seg < len(job.prompts)
+                    and self.engine.free_slots()
+                ):
+                    seg = job.next_seg
+                    sid = self.engine.submit(
+                        job.prompts[seg],
+                        max_frames=job.budgets[seg],
+                        on_chunk=self._chunk_cb(job, seg),
+                    )
+                    job.seg_of_stream[sid] = seg
+                    job.seg_chunks[seg] = []
+                    self._active[sid] = job
+                    job.next_seg += 1
+            except Exception as e:
+                self._jobs.remove(job)
+                self._cancel_job_streams(job)
+                self._fail_job(job, f"{type(e).__name__}: {e}", code=500)
+                continue
             if job.next_seg >= len(job.prompts):
                 self._jobs.remove(job)
 
@@ -254,11 +256,16 @@ class TTSService:
 
         return cb
 
-    def _gap(self) -> np.ndarray:
+    def _gap(self, job: _Job) -> np.ndarray:
+        """Inter-segment silence. When WSOLA speed-stretching runs per
+        segment (non-native-speed models), the gap is scaled by the same
+        factor so the joined output matches generate_audio's whole-signal
+        stretch (engine.api speed contract)."""
         from .engine.api import _SEGMENT_GAP_S
 
         sr = self.cfg.codec.sample_rate
-        return np.zeros(int(_SEGMENT_GAP_S * sr), dtype=np.int16)
+        gap_s = _SEGMENT_GAP_S if job.live else _SEGMENT_GAP_S / job.speed
+        return np.zeros(int(gap_s * sr), dtype=np.int16)
 
     def _segment_wav(self, job: _Job, seg: int) -> np.ndarray:
         """Buffered segment audio, speed-stretched when the model does not
@@ -292,7 +299,7 @@ class TTSService:
                     job.emit("chunk", wav)
                 job.cur_seg += 1
                 if job.cur_seg < len(job.prompts):
-                    job.emit("chunk", self._gap())
+                    job.emit("chunk", self._gap(job))
             elif job.stream and job.live and job.seg_chunks.get(job.cur_seg):
                 for c in job.seg_chunks[job.cur_seg]:
                     job.emit("chunk", c)
@@ -303,11 +310,30 @@ class TTSService:
         if len(job.seg_done) == len(job.prompts):
             job.emit("done", {"frames": job.frames, "ttfa_s": job.ttfa_s})
 
-    def _fail_job(self, job: _Job, msg: str) -> None:
+    def _fail_job(self, job: _Job, msg: str, *, code: int = 400) -> None:
+        """Surface a failure to the waiting HTTP handler. ``code`` 400 for
+        request problems (bad voice, unreadable reference), 500 for engine
+        failures — clients/load-balancers must be able to tell them apart."""
         job.error = msg
-        job.emit("error", msg)
+        job.emit("error", {"message": msg, "code": code})
         with self._lock:
             self.errors_total += 1
+
+    def _cancel_job_streams(self, job: _Job) -> None:
+        """Free every engine slot the job still occupies."""
+        for sid in [s for s, j in self._active.items() if j is job]:
+            self.engine.cancel(sid)
+            del self._active[sid]
+
+    def _drain_cancels(self) -> None:
+        while True:
+            try:
+                job = self._cancels.get_nowait()
+            except queue.Empty:
+                return
+            if job in self._jobs:
+                self._jobs.remove(job)
+            self._cancel_job_streams(job)
 
     def _drive(self) -> None:
         inflight: list = []
@@ -325,6 +351,7 @@ class TTSService:
                 except Exception as e:  # bad voice, unreadable ref, ...
                     self._fail_job(jb, f"{type(e).__name__}: {e}")
             try:
+                self._drain_cancels()
                 self._admit()
                 if not (self._active or self._jobs or inflight):
                     continue
@@ -343,8 +370,14 @@ class TTSService:
                 for sid in finished:
                     self._on_finished(sid)
             except Exception as e:  # never kill the driver
-                for job in {*self._active.values(), *self._jobs}:
-                    self._fail_job(job, f"engine failure: {e}")
+                # a dispatch/collect failure poisons the whole engine step:
+                # fail every in-flight job, releasing their engine slots
+                # (jobs hash by identity, so this dedups across both lists)
+                for job in dict.fromkeys(
+                    [*self._jobs, *self._active.values()]
+                ):
+                    self._cancel_job_streams(job)
+                    self._fail_job(job, f"engine failure: {e}", code=500)
                 self._active.clear()
                 self._jobs.clear()
                 inflight.clear()
@@ -457,29 +490,35 @@ class _Handler(BaseHTTPRequestHandler):
             if kind == "chunk":
                 pieces.append(payload)
             elif kind == "error":
-                self._json(400, {"error": payload})
+                self._json(payload["code"], {"error": payload["message"]})
                 return
             else:
                 break
         sr = self.service.cfg.codec.sample_rate
         wav = np.concatenate(pieces) if pieces else np.zeros(0, np.int16)
         body = wav_bytes(wav, sr)
-        self.send_response(200)
-        self.send_header("Content-Type", "audio/wav")
-        self.send_header("Content-Length", str(len(body)))
-        if job.ttfa_s is not None:
-            self.send_header("X-TTFA-Ms", f"{job.ttfa_s * 1e3:.0f}")
-        self.send_header("X-Audio-Seconds", f"{len(wav) / sr:.2f}")
-        self.end_headers()
-        self.wfile.write(body)
+        try:
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            if job.ttfa_s is not None:
+                self.send_header("X-TTFA-Ms", f"{job.ttfa_s * 1e3:.0f}")
+            self.send_header("X-Audio-Seconds", f"{len(wav) / sr:.2f}")
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionError):
+            self.close_connection = True
 
     def _respond_streaming(self, job: _Job) -> None:
         """Chunked transfer: WAV header first, then PCM as it decodes. The
         first queue item decides the status code (an invalid request still
-        gets a clean 400 before any audio bytes)."""
+        gets a clean error before any audio bytes). A failure AFTER audio
+        started aborts the connection mid-chunked-body — no terminal chunk —
+        so clients can distinguish truncated audio from success. A client
+        disconnect cancels the job, freeing its engine slots."""
         kind, payload = job.out.get()
         if kind == "error":
-            self._json(400, {"error": payload})
+            self._json(payload["code"], {"error": payload["message"]})
             return
         sr = self.service.cfg.codec.sample_rate
         self.send_response(200)
@@ -492,14 +531,21 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
 
-        send(wav_stream_header(sr))
-        while True:
-            if kind == "chunk" and len(payload):
-                send(np.ascontiguousarray(payload, np.int16).tobytes())
-            elif kind in ("done", "error"):
-                break
-            kind, payload = job.out.get()
-        send(b"")  # terminal chunk
+        try:
+            send(wav_stream_header(sr))
+            while True:
+                if kind == "chunk" and len(payload):
+                    send(np.ascontiguousarray(payload, np.int16).tobytes())
+                elif kind == "done":
+                    send(b"")  # clean terminal chunk: stream is complete
+                    return
+                elif kind == "error":
+                    self.close_connection = True  # abort = visible failure
+                    return
+                kind, payload = job.out.get()
+        except (BrokenPipeError, ConnectionError):
+            self.service.cancel(job)  # stop decoding discarded audio
+            self.close_connection = True
 
 
 def make_server(

@@ -169,6 +169,76 @@ def test_intake_backpressure():
         service.submit(text="two")
 
 
+def test_bad_max_frames_rejected_at_intake(served):
+    """A non-numeric max_frames must 400 at intake, not explode later in
+    the driver thread (which would take the whole daemon down)."""
+    base, service = served
+    req = urllib.request.Request(
+        base + "/v1/synthesize",
+        data=json.dumps({"text": "hi", "max_frames": "twenty"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+    # the daemon must still be alive and serving
+    status, body = _get(base + "/healthz")
+    assert status == 200 and body["ok"] is True
+
+
+def test_engine_cancel_frees_slot():
+    """ServingEngine.cancel releases the slot, drops pending prefills and
+    removes the stream record; in-flight speculative steps can no longer
+    credit frames to it."""
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.serving import ServingEngine
+
+    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
+    engine = ServingEngine(model, max_streams=2, chunk=8, sampling=GREEDY)
+    prompt = PromptSpec(
+        text_tokens=np.arange(6, dtype=np.int32), speaker_id=0
+    )
+    sid = engine.submit(prompt, max_frames=64)
+    assert engine.free_slots() == 1
+    for _ in range(3):  # activate + decode a bit
+        engine.step()
+    payload = engine.dispatch_step()      # speculative in-flight step
+    engine.cancel(sid)
+    assert engine.free_slots() == 2
+    assert sid not in engine.streams
+    assert engine.collect_step(payload) == []  # stale payload: no credit
+
+    # a pending (not yet prefilled) stream cancels cleanly too
+    sid2 = engine.submit(prompt, max_frames=8)
+    engine.cancel(sid2)
+    assert engine.free_slots() == 2 and not engine._pending
+    engine.step()  # no crash with nothing active
+
+
+def test_service_cancel_stops_job():
+    """TTSService.cancel (client disconnect path) frees the engine slots a
+    job occupies so they stop decoding discarded audio."""
+    import time as _time
+
+    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
+    service = TTSService(model, max_streams=2, sampling=GREEDY).start()
+    try:
+        job = service.submit(text="cancel me please", max_frames=400)
+        deadline = _time.time() + 120
+        while not job.seg_of_stream and _time.time() < deadline:
+            _time.sleep(0.05)  # wait for the driver to submit the segment
+        assert job.seg_of_stream, "job never reached the engine"
+        service.cancel(job)
+        deadline = _time.time() + 60
+        while service.engine.free_slots() < 2 and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert service.engine.free_slots() == 2
+        assert not service._active
+    finally:
+        service.stop()
+
+
 def test_server_does_not_leak_streams(served):
     """Long-lived server: finished engine streams must be dropped (codes +
     wav chunks would otherwise accumulate forever)."""

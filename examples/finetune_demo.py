@@ -64,3 +64,31 @@ path = save_train_state(state, ckpt_dir)
 restored = restore_train_state(latest_checkpoint(ckpt_dir), state)
 state2, metrics = step(restored, batch)
 print(f"resumed @ step {int(state2.step)}: loss={float(metrics['loss']):.4f}")
+
+# --- LoRA: parameter-efficient voice adaptation ------------------------------
+# Adapters ride the same sharded base (frozen); gradients and Adam moments
+# are adapter-sized. merge_lora folds the deltas back for zero-overhead
+# inference (training/lora.py).
+from qwen3_tts_tpu.training import (  # noqa: E402
+    add_lora,
+    init_lora_train_state,
+    make_lora_train_step,
+    merge_lora,
+    merge_trees,
+    split_lora,
+)
+
+# note: the full train step DONATES its state, so model.params' original
+# buffers are gone — adapt the live post-training weights instead
+lora, base = split_lora(add_lora(state2.params, rank=4, seed=1))
+lopt = default_optimizer(lr=1e-2)
+lstate = init_lora_train_state(lora, lopt)
+lstep = make_lora_train_step(cfg, lopt)
+for i in range(3):
+    lstate, lmetrics = lstep(lstate, base, state2.cp_params, batch)
+    print(f"lora step {int(lstate.step)}: loss={float(lmetrics['loss']):.4f}")
+adapted_params = merge_lora(merge_trees(base, lstate.lora))
+n_adapter = sum(x.size for x in jax.tree.leaves(lstate.lora))
+n_base = sum(x.size for x in jax.tree.leaves(base))
+print(f"lora done: trained {n_adapter:,} adapter params "
+      f"({100 * n_adapter / n_base:.2f}% of the talker); deltas merged")

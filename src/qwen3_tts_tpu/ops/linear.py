@@ -61,7 +61,21 @@ def quantized_matmul(
 
 
 def linear(x: jnp.ndarray, params: dict) -> jnp.ndarray:
-    """Apply a (possibly quantized) linear layer parameter dict to x."""
+    """Apply a (possibly quantized) linear layer parameter dict to x.
+
+    When the dict carries LoRA adapters (``lora_a`` [r, in], ``lora_b``
+    [out, r], ``lora_scale`` scalar — see training/lora.py) the low-rank
+    delta ``scale * (x A^T) B^T`` is added: two skinny matmuls, negligible
+    next to the base weight streaming. Inference deployments merge the
+    delta into the base weight instead (training.lora.merge_lora), so this
+    branch is trace-time only — absent adapters cost nothing."""
     if is_quantized(params):
-        return quantized_matmul(x, params["q"], params["scale"], params["bias"])
-    return _dense_matmul(x, jnp.asarray(params["w"], dtype=x.dtype))
+        out = quantized_matmul(x, params["q"], params["scale"], params["bias"])
+    else:
+        out = _dense_matmul(x, jnp.asarray(params["w"], dtype=x.dtype))
+    if "lora_a" in params:
+        a = jnp.asarray(params["lora_a"], dtype=x.dtype)
+        b = jnp.asarray(params["lora_b"], dtype=x.dtype)
+        delta = _dense_matmul(_dense_matmul(x, a), b)
+        out = out + params["lora_scale"].astype(x.dtype) * delta
+    return out

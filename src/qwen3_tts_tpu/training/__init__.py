@@ -10,3 +10,12 @@ talker, depth-transformer CE for the residual predictor).
 
 from .loss import talker_loss, code_predictor_loss, joint_loss  # noqa: F401
 from .train import TrainState, make_train_step, init_train_state  # noqa: F401
+from .lora import (  # noqa: F401
+    LoraTrainState,
+    add_lora,
+    init_lora_train_state,
+    make_lora_train_step,
+    merge_lora,
+    merge_trees,
+    split_lora,
+)

@@ -133,3 +133,40 @@ def test_train_step_sharded_dp_tp():
     # updated params keep their tp sharding
     leaf = state.params["blocks"]["attn"]["q"]["w"]
     assert len(leaf.sharding.device_set) == 4
+
+
+def test_lora_step_on_sharded_base():
+    """LoRA adapters train against a tp-sharded frozen base: the merged
+    forward runs under the mesh, the base keeps its sharding, and only
+    adapter-sized state updates."""
+    from jax.sharding import NamedSharding
+
+    from qwen3_tts_tpu.training import (
+        add_lora,
+        init_lora_train_state,
+        make_lora_train_step,
+        split_lora,
+    )
+
+    cfg = shardable_tiny()
+    model = Qwen3TTSModel.synthetic(cfg, seed=0)
+    mesh = build_mesh(MeshPlan(dp=2, tp=2), jax.devices()[:4])
+    shard_model(model, mesh)
+
+    lora, base = split_lora(add_lora(model.params, rank=2, seed=1))
+    opt = default_optimizer(lr=1e-2)
+    state = init_lora_train_state(lora, opt)
+    step = make_lora_train_step(cfg, opt, remat=True)
+
+    batch = synthetic_batch(cfg, batch_size=4, t_text=6, t_frames=5, seed=1)
+    data_sharding = NamedSharding(mesh, P("dp"))
+    batch = {
+        k: jax.device_put(jnp.asarray(v), data_sharding)
+        for k, v in batch.items()
+    }
+    for _ in range(2):
+        state, metrics = step(state, base, model.cp_params, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.any(np.asarray(state.lora["blocks"]["attn"]["q"]["lora_b"]))
+    # the frozen base kept its tp sharding (untouched by the step)
+    assert len(base["blocks"]["attn"]["q"]["w"].sharding.device_set) == 4

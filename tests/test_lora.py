@@ -166,6 +166,44 @@ def test_merge_lora_matches_adapter_forward():
     )
 
 
+def test_lora_state_checkpoint_roundtrip(tmp_path):
+    """Adapter training checkpoints save/restore through the same orbax
+    helpers as full fine-tunes (training/checkpoint.py is pytree-generic).
+    Adapter checkpoints are KBs, so per-voice adapters are cheap to keep."""
+    from qwen3_tts_tpu.training.checkpoint import (
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+
+    cfg = _cfg()
+    params = init_talker(cfg, seed=0)
+    cp_params = init_code_predictor(cfg, seed=1)
+    lora, base = split_lora(add_lora(params, rank=4, seed=1))
+    opt = default_optimizer(lr=1e-2)
+    state = init_lora_train_state(lora, opt)
+    step = make_lora_train_step(cfg, opt)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(cfg, batch_size=2, t_text=6, t_frames=5).items()
+    }
+    state, _ = step(state, base, cp_params, batch)
+
+    path = save_train_state(state, str(tmp_path))
+    template = init_lora_train_state(lora, opt)
+    restored = restore_train_state(latest_checkpoint(str(tmp_path)), template)
+    assert int(restored.step) == 1
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(restored.lora),
+        jax.tree_util.tree_leaves_with_path(state.lora),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # and the restored adapters keep training
+    restored, metrics = step(restored, base, cp_params, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_add_lora_rejects_quantized():
     cfg = configs.tiny("custom", quant=True)
     params = init_talker(cfg, seed=0)

@@ -125,6 +125,9 @@ class TTSService:
         self.requests_total = 0
         self.errors_total = 0
         self.rejected_total = 0
+        self.frames_total = 0
+        self.audio_seconds_total = 0.0
+        self._recent_ttfa: list[float] = []   # last N first-audio latencies
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -202,6 +205,36 @@ class TTSService:
             "errors_total": errs,
             "rejected_total": rej,
         }
+
+    def prometheus_metrics(self) -> str:
+        """Prometheus text exposition (0.0.4) for GET /metrics."""
+        eng = self.engine
+        with self._lock:
+            ttfa = sorted(self._recent_ttfa)
+            lines = [
+                ("qwen3_tts_requests_total", "counter", self.requests_total),
+                ("qwen3_tts_errors_total", "counter", self.errors_total),
+                ("qwen3_tts_rejected_total", "counter", self.rejected_total),
+                ("qwen3_tts_frames_total", "counter", self.frames_total),
+                ("qwen3_tts_audio_seconds_total", "counter",
+                 self.audio_seconds_total),
+                ("qwen3_tts_free_slots", "gauge", eng.free_slots()),
+                ("qwen3_tts_max_streams", "gauge", eng.B),
+                ("qwen3_tts_queue_depth", "gauge", self._intake.qsize()),
+            ]
+        out = []
+        for name, kind, value in lines:
+            out.append(f"# TYPE {name} {kind}")
+            out.append(f"{name} {value}")
+        if ttfa:
+            out.append("# TYPE qwen3_tts_ttfa_seconds summary")
+            for q in (0.5, 0.9, 0.99):
+                v = ttfa[min(len(ttfa) - 1, int(q * len(ttfa)))]
+                out.append(
+                    f'qwen3_tts_ttfa_seconds{{quantile="{q}"}} {v:.4f}'
+                )
+            out.append(f"qwen3_tts_ttfa_seconds_count {len(ttfa)}")
+        return "\n".join(out) + "\n"
 
     # -- driver thread ------------------------------------------------------
 
@@ -308,6 +341,15 @@ class TTSService:
             else:
                 break
         if len(job.seg_done) == len(job.prompts):
+            with self._lock:
+                self.frames_total += job.frames
+                self.audio_seconds_total += (
+                    job.frames / self.cfg.codec.frame_rate
+                )
+                if job.ttfa_s is not None:
+                    self._recent_ttfa = (
+                        self._recent_ttfa + [job.ttfa_s]
+                    )[-100:]
             job.emit("done", {"frames": job.frames, "ttfa_s": job.ttfa_s})
 
     def _fail_job(self, job: _Job, msg: str, *, code: int = 400) -> None:
@@ -432,6 +474,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._json(200, self.service.stats())
+        elif self.path == "/metrics":
+            body = self.service.prometheus_metrics().encode()
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path == "/v1/models":
             cfg = self.service.cfg
             self._json(200, {

@@ -152,6 +152,25 @@ def test_bad_requests(served):
     assert body["errors_total"] >= 1  # unknown voice surfaced as an error
 
 
+def test_metrics_endpoint(served):
+    """Prometheus exposition: counters advance with served audio."""
+    base, service = served
+    voice = sorted(service.cfg.speakers)[0]
+    _post(base, {"text": "metrics check", "voice": voice, "max_seconds": 1})
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    metrics = {
+        line.split()[0]: line.split()[1]
+        for line in text.splitlines()
+        if line and not line.startswith("#") and "{" not in line
+    }
+    assert int(metrics["qwen3_tts_frames_total"]) > 0
+    assert float(metrics["qwen3_tts_audio_seconds_total"]) > 0
+    assert int(metrics["qwen3_tts_free_slots"]) == 2
+    assert 'quantile="0.5"' in text  # TTFA summary present
+
+
 def test_unknown_route(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:

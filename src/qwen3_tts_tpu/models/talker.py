@@ -135,23 +135,58 @@ def init_talker(cfg: ModelConfig, seed: int = 0, fast: bool = False) -> Params:
         "head": _init_linear(rng, t.codec_vocab, t.hidden, **qz),
     }
     if t.frames_per_step > 1:
-        # MTP block (TalkerConfig.frames_per_step): merge projects the
-        # step's n frame embeddings into one talker input; the SwiGLU block
-        # maps (hidden + prev-frame embedding) -> next-frame hidden, scored
-        # by the SHARED codec head. Tiny vs the 28-layer stack: it is read
-        # once per step, not once per frame.
-        params["mtp"] = {
-            "merge": _init_linear(
-                rng, t.hidden, t.frames_per_step * t.hidden, **qz
-            ),
-            "mlp": {
-                "gate": _init_linear(rng, t.ffn, t.hidden, **qz),
-                "up": _init_linear(rng, t.ffn, t.hidden, **qz),
-                "down": _init_linear(rng, t.hidden, t.ffn, **qz),
-            },
-            "ln": np.ones(t.hidden, dtype=dtype),
-        }
+        params["mtp"] = _init_mtp(rng, t, qz, dtype)
     return params
+
+
+def _init_mtp(rng, t, qz: dict, dtype) -> Params:
+    """MTP block (TalkerConfig.frames_per_step): merge projects the step's
+    n frame embeddings into one talker input; the SwiGLU block maps
+    (hidden + prev-frame embedding) -> next-frame hidden, scored by the
+    SHARED codec head. Tiny vs the 28-layer stack: it is read once per
+    step, not once per frame."""
+    return {
+        "merge": _init_linear(
+            rng, t.hidden, t.frames_per_step * t.hidden, **qz
+        ),
+        "mlp": {
+            "gate": _init_linear(rng, t.ffn, t.hidden, **qz),
+            "up": _init_linear(rng, t.ffn, t.hidden, **qz),
+            "down": _init_linear(rng, t.hidden, t.ffn, **qz),
+        },
+        "ln": np.ones(t.hidden, dtype=dtype),
+    }
+
+
+def add_mtp_params(params: Params, cfg: ModelConfig, seed: int = 0) -> Params:
+    """Graft freshly-initialised MTP heads onto an existing talker tree.
+
+    Real Qwen3-TTS checkpoints carry no MTP heads, so imports run at
+    ``frames_per_step=1``; to unlock the multi-token-prediction decode path
+    (PERF.md: the single-stream bytes-per-frame lever) on such weights, add
+    the heads here (random init — train them first: training/loss.py
+    already teacher-forces through mtp_logits when fps > 1, and the
+    adapter-style step in training/lora.py can train JUST the grafted
+    subtree against the frozen base). ``cfg`` must already carry the target
+    ``frames_per_step`` (configs.with_frames_per_step)."""
+    t = cfg.talker
+    if t.frames_per_step <= 1:
+        raise ValueError(
+            "add_mtp_params needs cfg.talker.frames_per_step > 1 "
+            "(configs.with_frames_per_step)"
+        )
+    if "mtp" in params:
+        raise ValueError("params already carry an 'mtp' subtree")
+    rng = np.random.default_rng(seed)
+    dtype = np.dtype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    qz = dict(
+        quantize=cfg.quant.enabled,
+        group_size=cfg.quant.group_size,
+        bits=cfg.quant.bits,
+        dtype=dtype,
+        fast=False,
+    )
+    return {**params, "mtp": _init_mtp(rng, t, qz, dtype)}
 
 
 # --------------------------------------------------------------------------

@@ -18,4 +18,5 @@ from .lora import (  # noqa: F401
     merge_lora,
     merge_trees,
     split_lora,
+    split_subtree,
 )

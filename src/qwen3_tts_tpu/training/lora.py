@@ -163,6 +163,18 @@ def split_lora(tree: Any) -> tuple[Any, Any]:
     return lora, base
 
 
+def split_subtree(params: Any, key: str) -> tuple[Any, Any]:
+    """Partition by a top-level key: the named subtree becomes the
+    trainable tree, everything else the frozen base. Reuses the adapter
+    state machinery (init_lora_train_state / make_lora_train_step) for
+    grafted-module training — e.g. MTP heads added to an imported
+    checkpoint (models.talker.add_mtp_params) train against the frozen
+    1.7B base with head-sized optimizer state."""
+    if key not in params:
+        raise KeyError(f"params have no {key!r} subtree")
+    return {key: params[key]}, {k: v for k, v in params.items() if k != key}
+
+
 def merge_trees(base: Any, lora: Any) -> Any:
     """Inverse of :func:`split_lora`: recombine adapters with the base."""
     out = dict(base)

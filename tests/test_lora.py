@@ -209,3 +209,48 @@ def test_add_lora_rejects_quantized():
     params = init_talker(cfg, seed=0)
     with pytest.raises(ValueError, match="dequantize"):
         add_lora(params, rank=4)
+
+
+def test_mtp_head_grafting_and_training():
+    """The imported-checkpoint MTP workflow: an fps=1 talker gains grafted
+    MTP heads (models.talker.add_mtp_params), ONLY the heads train against
+    the frozen base (split_subtree + the adapter train step), and the
+    result decodes at frames_per_step=2."""
+    from qwen3_tts_tpu.models.talker import add_mtp_params, mtp_logits
+    from qwen3_tts_tpu.training import split_subtree
+
+    cfg1 = _cfg()                                      # fps=1, like imports
+    assert cfg1.talker.frames_per_step == 1
+    params = init_talker(cfg1, seed=0)
+    assert "mtp" not in params
+    cfg2 = dataclasses.replace(
+        configs.with_frames_per_step(cfg1, 2), dtype="float32"
+    )
+    with pytest.raises(ValueError, match="frames_per_step"):
+        add_mtp_params(params, cfg1)
+    grafted = add_mtp_params(params, cfg2, seed=3)
+    assert "mtp" in grafted
+    with pytest.raises(ValueError, match="already"):
+        add_mtp_params(grafted, cfg2)
+
+    heads, base = split_subtree(grafted, "mtp")
+    cp_params = init_code_predictor(cfg2, seed=1)
+    opt = default_optimizer(lr=1e-2)
+    state = init_lora_train_state(heads, opt)
+    step = make_lora_train_step(cfg2, opt)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(cfg2, batch_size=2, t_text=6, t_frames=6).items()
+    }
+    before = np.asarray(heads["mtp"]["mlp"]["gate"]["w"])
+    for _ in range(2):
+        state, metrics = step(state, base, cp_params, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.any(np.asarray(state.lora["mtp"]["mlp"]["gate"]["w"]) != before)
+    # base frozen + merged tree decodes one MTP frame
+    trained = merge_trees(base, state.lora)
+    h = jnp.zeros((2, cfg2.talker.hidden), jnp.float32)
+    prev = jnp.zeros((2,), jnp.int32)
+    lg, h2 = mtp_logits(trained, cfg2.talker, h, prev)
+    assert lg.shape == (2, cfg2.talker.codec_vocab)
+    assert np.all(np.isfinite(np.asarray(lg)))

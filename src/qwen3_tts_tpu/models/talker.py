@@ -179,13 +179,11 @@ def add_mtp_params(params: Params, cfg: ModelConfig, seed: int = 0) -> Params:
         raise ValueError("params already carry an 'mtp' subtree")
     rng = np.random.default_rng(seed)
     dtype = np.dtype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
-    qz = dict(
-        quantize=cfg.quant.enabled,
-        group_size=cfg.quant.group_size,
-        bits=cfg.quant.bits,
-        dtype=dtype,
-        fast=False,
-    )
+    # ALWAYS dense, regardless of cfg.quant: the sole purpose of grafted
+    # heads is to be trained (gradients need real-valued leaves; training
+    # runs dense). Quantize after training if the deployment wants int8.
+    qz = dict(quantize=False, group_size=cfg.quant.group_size,
+              bits=cfg.quant.bits, dtype=dtype, fast=False)
     return {**params, "mtp": _init_mtp(rng, t, qz, dtype)}
 
 

@@ -22,6 +22,8 @@ Endpoints:
 
 - ``GET /healthz``       → liveness + slot/queue occupancy JSON
 - ``GET /v1/models``     → model name + config summary
+- ``GET /metrics``       → Prometheus text exposition (counters, gauges,
+  rolling TTFA quantile summary)
 - ``POST /v1/synthesize``→ ``audio/wav`` bytes. JSON body mirrors
   ``engine.api.generate_audio``'s contract (reference call shapes
   custom.py:163-170 / design.py:76-81 / clone.py:218-224): ``text``,
@@ -83,8 +85,11 @@ class _Job:
     frames: int = 0
     error: str | None = None
     cancelled: bool = False
+    samples: int = 0                    # PCM samples actually emitted
 
     def emit(self, kind: str, payload: Any = None) -> None:
+        if kind == "chunk":
+            self.samples += len(payload)
         self.out.put((kind, payload))
 
 
@@ -127,7 +132,9 @@ class TTSService:
         self.rejected_total = 0
         self.frames_total = 0
         self.audio_seconds_total = 0.0
-        self._recent_ttfa: list[float] = []   # last N first-audio latencies
+        self.ttfa_seconds_sum = 0.0           # cumulative (summary _sum)
+        self.ttfa_count = 0                   # cumulative (summary _count)
+        self._recent_ttfa: list[float] = []   # last N (quantile window)
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -211,6 +218,7 @@ class TTSService:
         eng = self.engine
         with self._lock:
             ttfa = sorted(self._recent_ttfa)
+            ttfa_sum, ttfa_count = self.ttfa_seconds_sum, self.ttfa_count
             lines = [
                 ("qwen3_tts_requests_total", "counter", self.requests_total),
                 ("qwen3_tts_errors_total", "counter", self.errors_total),
@@ -227,13 +235,16 @@ class TTSService:
             out.append(f"# TYPE {name} {kind}")
             out.append(f"{name} {value}")
         if ttfa:
+            # quantiles over a rolling window; _sum/_count cumulative (the
+            # summary-type contract: rate(sum)/rate(count) = average TTFA)
             out.append("# TYPE qwen3_tts_ttfa_seconds summary")
             for q in (0.5, 0.9, 0.99):
                 v = ttfa[min(len(ttfa) - 1, int(q * len(ttfa)))]
                 out.append(
                     f'qwen3_tts_ttfa_seconds{{quantile="{q}"}} {v:.4f}'
                 )
-            out.append(f"qwen3_tts_ttfa_seconds_count {len(ttfa)}")
+            out.append(f"qwen3_tts_ttfa_seconds_sum {ttfa_sum:.4f}")
+            out.append(f"qwen3_tts_ttfa_seconds_count {ttfa_count}")
         return "\n".join(out) + "\n"
 
     # -- driver thread ------------------------------------------------------
@@ -341,16 +352,21 @@ class TTSService:
             else:
                 break
         if len(job.seg_done) == len(job.prompts):
+            job.emit("done", {"frames": job.frames, "ttfa_s": job.ttfa_s})
             with self._lock:
                 self.frames_total += job.frames
+                # true served seconds (counts gaps + per-segment speed
+                # stretch), not frames/frame_rate — they differ whenever
+                # WSOLA speed handling rescales the PCM
                 self.audio_seconds_total += (
-                    job.frames / self.cfg.codec.frame_rate
+                    job.samples / self.cfg.codec.sample_rate
                 )
                 if job.ttfa_s is not None:
+                    self.ttfa_seconds_sum += job.ttfa_s
+                    self.ttfa_count += 1
                     self._recent_ttfa = (
                         self._recent_ttfa + [job.ttfa_s]
                     )[-100:]
-            job.emit("done", {"frames": job.frames, "ttfa_s": job.ttfa_s})
 
     def _fail_job(self, job: _Job, msg: str, *, code: int = 400) -> None:
         """Surface a failure to the waiting HTTP handler. ``code`` 400 for

@@ -233,6 +233,19 @@ def test_mtp_head_grafting_and_training():
     with pytest.raises(ValueError, match="already"):
         add_mtp_params(grafted, cfg2)
 
+    # grafted heads must be DENSE even under a quant-enabled config: their
+    # purpose is training, and gradients need real-valued leaves (the base
+    # is dequantized separately — apply_compute_format)
+    qcfg1 = dataclasses.replace(
+        configs.tiny("custom", quant=True), dtype="float32"
+    )  # fps=1, quant on: the shape of a real imported checkpoint
+    qcfg2 = configs.with_frames_per_step(qcfg1, 2)
+    from qwen3_tts_tpu.ops.quant import dequantize_tree
+
+    qbase = dequantize_tree(init_talker(qcfg1, seed=0))
+    qgraft = add_mtp_params(qbase, qcfg2, seed=3)
+    assert "w" in qgraft["mtp"]["mlp"]["gate"], "grafted heads must be dense"
+
     heads, base = split_subtree(grafted, "mtp")
     cp_params = init_code_predictor(cfg2, seed=1)
     opt = default_optimizer(lr=1e-2)

@@ -169,6 +169,9 @@ def test_metrics_endpoint(served):
     assert float(metrics["qwen3_tts_audio_seconds_total"]) > 0
     assert int(metrics["qwen3_tts_free_slots"]) == 2
     assert 'quantile="0.5"' in text  # TTFA summary present
+    # summary-type contract: _sum and _count both exposed
+    assert float(metrics["qwen3_tts_ttfa_seconds_sum"]) > 0
+    assert int(metrics["qwen3_tts_ttfa_seconds_count"]) >= 1
 
 
 def test_unknown_route(served):

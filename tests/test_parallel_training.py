@@ -81,6 +81,42 @@ def test_sharded_generation_matches_single_device():
     np.testing.assert_allclose(r1.wav, r2.wav, atol=0.02 * 32767)  # PCM units
 
 
+def test_sharded_serving_matches_unsharded():
+    """Production multi-chip serving: the continuous-batching engine over a
+    tp=2-sharded model must serve the same greedy tokens as over an
+    unsharded one (weights tp-sharded, per-slot state replicated — XLA
+    inserts the ICI collectives inside the fused serve step)."""
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+    from qwen3_tts_tpu.runtime.serving import ServingEngine
+
+    cfg = shardable_tiny()
+    greedy = SamplingConfig(greedy=True)
+    prompts = [
+        PromptSpec(text_tokens=np.arange(5, dtype=np.int32), speaker_id=1),
+        PromptSpec(
+            text_tokens=(np.arange(7) * 3 % 50).astype(np.int32),
+            speaker_id=2,
+        ),
+    ]
+
+    model1 = Qwen3TTSModel.synthetic(cfg, seed=7)
+    e1 = ServingEngine(model1, max_streams=2, chunk=8, sampling=greedy)
+    r1 = e1.run(prompts, max_frames=10)
+
+    model2 = Qwen3TTSModel.synthetic(cfg, seed=7)
+    mesh = build_mesh(MeshPlan(dp=1, tp=2), jax.devices()[:2])
+    shard_model(model2, mesh)
+    e2 = ServingEngine(model2, max_streams=2, chunk=8, sampling=greedy)
+    r2 = e2.run(prompts, max_frames=10)
+
+    for (w1, s1), (w2, s2) in zip(r1, r2):
+        np.testing.assert_array_equal(
+            np.concatenate(s1.codes, axis=1), np.concatenate(s2.codes, axis=1)
+        )
+        assert s1.frames == s2.frames
+
+
 def test_quantized_model_shards():
     cfg = configs.tiny(quant=True)
     model = Qwen3TTSModel.synthetic(cfg, seed=1)

@@ -61,13 +61,14 @@ def _async_fetch() -> bool:
 
 
 def _defer_wav() -> bool:
-    """Leave waveform bytes on device during steady-state serving
-    (QWEN3_TTS_DEFER_WAV): each chunk fetches only n_valid+codes (a few KB)
-    and the wav rows are gathered in one batched fetch at collect() time.
-    A stream's FIRST audible chunk is still fetched synchronously so TTFA
-    stays an audio-on-host measurement, and streams with an on_chunk
-    callback keep per-chunk fetches. Off by default until measured
-    (tools/probe_fetch.py quantifies the win per deployment)."""
+    """Leave waveform bytes AND code slabs on device during steady-state
+    serving (QWEN3_TTS_DEFER_WAV): each chunk fetches only the [B] n_valid
+    vector (a few bytes); wav rows and codes are gathered in one batched,
+    buffer-deduplicated fetch at collect() time. A stream's FIRST audible
+    chunk is still fetched synchronously so TTFA stays an audio-on-host
+    measurement, and streams with an on_chunk callback keep per-chunk wav
+    fetches. Off by default until measured (tools/probe_fetch.py
+    quantifies the win per deployment)."""
     import os
 
     return os.environ.get("QWEN3_TTS_DEFER_WAV", "0") != "0"
@@ -102,6 +103,17 @@ class _DeferredWav:
     dev: Any                  # the step's full wav array (device)
     slot: int
     n: int                    # valid samples for this stream
+
+
+@dataclass
+class _DeferredCodes:
+    """A code slab left on device (QWEN3_TTS_DEFER_WAV): a view into one
+    decode step's [B, Q, chunk] codes. Same batched dedup resolution as
+    _DeferredWav — steady-state chunks then fetch only n_valid."""
+
+    dev: Any                  # the step's full codes array (device)
+    slot: int
+    n: int                    # valid frames for this stream
 
 
 @dataclass
@@ -717,7 +729,7 @@ class ServingEngine:
         # overlaps the compute of chunks k+1.. instead of serializing one
         # ~30 ms tunnel round trip per chunk at collect time
         if _async_fetch():
-            arrs = (n_valid, codes) if _defer_wav() else (n_valid, codes, wav)
+            arrs = (n_valid,) if _defer_wav() else (n_valid, codes, wav)
             for arr in arrs:
                 if hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()
@@ -732,7 +744,13 @@ class ServingEngine:
         hop = self.cfg.codec.hop
         defer = _defer_wav()
         if defer:
-            valid_host, codes_host = jax.device_get((n_valid, codes))
+            # fetch ONLY the per-slot valid counts (a few bytes); wav rows
+            # AND code slabs stay on device as views until collect() — no
+            # production consumer reads codes per chunk (they serve
+            # debugging/tests/cloning analysis), so the steady-state fetch
+            # is one [B] int vector per chunk
+            valid_host = jax.device_get(n_valid)
+            codes_host = None
             wav_host = None
         else:
             valid_host, codes_host, wav_host = jax.device_get(
@@ -761,7 +779,10 @@ class ServingEngine:
             done = valid < chunk or valid >= remaining
             valid = min(valid, remaining)
             if valid > 0:
-                stream.codes.append(codes_host[slot][:, :valid])
+                stream.codes.append(
+                    codes_host[slot][:, :valid] if codes_host is not None
+                    else _DeferredCodes(codes, slot, valid)
+                )
                 if wav_host is not None:
                     chunk_wav = stream_wav = wav_host[slot, : valid * hop]
                 elif stream.ttfa_s is None or stream.on_chunk is not None:
@@ -827,14 +848,18 @@ class ServingEngine:
         return self.collect_step(self.dispatch_step())
 
     def _resolve_deferred(self) -> None:
-        """Resolve every stream's _DeferredWav views in ONE batched fetch,
-        deduplicated by step buffer: streams decoded in the same steps share
-        those steps' [B, chunk*hop] arrays, so each buffer crosses the link
-        exactly once (and its HBM is released once no view references it)."""
+        """Resolve every stream's _DeferredWav/_DeferredCodes views in ONE
+        batched fetch, deduplicated by step buffer: streams decoded in the
+        same steps share those steps' [B, chunk*hop] / [B, Q, chunk]
+        arrays, so each buffer crosses the link exactly once (and its HBM
+        is released once no view references it)."""
         pending: dict[int, Any] = {}
         for st in self.streams.values():
             for c in st.wav_chunks:
                 if isinstance(c, _DeferredWav):
+                    pending.setdefault(id(c.dev), c.dev)
+            for c in st.codes:
+                if isinstance(c, _DeferredCodes):
                     pending.setdefault(id(c.dev), c.dev)
         if not pending:
             return
@@ -845,6 +870,11 @@ class ServingEngine:
                 host[id(c.dev)][c.slot, : c.n]
                 if isinstance(c, _DeferredWav) else c
                 for c in st.wav_chunks
+            ]
+            st.codes = [
+                host[id(c.dev)][c.slot][:, : c.n]
+                if isinstance(c, _DeferredCodes) else c
+                for c in st.codes
             ]
 
     def collect(self, stream_id: int) -> tuple[np.ndarray, Stream]:

@@ -282,7 +282,7 @@ def test_deferred_wav_fetch_matches_eager(model, monkeypatch):
     collect(); output must be byte-identical to eager fetching, the first
     chunk must still arrive eagerly (TTFA honesty), and later chunks must
     actually be deferred."""
-    from qwen3_tts_tpu.runtime.serving import _DeferredWav
+    from qwen3_tts_tpu.runtime.serving import _DeferredCodes, _DeferredWav
 
     p = _prompt(41)
     eager = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
@@ -299,9 +299,12 @@ def test_deferred_wav_fetch_matches_eager(model, monkeypatch):
         assert guard < 50
     assert not isinstance(stream.wav_chunks[0], _DeferredWav)  # ttfa chunk
     assert any(isinstance(c, _DeferredWav) for c in stream.wav_chunks[1:])
+    # code slabs defer too: steady-state chunks fetch only n_valid
+    assert all(isinstance(c, _DeferredCodes) for c in stream.codes)
     wav, stream = eng.collect(sid)
     assert stream.frames == se.frames
     np.testing.assert_array_equal(wav, wav_eager)
+    np.testing.assert_array_equal(_all_codes(stream), _all_codes(se))
     # collect is idempotent after resolution
     wav2, _ = eng.collect(sid)
     np.testing.assert_array_equal(wav2, wav_eager)

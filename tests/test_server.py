@@ -238,6 +238,42 @@ def test_engine_cancel_frees_slot():
     engine.step()  # no crash with nothing active
 
 
+def test_engine_failure_fails_jobs_but_driver_survives():
+    """A dispatch/collect failure must fail the in-flight jobs with an
+    engine-error (500) payload, release their slots, and leave the driver
+    thread alive to serve the next request."""
+    import time as _time
+
+    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
+    service = TTSService(model, max_streams=2, sampling=GREEDY).start()
+    try:
+        real_dispatch = service.engine.dispatch_step
+        calls = {"n": 0}
+
+        def exploding_dispatch():
+            calls["n"] += 1
+            raise RuntimeError("synthetic device blowup")
+
+        service.engine.dispatch_step = exploding_dispatch
+        job = service.submit(text="doomed request", max_frames=40)
+        kind, payload = job.out.get(timeout=120)
+        assert kind == "error"
+        assert payload["code"] == 500
+        assert "engine failure" in payload["message"]
+        assert service.engine.free_slots() == 2 or not service._active
+
+        # driver survived: restore the engine and serve a real request
+        service.engine.dispatch_step = real_dispatch
+        ok_job = service.submit(text="recovery request", max_frames=8)
+        kind, payload = ok_job.out.get(timeout=300)
+        while kind == "chunk":
+            kind, payload = ok_job.out.get(timeout=300)
+        assert kind == "done" and ok_job.frames > 0
+        assert service._thread.is_alive()
+    finally:
+        service.stop()
+
+
 def test_service_cancel_stops_job():
     """TTSService.cancel (client disconnect path) frees the engine slots a
     job occupies so they stop decoding discarded audio."""

@@ -24,12 +24,17 @@ Endpoints:
 - ``GET /v1/models``     → model name + config summary
 - ``GET /metrics``       → Prometheus text exposition (counters, gauges,
   rolling TTFA quantile summary)
+- ``GET /v1/voices``     → the voice library (``voices.py`` wav/txt pairs)
+- ``POST /v1/voices``    → enroll ``{name, audio_b64, transcript?}``
+  (409 on existing names unless ``overwrite``)
+- ``DELETE /v1/voices/<name>``
 - ``POST /v1/synthesize``→ ``audio/wav`` bytes. JSON body mirrors
   ``engine.api.generate_audio``'s contract (reference call shapes
   custom.py:163-170 / design.py:76-81 / clone.py:218-224): ``text``,
   ``voice``, ``instruct``, ``speed``, ``ref_audio`` (server-local path) or
-  ``ref_audio_b64`` (base64 WAV bytes), ``ref_text``, ``max_seconds``,
-  ``stream`` (chunked transfer of audio as it is generated).
+  ``ref_audio_b64`` (base64 WAV bytes) or ``saved_voice`` (a library
+  name), ``ref_text``, ``max_seconds``, ``stream`` (chunked transfer of
+  audio as it is generated).
 """
 
 from __future__ import annotations
@@ -107,11 +112,14 @@ class TTSService:
         max_streams: int = 8,
         sampling=None,
         queue_size: int = 64,
+        voices_dir: str | None = None,
     ):
+        from . import config
         from .runtime.serving import ServingEngine
 
         self.model = model
         self.cfg = model.cfg
+        self.voices_dir = voices_dir or config.VOICES_DIR
         if sampling is not None:
             self.engine = ServingEngine(
                 model, max_streams=max_streams, sampling=sampling
@@ -212,6 +220,95 @@ class TTSService:
             "errors_total": errs,
             "rejected_total": rej,
         }
+
+    # -- voice library (HTTP face of voices.py's wav/txt pairs) -------------
+
+    def _voice_paths(self, raw_name: str) -> tuple[str, str, str]:
+        """(name, wav_path, txt_path); raises ValueError on empty names.
+        Names are sanitized with the same rule as the terminal app
+        (voices.sanitize_voice_name), which also confines them to the
+        voices dir — no separators survive."""
+        from .voices import sanitize_voice_name
+
+        name = sanitize_voice_name(raw_name)
+        if not name:
+            raise ValueError(f"invalid voice name {raw_name!r}")
+        return (
+            name,
+            os.path.join(self.voices_dir, f"{name}.wav"),
+            os.path.join(self.voices_dir, f"{name}.txt"),
+        )
+
+    def list_voices(self) -> list[dict]:
+        if not os.path.isdir(self.voices_dir):
+            return []
+        out = []
+        for f in sorted(os.listdir(self.voices_dir)):
+            if not f.lower().endswith(".wav") or f.startswith("."):
+                continue
+            name = os.path.splitext(f)[0]
+            txt = os.path.join(self.voices_dir, f"{name}.txt")
+            transcript = None
+            if os.path.exists(txt):
+                with open(txt, encoding="utf-8", errors="replace") as fh:
+                    transcript = fh.read().strip() or None
+            out.append({"name": name, "transcript": transcript})
+        return out
+
+    def enroll_voice(
+        self,
+        raw_name: str,
+        wav_bytes_in: bytes,
+        transcript: str | None = None,
+        *,
+        overwrite: bool = False,
+    ) -> str:
+        """Convert + store one reference sample as a library voice (24 kHz
+        mono — the same normalization the terminal enroll flow applies).
+        Raises FileExistsError when the name is taken and not overwriting."""
+        from .audio import read_wav, resample, write_wav
+        from .audio.wavio import to_mono
+
+        name, wav_path, txt_path = self._voice_paths(raw_name)
+        if os.path.exists(wav_path) and not overwrite:
+            raise FileExistsError(name)
+        fd, tmp = tempfile.mkstemp(suffix=".wav")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(wav_bytes_in)
+            data, rate = read_wav(tmp)
+        finally:
+            os.unlink(tmp)
+        sr = self.cfg.codec.sample_rate
+        wav = resample(to_mono(data), rate, sr)
+        os.makedirs(self.voices_dir, exist_ok=True)
+        write_wav(wav_path, wav, sr)
+        if transcript:
+            with open(txt_path, "w", encoding="utf-8") as fh:
+                fh.write(transcript.strip() + "\n")
+        elif os.path.exists(txt_path):
+            os.unlink(txt_path)  # overwrite without transcript clears it
+        return name
+
+    def delete_voice(self, raw_name: str) -> None:
+        name, wav_path, txt_path = self._voice_paths(raw_name)
+        if not os.path.exists(wav_path):
+            raise FileNotFoundError(name)
+        os.unlink(wav_path)
+        if os.path.exists(txt_path):
+            os.unlink(txt_path)
+
+    def resolve_saved_voice(self, raw_name: str) -> tuple[str, str | None]:
+        """(wav_path, transcript) for a library voice; FileNotFoundError
+        when absent."""
+        name, wav_path, txt_path = self._voice_paths(raw_name)
+        if not os.path.exists(wav_path):
+            raise FileNotFoundError(name)
+        transcript = None
+        if os.path.exists(txt_path):
+            with open(txt_path, encoding="utf-8", errors="replace") as fh:
+                transcript = fh.read().strip() or None
+        return wav_path, transcript
 
     def prometheus_metrics(self) -> str:
         """Prometheus text exposition (0.0.4) for GET /metrics."""
@@ -508,10 +605,50 @@ class _Handler(BaseHTTPRequestHandler):
                 "speakers": sorted(cfg.speakers),
                 "native_speed": cfg.native_speed,
             })
+        elif self.path == "/v1/voices":
+            self._json(200, {"voices": self.service.list_voices()})
         else:
             self._json(404, {"error": "not found"})
 
+    def do_DELETE(self):
+        if self.path.startswith("/v1/voices/"):
+            name = self.path[len("/v1/voices/"):]
+            try:
+                self.service.delete_voice(name)
+                self._json(200, {"deleted": name})
+            except FileNotFoundError:
+                self._json(404, {"error": f"no voice {name!r}"})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def _post_voice(self, req: dict) -> None:
+        try:
+            name = self.service.enroll_voice(
+                req["name"],
+                base64.b64decode(req["audio_b64"]),
+                req.get("transcript"),
+                overwrite=bool(req.get("overwrite", False)),
+            )
+            self._json(200, {"enrolled": name})
+        except FileExistsError as e:
+            self._json(409, {
+                "error": f"voice {e.args[0]!r} exists (pass overwrite)"
+            })
+        except Exception as e:  # bad wav bytes, name, b64, missing keys
+            self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
     def do_POST(self):
+        if self.path == "/v1/voices":
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            self._post_voice(req)
+            return
         if self.path != "/v1/synthesize":
             self._json(404, {"error": "not found"})
             return
@@ -519,7 +656,14 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
-            if "ref_audio_b64" in req:
+            if "saved_voice" in req:
+                wav_path, transcript = self.service.resolve_saved_voice(
+                    req.pop("saved_voice")
+                )
+                req["ref_wav_path"] = wav_path
+                # the clone contract's "." fallback (reference clone.py)
+                req.setdefault("ref_text", transcript or ".")
+            elif "ref_audio_b64" in req:
                 fd, tmp_path = tempfile.mkstemp(suffix=".wav")
                 with os.fdopen(fd, "wb") as f:
                     f.write(base64.b64decode(req["ref_audio_b64"]))
@@ -534,6 +678,9 @@ class _Handler(BaseHTTPRequestHandler):
             job = self.service.submit(**req)
         except queue.Full:
             self._json(503, {"error": "server overloaded, retry later"})
+            return
+        except FileNotFoundError as e:
+            self._json(404, {"error": f"no saved voice {e.args[0]!r}"})
             return
         except (ValueError, KeyError, TypeError) as e:
             self._json(400, {"error": str(e)})
@@ -629,10 +776,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--model", default="synthetic",
                     help="checkpoint path, or 'synthetic'/'synthetic-tiny'")
     ap.add_argument("--mode", default="custom",
-                    choices=["custom", "design", "clone"])
+                    choices=["custom", "design", "base"])
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--voices-dir", default=None,
+                    help="voice library directory (default: the app's)")
     args = ap.parse_args(argv)
 
     from .engine import configs
@@ -647,7 +796,9 @@ def main(argv: list[str] | None = None) -> None:
     else:
         model = load_model(args.model)
 
-    service = TTSService(model, max_streams=args.streams).start()
+    service = TTSService(
+        model, max_streams=args.streams, voices_dir=args.voices_dir
+    ).start()
     srv = make_server(service, args.host, args.port)
     print(f"qwen3-tts-tpu serving {model.name} on "
           f"http://{args.host}:{srv.server_address[1]} "

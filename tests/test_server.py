@@ -304,3 +304,107 @@ def test_server_does_not_leak_streams(served):
     voice = sorted(service.cfg.speakers)[0]
     _post(base, {"text": "leak check", "voice": voice, "max_seconds": 1})
     assert len(service.engine.streams) == 0
+
+
+# -- voice library over HTTP (clone-mode model) ------------------------------
+
+@pytest.fixture(scope="module")
+def clone_served(tmp_path_factory):
+    model = Qwen3TTSModel.synthetic(configs.tiny("base"), seed=5)
+    voices_dir = str(tmp_path_factory.mktemp("voices"))
+    service = TTSService(
+        model, max_streams=2, sampling=GREEDY, voices_dir=voices_dir
+    ).start()
+    srv = make_server(service, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", service
+    srv.shutdown()
+    service.stop()
+
+
+def _ref_wav_b64(seconds=0.4, sr=16_000):
+    """A small sine reference sample, deliberately NOT at 24 kHz (enroll
+    must resample)."""
+    import base64
+    from qwen3_tts_tpu.audio import write_wav
+
+    t = np.arange(int(seconds * sr)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    import tempfile, os as _os
+    fd, p = tempfile.mkstemp(suffix=".wav")
+    _os.close(fd)
+    write_wav(p, wav, sr)
+    data = open(p, "rb").read()
+    _os.unlink(p)
+    return base64.b64encode(data).decode()
+
+
+def test_voice_library_http_lifecycle(clone_served):
+    base, service = clone_served
+    b64 = _ref_wav_b64()
+
+    # enroll (name gets sanitized like the terminal app)
+    status, _, _ = (0, 0, 0)
+    req = urllib.request.Request(
+        base + "/v1/voices",
+        data=json.dumps({"name": "My Voice!", "audio_b64": b64,
+                         "transcript": "hello there"}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert json.loads(r.read())["enrolled"] == "My_Voice"
+
+    # duplicate -> 409; overwrite -> 200
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 409
+    req2 = urllib.request.Request(
+        base + "/v1/voices",
+        data=json.dumps({"name": "My Voice!", "audio_b64": b64,
+                         "transcript": "hello again",
+                         "overwrite": True}).encode(),
+        method="POST",
+    )
+    urllib.request.urlopen(req2, timeout=60).close()
+
+    # listed, 24 kHz mono on disk
+    _, voices = _get(base + "/v1/voices")
+    assert voices["voices"] == [
+        {"name": "My_Voice", "transcript": "hello again"}
+    ]
+    import wave as _wave
+    with _wave.open(
+        service.voices_dir + "/My_Voice.wav"
+    ) as w:
+        assert w.getframerate() == service.cfg.codec.sample_rate
+        assert w.getnchannels() == 1
+
+    # synthesize with the saved voice (clone call shape)
+    status, headers, data = _post(
+        base, {"text": "cloned hello", "saved_voice": "My Voice!",
+               "max_seconds": 1}
+    )
+    assert status == 200 and headers["Content-Type"] == "audio/wav"
+    pcm, sr = _parse_wav(data)
+    assert len(pcm) > 0 and sr == service.cfg.codec.sample_rate
+
+    # unknown saved voice -> 404
+    reqv = urllib.request.Request(
+        base + "/v1/synthesize",
+        data=json.dumps({"text": "x", "saved_voice": "nobody"}).encode(),
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(reqv, timeout=60)
+    assert e.value.code == 404
+
+    # delete -> gone -> 404 on re-delete
+    reqd = urllib.request.Request(
+        base + "/v1/voices/My_Voice", method="DELETE"
+    )
+    urllib.request.urlopen(reqd, timeout=60).close()
+    _, voices = _get(base + "/v1/voices")
+    assert voices["voices"] == []
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(reqd, timeout=60)
+    assert e.value.code == 404

@@ -35,6 +35,13 @@ Endpoints:
   ``ref_audio_b64`` (base64 WAV bytes) or ``saved_voice`` (a library
   name), ``ref_text``, ``max_seconds``, ``stream`` (chunked transfer of
   audio as it is generated).
+- ``POST /v1/audio/speech`` → OpenAI-compatible text-to-speech surface
+  (``input``, ``voice``, ``instructions``, ``speed``,
+  ``response_format`` wav|pcm, ``stream_format`` audio), so off-the-shelf
+  OpenAI SDK clients can point at this daemon unchanged. The classic
+  OpenAI voice names (alloy, echo, ...) map deterministically onto the
+  model's speaker set; on a cloning-mode model ``voice`` names a saved
+  library voice instead.
 """
 
 from __future__ import annotations
@@ -309,6 +316,61 @@ class TTSService:
             with open(txt_path, encoding="utf-8", errors="replace") as fh:
                 transcript = fh.read().strip() or None
         return wav_path, transcript
+
+    # -- OpenAI-compatible request translation ------------------------------
+
+    # The 11 built-in OpenAI voice names, mapped round-robin onto the
+    # model's (sorted) speaker set so stock SDK clients work unchanged.
+    OPENAI_VOICES = (
+        "alloy", "ash", "ballad", "coral", "echo", "fable",
+        "nova", "onyx", "sage", "shimmer", "verse",
+    )
+
+    def openai_to_submit(self, req: dict) -> tuple[dict, str]:
+        """Translate an OpenAI ``/v1/audio/speech`` body into ``submit``
+        kwargs. Returns (kwargs, response_format). Raises ValueError/
+        KeyError for bad requests (mapped to 400 upstream) and
+        FileNotFoundError for a missing saved voice on clone models."""
+        fmt = str(req.get("response_format", "wav")).lower()
+        if fmt not in ("wav", "pcm"):
+            raise ValueError(
+                f"response_format {fmt!r} not supported (no audio codec "
+                "toolchain on this host); use 'wav' or 'pcm'"
+            )
+        kwargs: dict = {
+            "text": req["input"],
+            "speed": float(req.get("speed", 1.0)),
+            "stream": (
+                str(req.get("stream_format", "")).lower() == "audio"
+                or bool(req.get("stream", False))
+            ),
+        }
+        if req.get("instructions"):
+            kwargs["instruct"] = str(req["instructions"])
+        voice = req.get("voice")
+        if self.cfg.mode == "base":
+            # cloning model: `voice` names a saved library voice
+            if not voice:
+                raise ValueError("cloning models need 'voice' = a saved "
+                                 "library voice name")
+            wav_path, transcript = self.resolve_saved_voice(str(voice))
+            kwargs["ref_wav_path"] = wav_path
+            kwargs["ref_text"] = transcript or "."
+        elif self.cfg.mode == "custom":
+            speakers = sorted(self.cfg.speakers)
+            name = str(voice or speakers[0]).lower()
+            if name in self.cfg.speakers:
+                kwargs["voice"] = name
+            elif name in self.OPENAI_VOICES:
+                idx = self.OPENAI_VOICES.index(name)
+                kwargs["voice"] = speakers[idx % len(speakers)]
+            else:
+                raise ValueError(
+                    f"unknown voice {voice!r}; valid: {speakers} or "
+                    f"OpenAI aliases {list(self.OPENAI_VOICES)}"
+                )
+        # design mode: conditioning comes from `instructions` alone
+        return kwargs, fmt
 
     def prometheus_metrics(self) -> str:
         """Prometheus text exposition (0.0.4) for GET /metrics."""
@@ -639,15 +701,42 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # bad wav bytes, name, b64, missing keys
             self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
+    def _post_openai_speech(self, req: dict) -> None:
+        """POST /v1/audio/speech — the OpenAI TTS surface. OpenAI-style
+        error envelope ({"error": {"message", "type"}}) on failure."""
+        def err(code: int, msg: str, kind: str = "invalid_request_error"):
+            self._json(code, {"error": {"message": msg, "type": kind}})
+
+        try:
+            kwargs, fmt = self.service.openai_to_submit(req)
+            job = self.service.submit(**kwargs)
+        except queue.Full:
+            err(503, "server overloaded, retry later", "overloaded_error")
+            return
+        except FileNotFoundError as e:
+            err(404, f"no saved voice {e.args[0]!r}")
+            return
+        except (ValueError, KeyError, TypeError) as e:
+            msg = f"missing {e}" if isinstance(e, KeyError) else str(e)
+            err(400, msg)
+            return
+        if job.stream:
+            self._respond_streaming(job, fmt=fmt)
+        else:
+            self._respond_complete(job, fmt=fmt)
+
     def do_POST(self):
-        if self.path == "/v1/voices":
+        if self.path in ("/v1/voices", "/v1/audio/speech"):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
-            self._post_voice(req)
+            if self.path == "/v1/voices":
+                self._post_voice(req)
+            else:
+                self._post_openai_speech(req)
             return
         if self.path != "/v1/synthesize":
             self._json(404, {"error": "not found"})
@@ -697,7 +786,7 @@ class _Handler(BaseHTTPRequestHandler):
                 except OSError:
                     pass
 
-    def _respond_complete(self, job: _Job) -> None:
+    def _respond_complete(self, job: _Job, fmt: str = "wav") -> None:
         pieces: list[np.ndarray] = []
         while True:
             kind, payload = job.out.get()
@@ -710,10 +799,13 @@ class _Handler(BaseHTTPRequestHandler):
                 break
         sr = self.service.cfg.codec.sample_rate
         wav = np.concatenate(pieces) if pieces else np.zeros(0, np.int16)
-        body = wav_bytes(wav, sr)
+        if fmt == "pcm":  # raw s16le mono (OpenAI 'pcm' framing)
+            body = np.ascontiguousarray(wav, np.int16).tobytes()
+        else:
+            body = wav_bytes(wav, sr)
         try:
             self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Type", f"audio/{fmt}")
             self.send_header("Content-Length", str(len(body)))
             if job.ttfa_s is not None:
                 self.send_header("X-TTFA-Ms", f"{job.ttfa_s * 1e3:.0f}")
@@ -723,20 +815,21 @@ class _Handler(BaseHTTPRequestHandler):
         except (BrokenPipeError, ConnectionError):
             self.close_connection = True
 
-    def _respond_streaming(self, job: _Job) -> None:
-        """Chunked transfer: WAV header first, then PCM as it decodes. The
-        first queue item decides the status code (an invalid request still
-        gets a clean error before any audio bytes). A failure AFTER audio
-        started aborts the connection mid-chunked-body — no terminal chunk —
-        so clients can distinguish truncated audio from success. A client
-        disconnect cancels the job, freeing its engine slots."""
+    def _respond_streaming(self, job: _Job, fmt: str = "wav") -> None:
+        """Chunked transfer: WAV header first (raw PCM chunks when
+        ``fmt == "pcm"``), then PCM as it decodes. The first queue item
+        decides the status code (an invalid request still gets a clean
+        error before any audio bytes). A failure AFTER audio started aborts
+        the connection mid-chunked-body — no terminal chunk — so clients
+        can distinguish truncated audio from success. A client disconnect
+        cancels the job, freeing its engine slots."""
         kind, payload = job.out.get()
         if kind == "error":
             self._json(payload["code"], {"error": payload["message"]})
             return
         sr = self.service.cfg.codec.sample_rate
         self.send_response(200)
-        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Type", f"audio/{fmt}")
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
 
@@ -746,7 +839,8 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"\r\n")
 
         try:
-            send(wav_stream_header(sr))
+            if fmt == "wav":
+                send(wav_stream_header(sr))
             while True:
                 if kind == "chunk" and len(payload):
                     send(np.ascontiguousarray(payload, np.int16).tobytes())

@@ -408,3 +408,111 @@ def test_voice_library_http_lifecycle(clone_served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(reqd, timeout=60)
     assert e.value.code == 404
+
+
+# -- OpenAI-compatible /v1/audio/speech --------------------------------------
+
+def _post_json(base, path, payload, timeout=600):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_openai_speech_wav_and_pcm_parity(served):
+    """An OpenAI alias voice resolves to a real speaker, and the 'pcm'
+    response carries the exact samples of the 'wav' response."""
+    base, service = served
+    body = {"model": "tts-1", "input": "openai surface check",
+            "voice": "alloy"}
+    status, headers, wav_data = _post_json(base, "/v1/audio/speech", body)
+    assert status == 200 and headers["Content-Type"] == "audio/wav"
+    pcm_wav, sr = _parse_wav(wav_data)
+    assert sr == service.cfg.codec.sample_rate and len(pcm_wav) > 0
+
+    status, headers, raw = _post_json(
+        base, "/v1/audio/speech", dict(body, response_format="pcm")
+    )
+    assert status == 200 and headers["Content-Type"] == "audio/pcm"
+    assert np.array_equal(np.frombuffer(raw, np.int16), pcm_wav)
+
+
+def test_openai_speech_native_speaker_name(served):
+    base, service = served
+    voice = sorted(service.cfg.speakers)[0]
+    status, _, data = _post_json(
+        base, "/v1/audio/speech", {"input": "native name", "voice": voice}
+    )
+    assert status == 200
+    pcm, _ = _parse_wav(data)
+    assert len(pcm) > 0
+
+
+def test_openai_speech_streaming(served):
+    base, service = served
+    status, headers, streamed = _post_json(
+        base, "/v1/audio/speech",
+        {"input": "stream please", "voice": "echo",
+         "stream_format": "audio"},
+    )
+    assert status == 200
+    header = wav_stream_header(service.cfg.codec.sample_rate)
+    assert streamed[: len(header)] == header
+    assert len(streamed) > len(header)
+
+
+def test_openai_speech_error_envelope(served):
+    base, _ = served
+    # unsupported container -> 400 with OpenAI error envelope
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(base, "/v1/audio/speech",
+                   {"input": "x", "voice": "alloy",
+                    "response_format": "mp3"})
+    assert e.value.code == 400
+    err = json.loads(e.value.read())["error"]
+    assert err["type"] == "invalid_request_error"
+    assert "mp3" in err["message"]
+
+    # unknown voice -> 400; missing input -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(base, "/v1/audio/speech",
+                   {"input": "x", "voice": "nobody-real"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(base, "/v1/audio/speech", {"voice": "alloy"})
+    assert e.value.code == 400
+    assert "input" in json.loads(e.value.read())["error"]["message"]
+
+
+def test_openai_speech_saved_voice_on_clone_model(clone_served):
+    """On a cloning-mode model, OpenAI 'voice' names a library voice."""
+    base, service = clone_served
+    b64 = _ref_wav_b64()
+    req = urllib.request.Request(
+        base + "/v1/voices",
+        data=json.dumps({"name": "oai_ref", "audio_b64": b64,
+                         "transcript": "reference words"}).encode(),
+        method="POST",
+    )
+    urllib.request.urlopen(req, timeout=60).close()
+    try:
+        status, headers, data = _post_json(
+            base, "/v1/audio/speech",
+            {"input": "clone via openai api", "voice": "oai_ref"},
+        )
+        assert status == 200 and headers["Content-Type"] == "audio/wav"
+        pcm, _ = _parse_wav(data)
+        assert len(pcm) > 0
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(base, "/v1/audio/speech",
+                       {"input": "x", "voice": "ghost"})
+        assert e.value.code == 404
+    finally:
+        urllib.request.urlopen(urllib.request.Request(
+            base + "/v1/voices/oai_ref", method="DELETE"), timeout=60
+        ).close()

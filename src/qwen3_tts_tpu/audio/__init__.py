@@ -6,6 +6,6 @@ Replaces the reference's platform glue — AVFoundation / afconvert
 implementations that work on Linux TPU hosts and in CI.
 """
 
-from .wavio import read_wav, write_wav, wav_info  # noqa: F401
+from .wavio import read_wav, to_mono, wav_info, write_wav  # noqa: F401
 from .resample import resample, convert_to_wav  # noqa: F401
 from .playback import play_wav  # noqa: F401

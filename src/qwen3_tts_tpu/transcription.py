@@ -28,6 +28,28 @@ def register_provider(name: str, fn: Provider) -> None:
     _providers[name] = fn
 
 
+_jax_asr_cache: dict[str, object] = {}
+
+
+def _whisper_jax_provider(wav_path: str) -> str | None:
+    """Transcribe with the TPU-native JAX Whisper (models/whisper.py) —
+    the on-TPU ASR provider SURVEY.md §2 maps the reference's macOS Speech
+    dependency to. The loaded model is cached per checkpoint directory so
+    repeated enrollments pay one load + one compile."""
+    model_dir = _whisper_model_dir()
+    if model_dir is None:
+        return None
+    try:
+        asr = _jax_asr_cache.get(model_dir)
+        if asr is None:
+            from .models.whisper import WhisperASR
+
+            asr = _jax_asr_cache[model_dir] = WhisperASR(model_dir)
+        return asr.transcribe_wav(wav_path) or None
+    except Exception:
+        return None
+
+
 def _whisper_local_provider(wav_path: str) -> str | None:
     """Transcribe with a locally-cached Whisper checkpoint via transformers.
 
@@ -98,6 +120,13 @@ def transcribe_wav(wav_path: str) -> str | None:
         if text:
             return text
     if _whisper_model_dir() is not None:
+        # the JAX (TPU-native) path is preferred; the transformers torch
+        # pipeline remains as an explicit opt-in or silent fallback
+        backend = os.environ.get("QWEN3_TTS_ASR_BACKEND", "jax")
+        if backend != "torch":
+            text = _whisper_jax_provider(wav_path)
+            if text:
+                return text
         return _whisper_local_provider(wav_path)
     return None
 

@@ -510,6 +510,16 @@ class WhisperASR:
             ids.append(int(tid))
         return np.asarray(ids, np.int32)
 
+    @staticmethod
+    def _device():
+        """Where to run ASR. The TTS engine usually owns the accelerator's
+        HBM in the same process (one big-cache engine per process — the
+        HBM rule in CLAUDE.md), so QWEN3_TTS_ASR_DEVICE=cpu pins this
+        side-model to host compute; default is the platform default."""
+        if os.environ.get("QWEN3_TTS_ASR_DEVICE", "auto") == "cpu":
+            return jax.devices("cpu")[0]
+        return None
+
     def transcribe_array(
         self, audio: np.ndarray, rate: int, *, max_new: int = 224
     ) -> str:
@@ -521,17 +531,29 @@ class WhisperASR:
         audio = np.asarray(audio, np.float32)
         texts = []
         n_chunks = max(1, math.ceil(len(audio) / N_SAMPLES))
-        for c in range(n_chunks):
-            window = pad_or_trim(audio[c * N_SAMPLES : (c + 1) * N_SAMPLES])
-            feats = log_mel_spectrogram(jnp.asarray(window), self.cfg.n_mels)
-            toks, n = greedy_decode(
-                self.params, self.cfg, feats,
-                jnp.asarray(self.prefix), max_new=max_new,
-            )
-            ids = np.asarray(toks)[: int(n)]
-            texts.append(
-                self.tokenizer.decode(ids, skip_special_tokens=True).strip()
-            )
+        import contextlib
+
+        dev = self._device()
+        ctx = jax.default_device(dev) if dev is not None \
+            else contextlib.nullcontext()
+        with ctx:
+            for c in range(n_chunks):
+                window = pad_or_trim(
+                    audio[c * N_SAMPLES : (c + 1) * N_SAMPLES]
+                )
+                feats = log_mel_spectrogram(
+                    jnp.asarray(window), self.cfg.n_mels
+                )
+                toks, n = greedy_decode(
+                    self.params, self.cfg, feats,
+                    jnp.asarray(self.prefix), max_new=max_new,
+                )
+                ids = np.asarray(toks)[: int(n)]
+                texts.append(
+                    self.tokenizer.decode(
+                        ids, skip_special_tokens=True
+                    ).strip()
+                )
         return " ".join(t for t in texts if t).strip()
 
     def transcribe_wav(self, wav_path: str) -> str:

@@ -1,0 +1,262 @@
+"""Fine-tuning CLI: adapt a model to a directory of (wav, txt) pairs.
+
+The reference is inference-only (SURVEY.md §5: no training anywhere); this
+closes the loop the reference can't: take the voice-library layout the app
+already produces (``<name>.wav`` + ``<name>.txt`` pairs, voices.py) and
+fine-tune the talker + code predictor on it — full fine-tune or LoRA —
+with sharded steps over the device mesh, orbax checkpoint/resume, and a
+native-format export that ``load_model`` serves directly.
+
+Run as::
+
+    python -m qwen3_tts_tpu.finetune --model <ckpt> --data voices/ \
+        --steps 200 --batch-size 8 --export out_model/
+    # LoRA voice adaptation (adapter-sized grads/moments, exact merge):
+    python -m qwen3_tts_tpu.finetune --model <ckpt> --data voices/ \
+        --lora 8 --steps 200 --export out_model/
+
+TPU shape discipline: batches bucket by (text, frame) length
+(training/data.py ladders), so expect one compile per bucket pair that
+actually occurs in the dataset; ``--sort-buckets`` (default) groups
+same-bucket batches together. The batch axis shards over ``dp`` and must
+divide it; a trailing incomplete batch is dropped with a warning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import warnings
+from typing import Any
+
+import numpy as np
+
+
+def load_pairs(data_dir: str) -> list[tuple[str, np.ndarray, int]]:
+    """Collect (text, wav, rate) pairs from ``<name>.wav``+``<name>.txt``
+    files (the voice-library layout, voices.py). WAVs without a transcript
+    are skipped with a warning — silent inclusion with empty text would
+    teach the model to speak unprompted."""
+    from .audio import read_wav, to_mono
+
+    pairs = []
+    skipped = []
+    for f in sorted(os.listdir(data_dir)):
+        if not f.lower().endswith(".wav") or f.startswith("."):
+            continue
+        name = os.path.splitext(f)[0]
+        txt = os.path.join(data_dir, name + ".txt")
+        if not os.path.exists(txt):
+            skipped.append(name)
+            continue
+        with open(txt, encoding="utf-8", errors="replace") as fh:
+            text = fh.read().strip()
+        if not text or text == ".":
+            skipped.append(name)
+            continue
+        data, rate = read_wav(os.path.join(data_dir, f))
+        mono = to_mono(data)
+        if mono.dtype.kind in "iu":
+            mono = mono.astype(np.float32) / 32768.0
+        pairs.append((text, mono.astype(np.float32), rate))
+    if skipped:
+        warnings.warn(
+            f"skipped {len(skipped)} wav(s) without a usable transcript: "
+            f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}"
+        )
+    return pairs
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="qwen3-tts-tpu fine-tuning (full or LoRA)"
+    )
+    ap.add_argument("--model", default="synthetic-tiny",
+                    help="checkpoint path, or 'synthetic'/'synthetic-tiny'")
+    ap.add_argument("--mode", default="custom",
+                    choices=["custom", "design", "base"])
+    ap.add_argument("--data", required=True,
+                    help="directory of <name>.wav + <name>.txt pairs")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lora", type=int, default=0, metavar="RANK",
+                    help="LoRA rank (0 = full fine-tune)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="orbax checkpoint directory (enables save/resume)")
+    ap.add_argument("--save-every", type=int, default=100)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint in --ckpt-dir")
+    ap.add_argument("--export", default=None,
+                    help="write the tuned model (native format) here; "
+                    "LoRA deltas are merged exactly before export")
+    args = ap.parse_args(argv)
+
+    # CPU escape hatch before any device work (sitecustomize preloads the
+    # TPU plugin; jax.config is the reliable lever)
+    import jax
+
+    if os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0"):
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .engine import configs
+    from .engine.api import Qwen3TTSModel, load_model
+    from .parallel import build_mesh, shard_model
+    from .parallel.mesh import auto_plan
+    from .training import (
+        default_optimizer,
+        init_train_state,
+        make_train_step,
+    )
+    from .training.checkpoint import (
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+    from .training.data import batches_from_pairs
+
+    if args.model == "synthetic":
+        # trainable synthetics are dense (the quant guard below explains)
+        model = Qwen3TTSModel.synthetic(
+            configs.with_quant(configs.flagship(args.mode), False)
+        )
+    elif args.model == "synthetic-tiny":
+        model = Qwen3TTSModel.synthetic(configs.tiny(args.mode))
+    else:
+        model = load_model(args.model)
+    cfg = model.cfg
+    if cfg.quant.enabled:
+        print("error: fine-tuning needs an unquantized base "
+              "(QWEN3_TTS_COMPUTE=bf16 import, or a native bf16 export)",
+              file=sys.stderr)
+        return 1
+
+    n_dev = len(jax.devices())
+    plan = auto_plan(n_dev, tp_divisors=cfg.talker.n_kv_heads)
+    mesh = build_mesh(plan, jax.devices())
+    shard_model(model, mesh)
+    if args.batch_size % plan.dp:
+        print(f"error: --batch-size {args.batch_size} must divide "
+              f"dp={plan.dp}", file=sys.stderr)
+        return 1
+
+    pairs = load_pairs(args.data)
+    if not pairs:
+        print(f"error: no usable (wav, txt) pairs in {args.data}",
+              file=sys.stderr)
+        return 1
+    batches = [
+        b for b in batches_from_pairs(
+            model, pairs, batch_size=args.batch_size,
+            shuffle_seed=args.seed,
+        )
+        if b["text_tokens"].shape[0] == args.batch_size
+    ]
+    if not batches:
+        print("error: dataset smaller than one batch; lower --batch-size",
+              file=sys.stderr)
+        return 1
+    batch_sharding = NamedSharding(mesh, P("dp"))
+
+    def put(b: dict) -> dict:
+        return {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                for k, v in b.items()}
+
+    print(f"fine-tune: {len(pairs)} pairs, {len(batches)} batches/epoch, "
+          f"mesh dp={plan.dp} tp={plan.tp}, "
+          f"{'LoRA r=%d' % args.lora if args.lora else 'full'}")
+
+    opt = default_optimizer(lr=args.lr)
+    t0 = time.perf_counter()
+    losses: list[float] = []
+    saved_at = -1
+
+    def save(state) -> None:
+        nonlocal saved_at
+        if int(state.step) != saved_at:
+            save_train_state(state, args.ckpt_dir)
+            saved_at = int(state.step)
+
+    if args.lora:
+        from .training import (
+            add_lora,
+            init_lora_train_state,
+            make_lora_train_step,
+            merge_lora,
+            merge_trees,
+            split_lora,
+        )
+
+        lora, base = split_lora(
+            add_lora(model.params, rank=args.lora, seed=args.seed)
+        )
+        state = init_lora_train_state(lora, opt)
+        lstep = make_lora_train_step(cfg, opt)
+        if args.resume and args.ckpt_dir:
+            path = latest_checkpoint(args.ckpt_dir)
+            if path:
+                state = restore_train_state(path, state)
+                print(f"resumed LoRA state from {path}")
+        start = int(state.step)
+        for i in range(start, args.steps):
+            state, metrics = lstep(
+                state, base, model.cp_params, put(batches[i % len(batches)])
+            )
+            losses.append(float(metrics["loss"]))
+            if (i + 1) % 10 == 0 or i + 1 == args.steps:
+                print(f"step {i + 1}/{args.steps}: loss={losses[-1]:.4f}")
+            if args.ckpt_dir and (i + 1) % args.save_every == 0:
+                save(state)
+        final_params = merge_lora(merge_trees(base, state.lora))
+        final_cp = model.cp_params
+        if args.ckpt_dir:
+            save(state)
+    else:
+        state = init_train_state(model.params, model.cp_params, opt)
+        step = make_train_step(cfg, opt)
+        if args.resume and args.ckpt_dir:
+            path = latest_checkpoint(args.ckpt_dir)
+            if path:
+                state = restore_train_state(path, state)
+                print(f"resumed from {path}")
+        start = int(state.step)
+        for i in range(start, args.steps):
+            state, metrics = step(state, put(batches[i % len(batches)]))
+            losses.append(float(metrics["loss"]))
+            if (i + 1) % 10 == 0 or i + 1 == args.steps:
+                print(f"step {i + 1}/{args.steps}: loss={losses[-1]:.4f}")
+            if args.ckpt_dir and (i + 1) % args.save_every == 0:
+                save(state)
+        final_params, final_cp = state.params, state.cp_params
+        if args.ckpt_dir:
+            save(state)
+
+    summary: dict[str, Any] = {
+        "steps": args.steps,
+        "first_loss": losses[0] if losses else None,
+        "final_loss": losses[-1] if losses else None,
+        "wall_seconds": round(time.perf_counter() - t0, 1),
+    }
+    if args.export:
+        from .engine.weights import save_model
+
+        # the train step donates its inputs, so the live tuned trees are
+        # the only copy — export them
+        model.params = final_params
+        model.cp_params = final_cp
+        save_model(model, args.export)
+        summary["exported"] = args.export
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -9,7 +9,12 @@ talker, depth-transformer CE for the residual predictor).
 """
 
 from .loss import talker_loss, code_predictor_loss, joint_loss  # noqa: F401
-from .train import TrainState, make_train_step, init_train_state  # noqa: F401
+from .train import (  # noqa: F401
+    TrainState,
+    default_optimizer,
+    init_train_state,
+    make_train_step,
+)
 from .lora import (  # noqa: F401
     LoraTrainState,
     add_lora,

@@ -48,11 +48,31 @@ def latest_checkpoint(directory: str) -> str | None:
 def restore_train_state(path: str, template: Any) -> Any:
     """Restore a TrainState. ``template`` is a live state with the target
     structure/shardings (e.g. a freshly-initialised one) — restored arrays
-    take its placement, so resuming onto a new mesh re-shards on load."""
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
-        if hasattr(x, "shape")
-        else x,
-        template,
+    take its placement, so resuming onto a new mesh re-shards on load.
+
+    Leaves whose template sharding is NOT a NamedSharding (freshly-inited
+    optimizer scalars live on one device) are restored replicated over the
+    template's mesh instead: restore COMMITS arrays to their sharding's
+    devices, and a jitted step refuses mixed committed device sets
+    (mesh-sharded params + device-0 scalars)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = None
+    for leaf in jax.tree.leaves(template):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding):
+            mesh = s.mesh
+            break
+    replicated = (
+        NamedSharding(mesh, PartitionSpec()) if mesh is not None else None
     )
-    return _checkpointer().restore(path, abstract)
+
+    def spec(x):
+        if not hasattr(x, "shape"):
+            return x
+        s = getattr(x, "sharding", None)
+        if replicated is not None and not isinstance(s, NamedSharding):
+            s = replicated
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+    return _checkpointer().restore(path, jax.tree.map(spec, template))

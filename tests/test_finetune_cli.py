@@ -1,0 +1,135 @@
+"""Fine-tuning CLI (finetune.py): data-dir loading, full and LoRA runs on
+the virtual 8-device mesh, checkpoint resume, and native export that
+load_model can serve."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from qwen3_tts_tpu import finetune  # noqa: E402
+
+
+def _write_pair(d, name, text, seconds=0.4, sr=24_000, freq=330):
+    t = np.arange(int(seconds * sr))
+    pcm = (np.sin(2 * np.pi * freq * t / sr) * 9000).astype(np.int16)
+    with wave.open(os.path.join(d, f"{name}.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    if text is not None:
+        with open(os.path.join(d, f"{name}.txt"), "w") as fh:
+            fh.write(text + "\n")
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    for i in range(4):
+        _write_pair(d, f"clip{i}", f"utterance number {i}",
+                    seconds=0.3 + 0.1 * i, freq=220 + 60 * i)
+    return d
+
+
+def test_load_pairs_skips_untranscribed(tmp_path):
+    d = str(tmp_path)
+    _write_pair(d, "good", "hello there")
+    _write_pair(d, "no_txt", None)
+    _write_pair(d, "dot", ".")
+    _write_pair(d, "empty", "")
+    with pytest.warns(UserWarning, match="without a usable transcript"):
+        pairs = finetune.load_pairs(d)
+    assert len(pairs) == 1
+    text, wav, rate = pairs[0]
+    assert text == "hello there" and rate == 24_000
+    assert wav.dtype == np.float32 and np.abs(wav).max() <= 1.0
+
+
+def test_full_finetune_with_resume_and_export(data_dir, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpts")
+    export = str(tmp_path / "tuned_model")
+    base_args = [
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--lr", "1e-3",
+        "--ckpt-dir", ckpt, "--save-every", "2",
+    ]
+    assert finetune.main(base_args + ["--steps", "2"]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["steps"] == 2 and first["final_loss"] is not None
+
+    # resume continues from step 2 (runs 2 more, not 4)
+    rc = finetune.main(
+        base_args + ["--steps", "4", "--resume", "--export", export]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["exported"] == export
+
+    # the export serves through the public engine API
+    from qwen3_tts_tpu.engine.api import generate_audio, load_model
+
+    model = load_model(export)
+    outdir = str(tmp_path / "gen")
+    metrics = generate_audio(
+        model=model, text="post finetune synthesis",
+        voice=sorted(model.cfg.speakers)[0], output_path=outdir,
+        max_frames=12,
+    )
+    assert os.path.exists(os.path.join(outdir, "audio_000.wav"))
+    assert metrics["audio_s"] > 0
+
+
+def test_lora_finetune_exports_merged_model(data_dir, tmp_path, capsys):
+    export = str(tmp_path / "lora_model")
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "2", "--lora", "2",
+        "--lr", "1e-2", "--export", export,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["final_loss"] is not None
+
+    from qwen3_tts_tpu.engine.api import load_model
+
+    model = load_model(export)
+    # merged export is a plain dense model: no lora subtrees survive
+    flat_keys = []
+
+    def walk(t, pre=""):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                walk(v, pre + k + "/")
+        else:
+            flat_keys.append(pre)
+
+    walk(model.params)
+    assert not any("lora" in k for k in flat_keys)
+
+
+def test_batch_size_must_divide_dp(data_dir, capsys):
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "3", "--steps", "1",
+    ])
+    assert rc == 1
+    assert "must divide" in capsys.readouterr().err
+
+
+def test_empty_data_dir_errors(tmp_path, capsys):
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", d, "--steps", "1",
+        "--batch-size", "4",
+    ])
+    assert rc == 1
+    assert "no usable" in capsys.readouterr().err

@@ -16,10 +16,10 @@ Run as::
         --lora 8 --steps 200 --export out_model/
 
 TPU shape discipline: batches bucket by (text, frame) length
-(training/data.py ladders), so expect one compile per bucket pair that
-actually occurs in the dataset; ``--sort-buckets`` (default) groups
-same-bucket batches together. The batch axis shards over ``dp`` and must
-divide it; a trailing incomplete batch is dropped with a warning.
+(training/data.py ladders — examples are length-sorted before grouping so
+padding waste stays low), so expect one compile per bucket pair that
+actually occurs in the dataset. The batch axis shards over ``dp``; the
+batch size must divide dp, and a trailing incomplete batch is dropped.
 """
 
 from __future__ import annotations

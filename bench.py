@@ -234,15 +234,23 @@ def main() -> None:
     )
 
 
-def preflight(deadline_s: float = 900.0, probe_timeout_s: float = 90.0) -> None:
+def preflight(deadline_s: float | None = None,
+              probe_timeout_s: float = 90.0) -> None:
     """Wait until the device service answers a trivial op before loading.
 
     The remote TPU service can wedge (blocked calls, no error — CLAUDE.md)
     and usually recovers after idle time; a hung in-process JAX call can't
-    be cancelled, so each probe runs in a killable subprocess. Proceeds
-    anyway at the deadline (the CPU backend still works)."""
+    be cancelled, so each probe runs in a killable subprocess. A probe
+    succeeds on ANY working backend (CPU hosts answer immediately), so
+    reaching the deadline means a wedged accelerator: running the bench
+    would block forever with no output. Instead emit an honest failure
+    JSON line (value 0, error noted) and exit non-zero — a recorded wedge
+    beats a silent hang. Deadline: QWEN3_TTS_BENCH_PREFLIGHT_S (default
+    1800 s; wedges outlast any benchmark-shaped wait)."""
     import subprocess
 
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("QWEN3_TTS_BENCH_PREFLIGHT_S", 1800))
     start = time.time()
     attempt = 0
     while time.time() - start < deadline_s:
@@ -263,8 +271,24 @@ def preflight(deadline_s: float = 900.0, probe_timeout_s: float = 90.0) -> None:
             pass
         print(f"[preflight: device unresponsive (probe {attempt}), retrying]",
               file=sys.stderr, flush=True)
-        time.sleep(30)
-    print("[preflight: deadline reached, proceeding anyway]", file=sys.stderr)
+        if time.time() - start < deadline_s:
+            time.sleep(30)
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_single_stream",
+                "value": 0.0,
+                "unit": "x_realtime",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "error": "device service unresponsive: no trivial-op "
+                    f"probe succeeded in {deadline_s:.0f}s (wedged remote "
+                    "TPU service — see CLAUDE.md); benchmark not run",
+                },
+            }
+        )
+    )
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -167,9 +167,21 @@ def attention(
     pos = jnp.asarray(pos)
     vector_pos = pos.ndim == 1
 
-    q = linear(x, p["q"]).reshape(B, T, n_heads, head_dim)
-    k = linear(x, p["k"]).reshape(B, T, n_kv_heads, head_dim)
-    v = linear(x, p["v"]).reshape(B, T, n_kv_heads, head_dim)
+    if "qkv" in p:
+        # Fused projection (see fuse_block_projections): one weight read and
+        # one matmul instead of three — the small-batch decode paths (the
+        # code predictor's depth loop especially) are launch/latency bound,
+        # so fewer, larger ops win even though the bytes moved are the same.
+        q_dim = n_heads * head_dim
+        kv_dim = n_kv_heads * head_dim
+        qkv = linear(x, p["qkv"])
+        q = qkv[..., :q_dim].reshape(B, T, n_heads, head_dim)
+        k = qkv[..., q_dim : q_dim + kv_dim].reshape(B, T, n_kv_heads, head_dim)
+        v = qkv[..., q_dim + kv_dim :].reshape(B, T, n_kv_heads, head_dim)
+    else:
+        q = linear(x, p["q"]).reshape(B, T, n_heads, head_dim)
+        k = linear(x, p["k"]).reshape(B, T, n_kv_heads, head_dim)
+        v = linear(x, p["v"]).reshape(B, T, n_kv_heads, head_dim)
 
     if qk_norm:  # per-head RMSNorm over head_dim (Qwen3)
         q = rmsnorm(q, p["q_norm"], rms_eps)
@@ -226,9 +238,59 @@ def attention(
 
 
 def swiglu_mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    gate = linear(x, p["gate"])
-    up = linear(x, p["up"])
+    if "gate_up" in p:  # fused [gate; up] projection (fuse_block_projections)
+        gate_up = linear(x, p["gate_up"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+    else:
+        gate = linear(x, p["gate"])
+        up = linear(x, p["up"])
     return linear(jax.nn.silu(gate) * up, p["down"])
+
+
+def _concat_linears(parts: list[dict]) -> dict:
+    """Concatenate linear param dicts along the output dimension.
+
+    Works for dense ({"w": [..., out, in]}) and quantized
+    ({"q": [..., out, in], "scale"/"bias": [..., out, n_groups]}) layouts —
+    both concatenate along axis -2 — including stacked-layer leading axes.
+    Row r of a dot product is a function of row r of the weight alone, so
+    the fused matmul is numerically identical to the separate ones.
+    """
+    keys = set(parts[0])
+    for p in parts[1:]:
+        if set(p) != keys:
+            raise ValueError(
+                f"cannot fuse linears with differing layouts: {sorted(keys)} "
+                f"vs {sorted(set(p))}"
+            )
+    if {"lora_a", "lora_b"} & keys:
+        raise ValueError(
+            "cannot fuse linears carrying unmerged LoRA adapters; call "
+            "training.lora.merge_lora first"
+        )
+    return {k: jnp.concatenate([p[k] for p in parts], axis=-2) for k in keys}
+
+
+def fuse_block_projections(blocks: dict) -> dict:
+    """Return a copy of stacked transformer-block params with q/k/v fused
+    into one ``qkv`` linear and gate/up into one ``gate_up`` linear.
+
+    Decode-path-only transform: ``attention``/``swiglu_mlp`` dispatch on the
+    fused keys, so the fused tree drops in anywhere the unfused one is used.
+    Checkpoints, training, and import keep the canonical split layout; the
+    runtimes fuse once per process when building their compiled step
+    (QWEN3_TTS_FUSE=0 disables). Fusing is a pure relayout — greedy decode
+    parity vs the split layout is tested exactly
+    (tests/test_talker.py, tests/test_serving.py).
+    """
+    attn = dict(blocks["attn"])
+    mlp = dict(blocks["mlp"])
+    attn["qkv"] = _concat_linears([attn.pop("q"), attn.pop("k"), attn.pop("v")])
+    mlp["gate_up"] = _concat_linears([mlp.pop("gate"), mlp.pop("up")])
+    out = dict(blocks)
+    out["attn"] = attn
+    out["mlp"] = mlp
+    return out
 
 
 class BlockOut(NamedTuple):

@@ -60,6 +60,58 @@ def attn_bucket(needed: int, s_max: int) -> int:
     return s_max
 
 
+def _has_lora(tree: Any) -> bool:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return any("lora_a" in str(path) for path, _ in flat)
+
+
+def fuse_decode_params(cp_params: Any, codec_params: Any) -> tuple[Any, Any]:
+    """Relayout the replicated small-model params for the decode hot path.
+
+    The code predictor's depth loop and the codec's latent transformer run
+    many small matmuls per chunk (tiny rows, sequential scan steps), so the
+    decode wall there is launch/latency bound, not bytes bound: fusing
+    q/k/v -> qkv and gate/up -> gate_up (models.layers.fuse_block_projections)
+    cuts the sequential op count ~30% at identical numerics. The talker is
+    NOT fused: its projections are tp-sharded along the output axis
+    (parallel/sharding.py), and a concatenated qkv would need an interleaved
+    layout to keep head-local shards — while the talker already streams at
+    ~80%+ of HBM peak (PERF.md), so there's nothing to win.
+
+    Returns (cp_params, codec_params) with fused decode layouts, sharing
+    every untouched leaf with the input trees. Skipped (returned unchanged)
+    when QWEN3_TTS_FUSE=0 or when unmerged LoRA adapters are present (the
+    low-rank deltas target the split layout; merge first —
+    training.lora.merge_lora).
+    """
+    import os
+
+    from ..models.layers import fuse_block_projections
+
+    if os.environ.get("QWEN3_TTS_FUSE", "") == "0":
+        return cp_params, codec_params
+    def _already_fused(blocks: dict) -> bool:  # idempotence guard
+        return "qkv" in blocks.get("attn", {})
+
+    if (
+        "blocks" in cp_params
+        and not _already_fused(cp_params["blocks"])
+        and not _has_lora(cp_params)
+    ):
+        cp_params = dict(cp_params)
+        cp_params["blocks"] = fuse_block_projections(cp_params["blocks"])
+    if (
+        "tf_blocks" in codec_params.get("dec", {})
+        and not _already_fused(codec_params["dec"]["tf_blocks"])
+        and not _has_lora(codec_params["dec"]["tf_blocks"])
+    ):
+        codec_params = dict(codec_params)
+        dec = dict(codec_params["dec"])
+        dec["tf_blocks"] = fuse_block_projections(dec["tf_blocks"])
+        codec_params["dec"] = dec
+    return cp_params, codec_params
+
+
 @dataclass
 class GenerationResult:
     wav: np.ndarray                   # [n_samples] int16 PCM mono (24 kHz)
@@ -234,6 +286,13 @@ class Generator:
     # flat, tools/ab_serving.py)
     pipeline_depth: int = 2
     _fns: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        # decode-layout relayout (qkv/gate_up fusion); the canonical split
+        # trees stay on the owning model for training/export
+        self.cp_params, self.codec_params = fuse_decode_params(
+            self.cp_params, self.codec_params
+        )
 
     @property
     def chunk(self) -> int:

@@ -45,6 +45,7 @@ from ..engine.configs import ModelConfig
 from ..models.code_predictor import predict_residuals
 from ..models.layers import rope_tables
 from ..models.talker import talker_forward
+from .generate import fuse_decode_params
 from .prompts import PromptSpec
 from .sampling import SamplingConfig, sample_token
 
@@ -148,6 +149,11 @@ class ServingEngine:
     ):
         self.model = model
         self.cfg: ModelConfig = model.cfg
+        # decode-layout relayout (qkv/gate_up fusion, runtime.generate);
+        # model.* keeps the canonical split trees for training/export
+        self.cp_params, self.codec_params = fuse_decode_params(
+            model.cp_params, model.codec_params
+        )
         self.B = max_streams
         # adaptive chunk schedule (mirrors runtime.generate): dispatches use
         # small chunks while the YOUNGEST active stream is early (protecting
@@ -716,7 +722,7 @@ class ServingEngine:
          self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
             chunk, tuple(wins)
         )(
-            self.model.params, self.model.cp_params, self.model.codec_params,
+            self.model.params, self.cp_params, self.codec_params,
             self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
             self.frames_dev, self.tok, self.active_mask, self.key,
         )

@@ -43,3 +43,24 @@ def test_preflight_returns_quickly_when_device_answers(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     bench.preflight(deadline_s=5.0, probe_timeout_s=1.0)
     assert len(calls) == 1
+
+
+def test_preflight_wedged_device_emits_honest_failure(monkeypatch, capsys):
+    """A device that never answers must produce a recorded failure line and
+    a non-zero exit, not an indefinite hang (the driver captures whatever
+    bench.py prints as BENCH_r*.json)."""
+    import json
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 1))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(SystemExit) as exc:
+        bench.preflight(deadline_s=0.5, probe_timeout_s=0.1)
+    assert exc.value.code == 1
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["metric"] == "rtf_single_stream"
+    assert payload["value"] == 0.0
+    assert "unresponsive" in payload["detail"]["error"]

@@ -87,9 +87,69 @@ def apply_rope(
     return jnp.concatenate((x1 * c - x2 * s, x2 * c + x1 * s), axis=-1)
 
 
+class KVQuant(NamedTuple):
+    """int8 KV-cache leaf pair: codes + per-(position, kv-head) scale.
+
+    Decode attention on a batched server is cache-bandwidth heavy (the
+    window read is ~⅓ of a B=8 serve step's HBM bytes, PERF.md); storing
+    K/V as int8 with a symmetric per-row scale halves those bytes. The
+    scale keeps the SAME rank as the codes (trailing axis of size 1), so
+    every cache plumbing expression — slot scatter, window slice, prefix
+    write-back — applies identically to both leaves via ``jax.tree.map``.
+    Scales are f32: a bf16 scale would add ~0.4% multiplicative noise on
+    top of the ~0.4% int8 rounding for no bandwidth win (1/128 of bytes).
+
+    Enabled per-process with ``QWEN3_TTS_KV=int8`` (see
+    ``kv_cache_init``); default remains the dense bf16 cache.
+    """
+
+    q: jnp.ndarray  # int8 [..., S, H_kv, hd]
+    s: jnp.ndarray  # f32  [..., S, H_kv, 1]
+
+
+def kv_env_format(default: str = "dense") -> str:
+    """Process-wide KV cache format knob: QWEN3_TTS_KV in {dense, int8}."""
+    import os
+
+    v = os.environ.get("QWEN3_TTS_KV", "").strip().lower()
+    if v in ("", "0", "dense", "bf16"):
+        return default
+    if v == "int8":
+        return "int8"
+    raise ValueError(f"QWEN3_TTS_KV={v!r}: expected 'int8' or 'dense'")
+
+
+def kv_cache_init(shape: tuple, dtype, kv_format: str | None = None):
+    """Allocate one KV cache buffer: dense [..., S, H_kv, hd] zeros, or a
+    ``KVQuant`` pair when ``kv_format`` (default: the QWEN3_TTS_KV env) is
+    'int8'. Zero scales dequantize unwritten slots to exact zeros, matching
+    the dense init (those slots are position-masked anyway)."""
+    fmt = kv_env_format() if kv_format is None else kv_format
+    if fmt == "int8":
+        return KVQuant(
+            q=jnp.zeros(shape, jnp.int8),
+            s=jnp.zeros((*shape[:-1], 1), jnp.float32),
+        )
+    return jnp.zeros(shape, dtype)
+
+
+def kv_quantize(x: jnp.ndarray) -> KVQuant:
+    """Symmetric per-(position, head) int8 quantization over head_dim."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return KVQuant(q=q, s=s)
+
+
+def kv_dequantize(c: KVQuant, dtype) -> jnp.ndarray:
+    # int8 values are exact in f32; one rounding on the downcast
+    return (c.q.astype(jnp.float32) * c.s).astype(dtype)
+
+
 class AttnOut(NamedTuple):
     out: jnp.ndarray          # [B, T, D]
-    cache_k: jnp.ndarray      # updated [B, S_max, H_kv, hd]
+    cache_k: jnp.ndarray      # updated [B, S_max, H_kv, hd] (or KVQuant)
     cache_v: jnp.ndarray
 
 
@@ -190,20 +250,35 @@ def attention(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # cache dtype is authoritative (callers may keep f32 caches for tests)
-    if vector_pos:  # per-stream write offsets -> batched scatter
-        cache_k = jax.vmap(
-            lambda c, u, p_: jax.lax.dynamic_update_slice(c, u, (p_, 0, 0))
-        )(cache_k, k.astype(cache_k.dtype), pos)
-        cache_v = jax.vmap(
-            lambda c, u, p_: jax.lax.dynamic_update_slice(c, u, (p_, 0, 0))
-        )(cache_v, v.astype(cache_v.dtype), pos)
+    # cache dtype is authoritative (callers may keep f32 caches for tests);
+    # KVQuant caches quantize at write and dequantize at read, and all index
+    # plumbing below applies to both layouts via jax.tree.map (the scale
+    # leaf shares the codes' rank — see KVQuant)
+    quantized = isinstance(cache_k, KVQuant)
+    if quantized:
+        k_upd, v_upd = kv_quantize(k), kv_quantize(v)
+        dq = lambda c: kv_dequantize(c, x.dtype)  # noqa: E731
     else:
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, pos, 0, 0)
+        k_upd, v_upd = k.astype(cache_k.dtype), v.astype(cache_v.dtype)
+        dq = lambda c: c  # noqa: E731
+    if vector_pos:  # per-stream write offsets -> batched scatter
+        def scatter(c, u):
+            return jax.vmap(
+                lambda cc, uu, p_: jax.lax.dynamic_update_slice(
+                    cc, uu, (p_, 0, 0)
+                )
+            )(c, u, pos)
+
+        cache_k = jax.tree.map(scatter, cache_k, k_upd)
+        cache_v = jax.tree.map(scatter, cache_v, v_upd)
+    else:
+        cache_k = jax.tree.map(
+            lambda c, u: jax.lax.dynamic_update_slice(c, u, (0, pos, 0, 0)),
+            cache_k, k_upd,
         )
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, pos, 0, 0)
+        cache_v = jax.tree.map(
+            lambda c, u: jax.lax.dynamic_update_slice(c, u, (0, pos, 0, 0)),
+            cache_v, v_upd,
         )
 
     # q: [B, T, H_kv, g, hd]; keys: [B, S, H_kv, hd]
@@ -217,7 +292,7 @@ def attention(
 
     if window_split is None:
         ctx = _scores_ctx(
-            qg, cache_k, cache_v, qry_idx, pad_b, head_dim, x.dtype
+            qg, dq(cache_k), dq(cache_v), qry_idx, pad_b, head_dim, x.dtype
         )
     else:
         parts = []
@@ -226,8 +301,11 @@ def attention(
             hi = lo + size
             qi = qry_idx[lo:hi] if qry_idx.shape[0] == B else qry_idx
             pb = pad_b[lo:hi] if pad_b.ndim == 3 and pad_b.shape[0] == B else pad_b
+            # slice first, dequantize after: only window bytes are touched
             parts.append(_scores_ctx(
-                qg[lo:hi], cache_k[lo:hi, :win], cache_v[lo:hi, :win],
+                qg[lo:hi],
+                dq(jax.tree.map(lambda c: c[lo:hi, :win], cache_k)),
+                dq(jax.tree.map(lambda c: c[lo:hi, :win], cache_v)),
                 qi, pb, head_dim, x.dtype,
             ))
             lo = hi

@@ -189,10 +189,12 @@ def make_decode_chunk_fn(
 
         # attention reads/writes only the first A cache slots (the caller
         # guarantees pos + chunk <= A); the full buffers are donated and the
-        # prefix is written back in place at the end
+        # prefix is written back in place at the end. tree.map covers both
+        # dense and KVQuant (int8) cache layouts.
         full_k, full_v = cache_k, cache_v
-        cache_k = cache_k[:, :, :A] if A < S else cache_k
-        cache_v = cache_v[:, :, :A] if A < S else cache_v
+        if A < S:
+            cache_k = jax.tree.map(lambda c: c[:, :, :A], cache_k)
+            cache_v = jax.tree.map(lambda c: c[:, :, :A], cache_v)
 
         def step(carry, _):
             ck, cv, p, tok, k = carry
@@ -253,8 +255,11 @@ def make_decode_chunk_fn(
         n_valid = jnp.where(eos_hit, eos_idx, chunk).astype(jnp.int32)
 
         if A < S:  # write the updated prefix back into the donated buffers
-            ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
+            upd = lambda f, c: jax.lax.dynamic_update_slice(  # noqa: E731
+                f, c, (0, 0, 0, 0, 0)
+            )
+            ck = jax.tree.map(upd, full_k, ck)
+            cv = jax.tree.map(upd, full_v, cv)
         # quantize to 16-bit PCM on device: halves the per-chunk host fetch
         # (the final WAV is 16-bit PCM anyway; bit-identical to host quant)
         wav_pcm = wav_to_pcm16(wav_chunk)
@@ -314,10 +319,12 @@ class Generator:
         return self._fns[key]
 
     def _alloc_cache(self, batch: int = 1):
+        from ..models.layers import kv_cache_init
+
         t = self.cfg.talker
         shape = (t.n_layers, batch, self.cfg.max_seq_len, t.n_kv_heads, t.head_dim)
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
-        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+        return kv_cache_init(shape, dtype), kv_cache_init(shape, dtype)
 
     def _seed_tokens(self, hidden_last, logits, key) -> jnp.ndarray:
         """Sample the seed step's ``frames_per_step`` tokens from the

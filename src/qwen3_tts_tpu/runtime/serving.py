@@ -43,7 +43,7 @@ import numpy as np
 
 from ..engine.configs import ModelConfig
 from ..models.code_predictor import predict_residuals
-from ..models.layers import rope_tables
+from ..models.layers import kv_cache_init, kv_env_format, rope_tables
 from ..models.talker import talker_forward
 from .generate import fuse_decode_params
 from .prompts import PromptSpec
@@ -171,8 +171,14 @@ class ServingEngine:
         S = self.cfg.max_seq_len
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         shape = (t.n_layers, self.B, S, t.n_kv_heads, t.head_dim)
-        self.cache_k = jnp.zeros(shape, dtype)
-        self.cache_v = jnp.zeros(shape, dtype)
+        # dense bf16 by default; QWEN3_TTS_KV=int8 stores the caches as
+        # KVQuant pairs (halved attention-read bytes — models/layers.py).
+        # The format is pinned at construction: prefill scratch caches must
+        # match the main caches even if the env var changes mid-run.
+        self._cache_dtype = dtype
+        self._kv_fmt = kv_env_format()
+        self.cache_k = kv_cache_init(shape, dtype, kv_format=self._kv_fmt)
+        self.cache_v = kv_cache_init(shape, dtype, kv_format=self._kv_fmt)
         from ..models.codec import init_codec_stream_state
 
         self.cstate = init_codec_stream_state(self.cfg, self.B, dtype=dtype)
@@ -313,8 +319,12 @@ class ServingEngine:
                 toks.append(row_sample(lg, sub))
             first = jnp.stack(toks, axis=1)                  # [nb, fps]
 
-            cache_k = cache_k.at[:, slots, :Lb].set(sk)
-            cache_v = cache_v.at[:, slots, :Lb].set(sv)
+            cache_k = jax.tree.map(
+                lambda c, u: c.at[:, slots, :Lb].set(u), cache_k, sk
+            )
+            cache_v = jax.tree.map(
+                lambda c, u: c.at[:, slots, :Lb].set(u), cache_v, sv
+            )
             pos_v = pos_v.at[slots].set(Lb)
             pad_v = pad_v.at[slots].set(pads)
             tok_v = tok_v.at[slots].set(first)
@@ -364,8 +374,9 @@ class ServingEngine:
             # inactive slots with stale positions past A just clamp their
             # (ignored) cache writes into the prefix
             full_k, full_v = cache_k, cache_v
-            cache_k = cache_k[:, :, :A] if A < S else cache_k
-            cache_v = cache_v[:, :, :A] if A < S else cache_v
+            if A < S:
+                cache_k = jax.tree.map(lambda c: c[:, :, :A], cache_k)
+                cache_v = jax.tree.map(lambda c: c[:, :, :A], cache_v)
 
             def step(carry, _):
                 ck, cv, p, tk, k = carry
@@ -421,8 +432,11 @@ class ServingEngine:
                 eos_hit, jnp.argmax(is_eos, axis=1), chunk
             ).astype(jnp.int32)
             if A < S:  # write the prefix back into the donated buffers
-                ck = jax.lax.dynamic_update_slice(full_k, ck, (0, 0, 0, 0, 0))
-                cv = jax.lax.dynamic_update_slice(full_v, cv, (0, 0, 0, 0, 0))
+                upd = lambda f, c: jax.lax.dynamic_update_slice(  # noqa: E731
+                    f, c, (0, 0, 0, 0, 0)
+                )
+                ck = jax.tree.map(upd, full_k, ck)
+                cv = jax.tree.map(upd, full_v, cv)
             # device-side 16-bit PCM: halves the per-chunk host fetch, the
             # serving throughput floor on a tunneled TPU (ops/pcm.py)
             return (ck, cv, cstate, p, tk, key, frames,
@@ -483,11 +497,13 @@ class ServingEngine:
         self.streams[stream.stream_id] = stream
 
         t = self.cfg.talker
-        dtype = self.cache_k.dtype
-        sk = jnp.zeros((t.n_layers, 1, Lb, t.n_kv_heads, t.head_dim), dtype)
+        scratch = (t.n_layers, 1, Lb, t.n_kv_heads, t.head_dim)
         self._pending.append(_PendingPrefill(
             stream=stream, emb=emb, pad=pad, Lb=Lb,
-            sk=sk, sv=jnp.zeros_like(sk),
+            sk=kv_cache_init(scratch, self._cache_dtype,
+                             kv_format=self._kv_fmt),
+            sv=kv_cache_init(scratch, self._cache_dtype,
+                             kv_format=self._kv_fmt),
         ))
         return stream.stream_id
 
@@ -568,7 +584,6 @@ class ServingEngine:
         bound compile variants. Multi-slice (long) prompts keep the
         slice-per-step path."""
         t = self.cfg.talker
-        dtype = self.cache_k.dtype
         by_len: dict[int, list[_PendingPrefill]] = {}
         for pp in self._pending:
             if pp.pos == 0 and pp.Lb <= self.prefill_chunk:
@@ -598,12 +613,15 @@ class ServingEngine:
                 + [group[0].stream.slot] * fill,
                 jnp.int32,
             )
-            sk = jnp.zeros((t.n_layers, nb, Lb, t.n_kv_heads, t.head_dim),
-                           dtype)
+            scratch = (t.n_layers, nb, Lb, t.n_kv_heads, t.head_dim)
+            sk = kv_cache_init(scratch, self._cache_dtype,
+                               kv_format=self._kv_fmt)
             (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
              self.frames_dev, self.active_mask, conv, self.key) = (
                 self._prefill_batch_fn(Lb, nb)(
-                    self.model.params, emb, pads, sk, jnp.zeros_like(sk),
+                    self.model.params, emb, pads, sk,
+                    kv_cache_init(scratch, self._cache_dtype,
+                                  kv_format=self._kv_fmt),
                     self.cache_k, self.cache_v, slots,
                     self.pos, self.pad, self.tok, self.frames_dev,
                     self.active_mask, self.cstate["conv"], self.key,
@@ -646,11 +664,17 @@ class ServingEngine:
                 toks.append(sample_token(lg, sub, sampling))
             first = jnp.stack(toks, axis=1)[0]                # [fps]
 
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, sk, (0, slot, 0, 0, 0)
+            cache_k = jax.tree.map(
+                lambda c, u: jax.lax.dynamic_update_slice(
+                    c, u, (0, slot, 0, 0, 0)
+                ),
+                cache_k, sk,
             )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, sv, (0, slot, 0, 0, 0)
+            cache_v = jax.tree.map(
+                lambda c, u: jax.lax.dynamic_update_slice(
+                    c, u, (0, slot, 0, 0, 0)
+                ),
+                cache_v, sv,
             )
             onehot = jnp.arange(tok_v.shape[0]) == slot
             pos_v = jnp.where(onehot, Lb, pos_v)

@@ -27,7 +27,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--kv", choices=["dense", "int8"], default="dense",
+                    help="KV-cache format (set before engine build: the "
+                         "cache pytree is a compile-time structure, so "
+                         "dense-vs-int8 is one process per format)")
     args = ap.parse_args()
+    os.environ["QWEN3_TTS_KV"] = args.kv
+    print(f"[kv format: {args.kv}]", flush=True)
 
     from qwen3_tts_tpu.engine import configs, enable_compilation_cache
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel

@@ -31,7 +31,13 @@ def main() -> None:
                          "engines (8+16 slots) over-subscribe HBM and hang "
                          "the remote service")
     ap.add_argument("--chunks", type=int, nargs="+", default=[8, 16])
+    ap.add_argument("--kv", choices=["dense", "int8"], default="dense",
+                    help="KV-cache format (pinned at engine build). int8 "
+                         "halves cache HBM — the safer format for the "
+                         "16-slot experiments")
     args = ap.parse_args()
+    os.environ["QWEN3_TTS_KV"] = args.kv
+    print(f"[kv format: {args.kv}]", flush=True)
 
     from qwen3_tts_tpu.engine import configs, enable_compilation_cache
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel

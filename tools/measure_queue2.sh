@@ -62,4 +62,9 @@ wait_device 1800 || { echo "wedged after scale8; stopping"; exit 1; }
 timeout 2400 python tools/ab_scale.py --reps 3 --streams 16 --chunks 8 16 > /tmp/mq_scale16.log 2>&1
 echo "SCALE16 DONE rc=$?"
 
+wait_device 1800 || { echo "wedged after scale16; stopping"; exit 1; }
+timeout 2400 python tools/ab_scale.py --reps 3 --streams 16 --chunks 16 --kv int8 \
+    > /tmp/mq_scale16_int8.log 2>&1
+echo "SCALE16_INT8 DONE rc=$?"
+
 echo "MEASUREMENT QUEUE DONE"

@@ -213,6 +213,35 @@ def test_int8_serving_matches_int8_single_stream(model, monkeypatch):
         np.testing.assert_allclose(wav_served, wav_single, atol=1)  # 1 LSB
 
 
+def test_int8_serving_under_tp_sharding(monkeypatch):
+    """tp=2-sharded weights + int8 KV caches: the engine-allocated KVQuant
+    caches are replicated (like the dense ones) and GSPMD propagates the
+    weight shardings through the serve step; greedy codes must equal the
+    unsharded int8 engine's."""
+    from qwen3_tts_tpu.parallel import MeshPlan, build_mesh, shard_model
+
+    monkeypatch.setenv("QWEN3_TTS_KV", "int8")
+    cfg = configs.tiny("custom", quant=False)  # tp=2-divisible dims
+    prompts = [_prompt(1), _prompt(2)]
+
+    m1 = Qwen3TTSModel.synthetic(cfg, seed=7)
+    e1 = ServingEngine(m1, max_streams=2, chunk=8, sampling=GREEDY)
+    r1 = e1.run(prompts, max_frames=10)
+
+    m2 = Qwen3TTSModel.synthetic(cfg, seed=7)
+    mesh = build_mesh(MeshPlan(dp=1, tp=2), jax.devices()[:2])
+    shard_model(m2, mesh)
+    e2 = ServingEngine(m2, max_streams=2, chunk=8, sampling=GREEDY)
+    assert isinstance(e2.cache_k, KVQuant)
+    r2 = e2.run(prompts, max_frames=10)
+
+    for (w1, s1), (w2, s2) in zip(r1, r2):
+        assert s1.frames == s2.frames
+        np.testing.assert_array_equal(
+            np.concatenate(s1.codes, axis=1), np.concatenate(s2.codes, axis=1)
+        )
+
+
 def test_int8_serving_midflight_join_stays_exact(model, monkeypatch):
     """Chunked-prefill interleaving (scratch caches, slot scatter, prefix
     write-back) must plumb KVQuant leaves identically: a mid-flight join

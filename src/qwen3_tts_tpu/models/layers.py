@@ -153,22 +153,42 @@ class AttnOut(NamedTuple):
     cache_v: jnp.ndarray
 
 
+def _row_scale(c: KVQuant) -> jnp.ndarray:
+    """[B, S, H_kv, 1] per-row scales → [B, H_kv, 1, 1, S] for broadcasting
+    over scores/probs [B, H_kv, g, T, S]."""
+    return jnp.transpose(c.s, (0, 2, 3, 1))[:, :, :, None, :]
+
+
 def _scores_ctx(
     qg: jnp.ndarray,        # [B', T, H_kv, g, hd]
-    keys: jnp.ndarray,      # [B', S', H_kv, hd]
-    values: jnp.ndarray,
+    keys,                   # [B', S', H_kv, hd] — dense, or a KVQuant pair
+    values,
     qry_idx: jnp.ndarray,   # [B'|1, T, 1]
     pad_b: jnp.ndarray,
     head_dim: int,
     out_dtype,
 ) -> jnp.ndarray:
     """Masked GQA attention read over a cache slice: returns ctx
-    [B', T, H_kv, g, hd]."""
+    [B', T, H_kv, g, hd].
+
+    int8 (KVQuant) slices are consumed WITHOUT materializing a dequantized
+    cache buffer: the per-row scale is constant over the head_dim
+    reduction, so it factors out of both dots exactly —
+    ``q·(k_q*s) = (q·k_q)*s`` on the scores and
+    ``Σ_s p[s]*(v_q[s]*s[s]) = Σ_s (p[s]*s[s])*v_q[s]`` on the context.
+    The dots read int8 codes directly (int8 ≤ 127 is exact in bf16), which
+    guarantees the halved HBM traffic independent of XLA's fusion
+    heuristics, and skips the bf16 rounding a dequantize step would add.
+    """
     B, T = qg.shape[0], qg.shape[1]
-    S = keys.shape[1]
+    k_quant = isinstance(keys, KVQuant)
+    k_mat = keys.q.astype(qg.dtype) if k_quant else keys
+    S = k_mat.shape[1]
     scores = jnp.einsum(
-        "bthgd,bshd->bhgts", qg, keys, preferred_element_type=jnp.float32
+        "bthgd,bshd->bhgts", qg, k_mat, preferred_element_type=jnp.float32
     )
+    if k_quant:
+        scores = scores * _row_scale(keys)
     scores = scores * (head_dim ** -0.5)
 
     key_idx = jnp.arange(S)[None, None, :]              # [1, 1, S]
@@ -178,9 +198,15 @@ def _scores_ctx(
     allowed = jnp.broadcast_to(allowed, (B, T, S))
     scores = jnp.where(allowed[:, None, None, :, :], scores, -jnp.inf)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(values.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if isinstance(values, KVQuant):
+        probs = (probs * _row_scale(values)).astype(qg.dtype)
+        v_mat = values.q.astype(qg.dtype)
+    else:
+        probs = probs.astype(values.dtype)
+        v_mat = values
     return jnp.einsum(
-        "bhgts,bshd->bthgd", probs, values, preferred_element_type=jnp.float32
+        "bhgts,bshd->bthgd", probs, v_mat, preferred_element_type=jnp.float32
     ).astype(out_dtype)
 
 
@@ -251,16 +277,14 @@ def attention(
     k = apply_rope(k, cos, sin)
 
     # cache dtype is authoritative (callers may keep f32 caches for tests);
-    # KVQuant caches quantize at write and dequantize at read, and all index
+    # KVQuant caches quantize at write and are read scale-factored inside
+    # _scores_ctx (no dequantized buffer is ever materialized); all index
     # plumbing below applies to both layouts via jax.tree.map (the scale
     # leaf shares the codes' rank — see KVQuant)
-    quantized = isinstance(cache_k, KVQuant)
-    if quantized:
+    if isinstance(cache_k, KVQuant):
         k_upd, v_upd = kv_quantize(k), kv_quantize(v)
-        dq = lambda c: kv_dequantize(c, x.dtype)  # noqa: E731
     else:
         k_upd, v_upd = k.astype(cache_k.dtype), v.astype(cache_v.dtype)
-        dq = lambda c: c  # noqa: E731
     if vector_pos:  # per-stream write offsets -> batched scatter
         def scatter(c, u):
             return jax.vmap(
@@ -292,7 +316,7 @@ def attention(
 
     if window_split is None:
         ctx = _scores_ctx(
-            qg, dq(cache_k), dq(cache_v), qry_idx, pad_b, head_dim, x.dtype
+            qg, cache_k, cache_v, qry_idx, pad_b, head_dim, x.dtype
         )
     else:
         parts = []
@@ -301,11 +325,11 @@ def attention(
             hi = lo + size
             qi = qry_idx[lo:hi] if qry_idx.shape[0] == B else qry_idx
             pb = pad_b[lo:hi] if pad_b.ndim == 3 and pad_b.shape[0] == B else pad_b
-            # slice first, dequantize after: only window bytes are touched
+            # slice the window first: only window bytes are touched
             parts.append(_scores_ctx(
                 qg[lo:hi],
-                dq(jax.tree.map(lambda c: c[lo:hi, :win], cache_k)),
-                dq(jax.tree.map(lambda c: c[lo:hi, :win], cache_v)),
+                jax.tree.map(lambda c: c[lo:hi, :win], cache_k),
+                jax.tree.map(lambda c: c[lo:hi, :win], cache_v),
                 qi, pb, head_dim, x.dtype,
             ))
             lo = hi

@@ -112,6 +112,16 @@ def fuse_decode_params(cp_params: Any, codec_params: Any) -> tuple[Any, Any]:
     return cp_params, codec_params
 
 
+def align_chunk_schedule(schedule, fps: int) -> tuple:
+    """Round each chunk size UP to a multiple of ``frames_per_step`` (a
+    chunk is a whole number of MTP weight passes). Divisible schedules —
+    every fps=1/2/4 use of the (8, 16, 32) default — are returned
+    unchanged; fps=3 maps the default to (9, 18, 33)."""
+    out = tuple(-(-int(c) // fps) * fps for c in schedule)
+    assert all(c > 0 for c in out), schedule
+    return out
+
+
 @dataclass
 class GenerationResult:
     wav: np.ndarray                   # [n_samples] int16 PCM mono (24 kHz)
@@ -297,6 +307,13 @@ class Generator:
         # trees stay on the owning model for training/export
         self.cp_params, self.codec_params = fuse_decode_params(
             self.cp_params, self.codec_params
+        )
+        # chunk sizes must be whole MTP steps; round up so the default
+        # (8, 16, 32) works for ANY frames_per_step (fps=3 -> 9, 18, 33)
+        # instead of crashing on indivisible sizes. fps-divisible schedules
+        # pass through unchanged.
+        self.chunk_schedule = align_chunk_schedule(
+            self.chunk_schedule, self.cfg.talker.frames_per_step
         )
 
     @property

@@ -186,8 +186,11 @@ class ServingEngine:
         self.pad = jnp.zeros((self.B,), jnp.int32)
         self.frames_dev = jnp.zeros((self.B,), jnp.int32)
         self.fps = t.frames_per_step
-        assert all(c % self.fps == 0 for c in self.chunk_schedule), (
-            self.chunk_schedule, self.fps,
+        # round chunk sizes up to whole MTP steps (mirrors Generator)
+        from .generate import align_chunk_schedule
+
+        self.chunk_schedule = align_chunk_schedule(
+            self.chunk_schedule, self.fps
         )
         self.tok = jnp.full((self.B, self.fps), t.codec_pad, jnp.int32)
         self.active_mask = jnp.zeros((self.B,), jnp.bool_)

@@ -213,6 +213,24 @@ def test_int8_serving_matches_int8_single_stream(model, monkeypatch):
         np.testing.assert_allclose(wav_served, wav_single, atol=1)  # 1 LSB
 
 
+def test_int8_with_mtp2_serving_matches_single_stream(monkeypatch):
+    """frames_per_step=2 (the bench/flagship decode config) composed with
+    the int8 cache: the MTP seed/merge path shares the same attention
+    cache plumbing, and serving must stay token-identical to the
+    single-stream pipeline."""
+    monkeypatch.setenv("QWEN3_TTS_KV", "int8")
+    cfg = configs.with_frames_per_step(configs.tiny("custom"), 2)
+    m = Qwen3TTSModel.synthetic(cfg, seed=9)
+    prompts = [_prompt(1), _prompt(2)]
+    singles = [_single(m, p, max_frames=10) for p in prompts]
+    engine = ServingEngine(m, max_streams=2, chunk=8, sampling=GREEDY)
+    served = engine.run(prompts, max_frames=10)
+    for (wav_single, res), (wav_served, stream) in zip(singles, served):
+        assert stream.done and res.frames > 0
+        assert stream.frames == res.frames
+        np.testing.assert_allclose(wav_served, wav_single, atol=1)  # 1 LSB
+
+
 def test_int8_serving_under_tp_sharding(monkeypatch):
     """tp=2-sharded weights + int8 KV caches: the engine-allocated KVQuant
     caches are replicated (like the dense ones) and GSPMD propagates the
@@ -240,6 +258,45 @@ def test_int8_serving_under_tp_sharding(monkeypatch):
         np.testing.assert_array_equal(
             np.concatenate(s1.codes, axis=1), np.concatenate(s2.codes, axis=1)
         )
+
+
+def test_kv_quality_gate_harness(model, monkeypatch):
+    """tools/kv_quality_check.py mechanics offline: WER math, the gate loop
+    over both formats with a fake ASR provider, and the divergence metric.
+    (Real-weight runs use a real transcription provider.)"""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "kv_quality_check",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                      "kv_quality_check.py"),
+    )
+    kq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kq)
+
+    assert kq.wer("a b c", "a b c") == 0.0
+    assert kq.wer("a b c", "a x c") == pytest.approx(1 / 3)
+    assert kq.wer("a b", "a b c") == pytest.approx(1 / 2)
+    assert kq.wer("", "") == 0.0
+    a = np.array([1, 2, 3, 4], np.int16)
+    assert kq.divergence_frac(a, a.copy()) == 1.0
+    assert kq.divergence_frac(a, np.array([1, 2, 9, 4], np.int16)) == 0.5
+
+    calls = []
+
+    def fake_asr(path):
+        calls.append(path)
+        return "hello tpu"  # constant hyp: deltas cancel to 0
+
+    report = kq.run_gate(
+        model, ["hello tpu", "another line"], fake_asr, max_frames=6
+    )
+    assert len(report["rows"]) == 2 and len(calls) == 4  # 2 texts x 2 formats
+    assert report["median_wer_delta"] == 0.0
+    for r in report["rows"]:
+        assert 0.0 <= r["identical_frac"] <= 1.0
+    assert "QWEN3_TTS_KV" not in _os.environ
 
 
 def test_int8_serving_midflight_join_stays_exact(model, monkeypatch):

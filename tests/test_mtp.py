@@ -101,6 +101,34 @@ def test_mtp_uses_half_the_positions(mtp_model):
     assert res.frames <= budget
 
 
+def test_fps3_default_schedule_aligns_and_stays_exact():
+    """frames_per_step=3 does not divide the default (8, 16, 32) chunk
+    schedule; both runtimes must round chunks UP to whole MTP steps
+    (9, 18, 33) instead of crashing, and serving must still match the
+    single-stream pipeline token-for-token."""
+    cfg = _mtp_cfg(3)
+    m = Qwen3TTSModel.synthetic(cfg, seed=9)
+    gen = Generator(
+        cfg=m.cfg, params=m.params, cp_params=m.cp_params,
+        codec_params=m.codec_params, sampling=GREEDY,
+    )  # default schedule
+    assert gen.chunk_schedule == (9, 18, 33)
+    prompts = [_prompt(1), _prompt(2)]
+    singles = [gen.synthesize(p, max_frames=10, seed=0) for p in prompts]
+    assert all(r.frames > 0 for r in singles)
+
+    eng = ServingEngine(m, max_streams=2, chunk_schedule=(9,), sampling=GREEDY)
+    served = eng.run(prompts, max_frames=10)
+    gen9 = Generator(
+        cfg=m.cfg, params=m.params, cp_params=m.cp_params,
+        codec_params=m.codec_params, sampling=GREEDY, chunk_schedule=(9,),
+    )
+    for p, (wav_served, stream) in zip(prompts, served):
+        res = gen9.synthesize(p, max_frames=10, seed=0)
+        assert stream.frames == res.frames
+        np.testing.assert_allclose(wav_served, res.wav, atol=1)  # 1 LSB
+
+
 def test_mtp_generate_audio_end_to_end(mtp_model, temp_dir):
     import os
     import wave

@@ -54,6 +54,10 @@ wait_device 1800 || { echo "wedged after ab_kv_int8; stopping"; exit 1; }
 timeout 2400 python tools/probe_fetch.py --reps 3 > /tmp/mq_probe_fetch.log 2>&1
 echo "PROBE_FETCH DONE rc=$?"
 
+wait_device 1800 || { echo "wedged after ab_kv_int8; stopping"; exit 1; }
+timeout 2400 python tools/ab_fps.py --reps 3 > /tmp/mq_ab_fps.log 2>&1
+echo "AB_FPS DONE rc=$?"
+
 wait_device 1800 || { echo "wedged after probe_fetch; stopping"; exit 1; }
 timeout 2400 python tools/ab_scale.py --reps 3 --streams 8 --chunks 8 16 32 > /tmp/mq_scale8.log 2>&1
 echo "SCALE8 DONE rc=$?"

@@ -203,6 +203,7 @@ def talker_forward(
     pad_len: jnp.ndarray | int = 0,
     window_split: tuple | None = None,
     head_last_only: bool = False,
+    act_constraint=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run all layers; returns (hidden [B,T,D], logits, new_cache_k,
     new_cache_v). Works for prefill (T>1) and decode (T=1).
@@ -213,7 +214,13 @@ def talker_forward(
     ``head_last_only``: apply the codec head to the LAST position only
     (logits [B, 1, V]) — prefill callers discard everything else, and the
     full-sequence head matmul + f32 logits buffer is pure HBM waste on a
-    long prompt slice."""
+    long prompt slice.
+
+    ``act_constraint``: optional fn applied to the residual stream between
+    layers — sequence parallelism hooks in here (training passes a
+    with_sharding_constraint that shards [B, T, D] along T over the tp
+    axis, so norms/elementwise segments run sequence-sharded and XLA
+    inserts the gather/scatter collectives around attention/matmuls)."""
     T = x_emb.shape[1]
     pos = jnp.asarray(pos)
     cos, sin = rope_slice(cos_table, sin_table, pos, T)
@@ -236,7 +243,8 @@ def talker_forward(
             pad_len=pad_len,
             window_split=window_split,
         )
-        return out.x, (out.cache_k, out.cache_v)
+        y = out.x if act_constraint is None else act_constraint(out.x)
+        return y, (out.cache_k, out.cache_v)
 
     # unroll>1 lets XLA software-pipeline the next layer's weight streaming
     # (HBM) under the current layer's compute — the decode hot loop is

@@ -9,13 +9,17 @@ equivalents"). Axes:
 - ``dp`` — data parallel: batch of concurrent streams (serving) or examples
   (training) split across chips;
 - ``tp`` — tensor parallel: attention heads and FFN width split across
-  chips, collectives (psum on o/down projections) ride ICI.
+  chips, collectives (psum on o/down projections) ride ICI;
+- ``pp`` — pipeline parallel (training): the talker's stacked layers split
+  into stages, microbatch activations rotate with collective permute
+  (``parallel.pipeline``; manual over pp only, dp/tp stay GSPMD-auto).
 
 No NCCL/MPI analogue exists or is needed: placement is expressed with
 ``NamedSharding`` and ``jax.jit`` compiles in the communication.
 """
 
 from .mesh import MeshPlan, build_mesh, local_mesh  # noqa: F401
+from .pipeline import pipeline_stack, talker_stack_fn  # noqa: F401
 from .sharding import (  # noqa: F401
     cache_sharding,
     shard_model,

@@ -1,9 +1,14 @@
-"""Mesh construction: pick a (dp, tp) shape for the available devices.
+"""Mesh construction: pick a (pp, dp, tp) shape for the available devices.
 
 A ``MeshPlan`` is the engine-level config object (SURVEY.md §5 "config/flag
 system": mesh shape as dataclass config, not constants). ``build_mesh``
 validates the plan against the model dimensions that constrain tensor
 parallelism (kv heads, ffn width, quant groups must divide by ``tp``).
+
+Axis order is (pp, dp, tp) with tp innermost: tensor parallelism moves
+activations every layer (psum per block), so it gets the fastest ICI
+neighbours; pipeline parallelism moves one microbatch activation per stage
+per tick and tolerates the outermost (slowest) links.
 """
 
 from __future__ import annotations
@@ -16,18 +21,20 @@ from jax.sharding import Mesh
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+PP_AXIS = "pp"
 
 
 @dataclass(frozen=True)
 class MeshPlan:
-    """Logical mesh shape. ``dp * tp`` must equal the device count."""
+    """Logical mesh shape. ``dp * tp * pp`` must equal the device count."""
 
     dp: int = 1
     tp: int = 1
+    pp: int = 1
 
     @property
     def n_devices(self) -> int:
-        return self.dp * self.tp
+        return self.dp * self.tp * self.pp
 
 
 def build_mesh(plan: MeshPlan, devices=None) -> Mesh:
@@ -36,8 +43,8 @@ def build_mesh(plan: MeshPlan, devices=None) -> Mesh:
         raise ValueError(
             f"mesh plan {plan} needs {plan.n_devices} devices, have {len(devices)}"
         )
-    arr = np.asarray(devices).reshape(plan.dp, plan.tp)
-    return Mesh(arr, (DP_AXIS, TP_AXIS))
+    arr = np.asarray(devices).reshape(plan.pp, plan.dp, plan.tp)
+    return Mesh(arr, (PP_AXIS, DP_AXIS, TP_AXIS))
 
 
 def local_mesh() -> Mesh:

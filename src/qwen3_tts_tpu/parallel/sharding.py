@@ -24,7 +24,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DP_AXIS, TP_AXIS
+from .mesh import DP_AXIS, PP_AXIS, TP_AXIS
 
 # leaf-path suffixes -> (quantized-aware) partition axis of the *out/in* dim.
 # Paths are "/"-joined dict keys, e.g. "blocks/attn/q/scale".
@@ -32,15 +32,18 @@ _OUT_SHARDED = ("attn/q", "attn/k", "attn/v", "mlp/gate", "mlp/up")
 _IN_SHARDED = ("attn/o", "mlp/down")
 
 
-def _linear_spec(path: str, leaf_name: str, stacked: bool) -> P:
+def _linear_spec(path: str, leaf_name: str, stacked: bool, pp: bool) -> P:
     """Spec for one tensor of a linear param dict at ``path``.
 
     Tensor layouts ([L] = stacked layer axis when ``stacked``):
       w / q   [L?, out, in]
       scale   [L?, out, groups]   (groups track the *in* dimension)
       bias    [L?, out, groups]
+
+    With ``pp`` the stacked layer axis is sharded over the pipeline axis
+    (each stage owns L/pp layers — parallel.pipeline).
     """
-    lead = (None,) if stacked else ()
+    lead = ((PP_AXIS if pp else None),) if stacked else ()
     out_tp = any(path.endswith(s) for s in _OUT_SHARDED)
     in_tp = any(path.endswith(s) for s in _IN_SHARDED)
     if out_tp:
@@ -49,19 +52,25 @@ def _linear_spec(path: str, leaf_name: str, stacked: bool) -> P:
         # codes split the in axis; scale/bias split the group axis — both are
         # the second (last) dim in our layouts
         return P(*lead, None, TP_AXIS)
-    return P()  # replicated (head, in_proj, ...)
+    return P(*lead)  # tp-replicated (head, in_proj, ...)
 
 
-def talker_param_spec(params: Any) -> Any:
-    """PartitionSpec pytree matching the talker param pytree."""
+def talker_param_spec(params: Any, *, pp: bool = False) -> Any:
+    """PartitionSpec pytree matching the talker param pytree.
+
+    ``pp=True`` additionally shards every stacked-block leaf's leading layer
+    axis over the pipeline axis (norms included — the pipeline's shard_map
+    consumes the whole block subtree stage-locally)."""
 
     def spec_for(path_keys, leaf) -> P:
         parts = [str(getattr(k, "key", k)) for k in path_keys]
         path = "/".join(parts)
+        stacked = bool(parts) and parts[0] == "blocks"
         if parts and parts[-1] in ("w", "q", "scale", "bias"):
             parent = "/".join(parts[:-1])
-            stacked = parts[0] == "blocks"
-            return _linear_spec(parent, parts[-1], stacked)
+            return _linear_spec(parent, parts[-1], stacked, pp)
+        if stacked and pp:
+            return P(PP_AXIS)  # [L, ...] norms: stage-local slices
         return P()  # embeddings / norms replicated
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
@@ -82,9 +91,13 @@ def activation_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_params(params: Any, mesh: Mesh, spec_tree: Any = None) -> Any:
-    """Place a param pytree onto ``mesh`` with the given (or talker) specs."""
+    """Place a param pytree onto ``mesh`` with the given (or talker) specs.
+
+    A mesh with a pp axis > 1 gets the pipeline-sharded talker spec (block
+    layers split over stages); inference meshes (pp == 1) are unaffected."""
     if spec_tree is None:
-        spec_tree = talker_param_spec(params)
+        pp = PP_AXIS in mesh.axis_names and mesh.shape[PP_AXIS] > 1
+        spec_tree = talker_param_spec(params, pp=pp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,

@@ -38,9 +38,16 @@ def _cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
 
 
 def _talker_hidden_and_logits(
-    params: Any, cfg: ModelConfig, batch: dict
+    params: Any, cfg: ModelConfig, batch: dict, stack_fn: Any = None,
+    act_constraint: Any = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full-sequence forward; returns (hidden, logits) at frame positions.
+
+    ``stack_fn(blocks, x_emb, pad_len) -> pre-ln_f activations`` swaps the
+    block stack for an alternative runner — the pipeline-parallel schedule
+    (``parallel.pipeline.talker_stack_fn``) uses this hook; the default is
+    the plain full-sequence ``talker_forward``. ``act_constraint`` is the
+    sequence-parallel residual-stream sharding hook (see talker_forward).
 
     The conditioning layout mirrors inference EXACTLY (train/serve parity,
     ADVICE.md loss.py:68): text is LEFT-padded — each example's tokens are
@@ -110,13 +117,18 @@ def _talker_hidden_and_logits(
 
     S = x.shape[1]
     dtype = x.dtype
-    cache_k = jnp.zeros((t.n_layers, B, S, t.n_kv_heads, t.head_dim), dtype)
-    cache_v = jnp.zeros_like(cache_k)
-    cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
-    hidden, logits, _, _ = talker_forward(
-        params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
-        pad_len=shift,
-    )
+    if stack_fn is None:
+        cache_k = jnp.zeros((t.n_layers, B, S, t.n_kv_heads, t.head_dim), dtype)
+        cache_v = jnp.zeros_like(cache_k)
+        cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+        hidden, logits, _, _ = talker_forward(
+            params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
+            pad_len=shift, act_constraint=act_constraint,
+        )
+    else:
+        y = stack_fn(params["blocks"], x, shift)
+        hidden = rmsnorm(y, params["ln_f"], t.rms_eps)
+        logits = linear(hidden, params["head"]).astype(jnp.float32)
     # BOS sits at index W; its output predicts step 0, so positions W+k
     # hold the prediction for step k
     step_hidden = hidden[:, W:, :]
@@ -219,10 +231,16 @@ def code_predictor_loss(
 
 def joint_loss(
     params: Any, cp_params: Any, cfg: ModelConfig, batch: dict,
-    *, cp_weight: float = 1.0,
+    *, cp_weight: float = 1.0, stack_fn: Any = None, act_constraint: Any = None,
 ) -> tuple[jnp.ndarray, dict]:
-    """Talker CE + weighted residual-predictor CE, sharing one talker pass."""
-    hidden, logits = _talker_hidden_and_logits(params, cfg, batch)
+    """Talker CE + weighted residual-predictor CE, sharing one talker pass.
+
+    ``stack_fn`` routes the talker block stack through an alternative
+    runner (pipeline parallelism — see ``_talker_hidden_and_logits``);
+    ``act_constraint`` turns on sequence-parallel activation sharding."""
+    hidden, logits = _talker_hidden_and_logits(
+        params, cfg, batch, stack_fn, act_constraint
+    )
     t_loss = _cross_entropy(logits, batch["codes"][:, 0, :], batch["frame_mask"])
 
     B, Tf, D = hidden.shape

@@ -58,18 +58,67 @@ def make_train_step(
     *,
     cp_weight: float = 1.0,
     remat: bool = True,
+    mesh=None,
+    microbatches: int = 0,
+    sequence_parallel: bool = False,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Returns jitted ``step(state, batch) -> (state, metrics)``.
 
     ``batch``: text_tokens [B,Tt] i32, codes [B,Q,Tf] i32,
     frame_mask [B,Tf] bool. The state is donated — caches and optimizer
     moments update in place in HBM.
+
+    Pass a ``mesh`` whose ``pp`` axis is > 1 to run the talker block stack
+    as a pipeline (``parallel.pipeline``): layers are staged over pp,
+    microbatches rotate via collective permute, and dp/tp still apply
+    inside every stage. ``microbatches`` defaults to ``4 * pp`` (bubble
+    fraction (pp-1)/(microbatches+pp-1)); the batch must divide by it.
+
+    ``sequence_parallel`` (needs ``mesh`` with tp > 1): shard the residual
+    stream [B, T, D] along T over the tp axis between talker blocks —
+    Megatron-style SP, expressed as a sharding constraint so XLA places the
+    norm/elementwise segments sequence-sharded and inserts the
+    gather/scatter collectives around attention and matmuls. Long-batch
+    activation memory per chip drops by ~tp in those segments.
     """
+    stack_fn = None
+    act_constraint = None
+    if mesh is not None:
+        from ..parallel.mesh import DP_AXIS, PP_AXIS, TP_AXIS
+        from ..parallel.pipeline import talker_stack_fn
+
+        pp = PP_AXIS in mesh.axis_names and mesh.shape[PP_AXIS] > 1
+        if sequence_parallel:
+            if mesh.shape[TP_AXIS] <= 1:
+                raise ValueError("sequence_parallel needs a tp > 1 mesh")
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec(DP_AXIS, TP_AXIS, None)
+            # inside the pipeline's manual-pp region a full-mesh
+            # NamedSharding is rejected (pp is manual there); a bare
+            # PartitionSpec resolves against the ambient mesh in both worlds
+            sp_sharding = spec if pp else NamedSharding(mesh, spec)
+
+            def act_constraint(x):
+                return jax.lax.with_sharding_constraint(x, sp_sharding)
+        if pp:
+            mb = microbatches or 4 * mesh.shape[PP_AXIS]
+            stack_fn = talker_stack_fn(
+                cfg, mesh=mesh, microbatches=mb, remat=remat,
+                act_constraint=act_constraint,
+            )
+    elif sequence_parallel:
+        raise ValueError("sequence_parallel needs a mesh")
 
     def raw_loss(params, cp_params, batch):
-        return joint_loss(params, cp_params, cfg, batch, cp_weight=cp_weight)
+        return joint_loss(
+            params, cp_params, cfg, batch, cp_weight=cp_weight,
+            stack_fn=stack_fn, act_constraint=act_constraint,
+        )
 
-    loss_fn = jax.checkpoint(raw_loss) if remat else raw_loss
+    # the pipeline already remats per stage-tick (parallel.pipeline), so the
+    # outer whole-loss checkpoint would double the recompute for nothing
+    loss_fn = jax.checkpoint(raw_loss) if remat and stack_fn is None else raw_loss
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:

@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--lora", type=int, default=0, metavar="RANK",
                     help="LoRA rank (0 = full fine-tune)")
+    ap.add_argument("--pp", type=int, default=1, metavar="STAGES",
+                    help="pipeline-parallel stages (full fine-tune only): "
+                    "talker layers split into STAGES, microbatches rotate "
+                    "via collective permute (parallel/pipeline.py)")
+    ap.add_argument("--microbatches", type=int, default=0,
+                    help="pipeline microbatches (default 4*pp); the batch "
+                    "size must divide by it")
+    ap.add_argument("--sequence-parallel", action="store_true",
+                    help="shard the residual stream along T over tp between "
+                    "talker blocks (needs tp > 1; full fine-tune only)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default=None,
                     help="orbax checkpoint directory (enables save/resume)")
@@ -139,13 +149,35 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 1
 
+    if args.lora and (args.pp > 1 or args.sequence_parallel):
+        print("error: --pp/--sequence-parallel apply to the full fine-tune "
+              "path only (LoRA's adapter-sized step has no layer pipeline)",
+              file=sys.stderr)
+        return 1
     n_dev = len(jax.devices())
-    plan = auto_plan(n_dev, tp_divisors=cfg.talker.n_kv_heads)
+    if args.pp > 1 and (n_dev % args.pp or cfg.talker.n_layers % args.pp):
+        print(f"error: --pp {args.pp} must divide both the device count "
+              f"({n_dev}) and n_layers ({cfg.talker.n_layers})",
+              file=sys.stderr)
+        return 1
+    from .parallel.mesh import MeshPlan
+
+    inner = auto_plan(n_dev // args.pp, tp_divisors=cfg.talker.n_kv_heads)
+    plan = MeshPlan(dp=inner.dp, tp=inner.tp, pp=args.pp)
     mesh = build_mesh(plan, jax.devices())
     shard_model(model, mesh)
+    microbatches = (args.microbatches or 4 * plan.pp) if plan.pp > 1 else 0
     if args.batch_size % plan.dp:
         print(f"error: --batch-size {args.batch_size} must divide "
               f"dp={plan.dp}", file=sys.stderr)
+        return 1
+    if microbatches and args.batch_size % microbatches:
+        print(f"error: --batch-size {args.batch_size} must divide into "
+              f"--microbatches {microbatches}", file=sys.stderr)
+        return 1
+    if args.sequence_parallel and plan.tp <= 1:
+        print(f"error: --sequence-parallel needs tp > 1 (mesh has "
+              f"tp={plan.tp})", file=sys.stderr)
         return 1
 
     pairs = load_pairs(args.data)
@@ -171,7 +203,8 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in b.items()}
 
     print(f"fine-tune: {len(pairs)} pairs, {len(batches)} batches/epoch, "
-          f"mesh dp={plan.dp} tp={plan.tp}, "
+          f"mesh pp={plan.pp} dp={plan.dp} tp={plan.tp}"
+          f"{' sp' if args.sequence_parallel else ''}, "
           f"{'LoRA r=%d' % args.lora if args.lora else 'full'}")
 
     opt = default_optimizer(lr=args.lr)
@@ -221,7 +254,10 @@ def main(argv: list[str] | None = None) -> int:
             save(state)
     else:
         state = init_train_state(model.params, model.cp_params, opt)
-        step = make_train_step(cfg, opt)
+        step = make_train_step(
+            cfg, opt, mesh=mesh, microbatches=microbatches,
+            sequence_parallel=args.sequence_parallel,
+        )
         if args.resume and args.ckpt_dir:
             path = latest_checkpoint(args.ckpt_dir)
             if path:

@@ -115,6 +115,37 @@ def test_lora_finetune_exports_merged_model(data_dir, tmp_path, capsys):
     assert not any("lora" in k for k in flat_keys)
 
 
+def test_pipeline_parallel_finetune(data_dir, capsys):
+    # pp=2 over the 8 virtual devices (auto dp/tp fill the rest); the tiny
+    # talker has 2 layers -> one per stage. sp rides the tp>1 submesh.
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "2", "--lr", "1e-3",
+        "--pp", "2", "--microbatches", "2", "--sequence-parallel",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pp=2" in out and " sp" in out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["final_loss"] is not None
+    assert np.isfinite(summary["final_loss"])
+
+
+def test_pp_rejects_lora_and_indivisible(data_dir, capsys):
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--lora", "2", "--pp", "2",
+    ])
+    assert rc == 1
+    assert "full fine-tune path only" in capsys.readouterr().err
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--pp", "3",
+    ])
+    assert rc == 1
+    assert "must divide" in capsys.readouterr().err
+
+
 def test_batch_size_must_divide_dp(data_dir, capsys):
     rc = finetune.main([
         "--model", "synthetic-tiny", "--data", data_dir,

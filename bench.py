@@ -291,8 +291,37 @@ def preflight(deadline_s: float | None = None,
     sys.exit(1)
 
 
+def _lock_or_exit() -> None:
+    """One engine-owning process at a time on the shared device service
+    (HBM over-subscription wedges it for hours — CLAUDE.md). Waits for any
+    in-flight measurement step, then holds the lock until exit."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
+    from qwen3_tts_tpu.device_lock import device_lock
+
+    if device_lock(label="bench.py"):
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_single_stream",
+                "value": 0.0,
+                "unit": "x_realtime",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "error": "device lock never freed: another measurement "
+                    "process held /tmp/qwen3_tts_device.lock past the wait "
+                    "budget (likely hung on a wedged service); benchmark "
+                    "not run",
+                },
+            }
+        )
+    )
+    sys.exit(1)
+
+
 if __name__ == "__main__":
     preflight()
+    _lock_or_exit()
     if len(sys.argv) > 1 and sys.argv[1] == "--serving":
         serving_bench(int(sys.argv[2]) if len(sys.argv) > 2 else BASELINE_STREAMS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--longform":

@@ -23,6 +23,11 @@ import numpy as np
 
 
 def main() -> None:
+    from qwen3_tts_tpu.device_lock import device_lock
+
+    if not device_lock(label='ab_serving.py'):
+        print("device lock never freed; aborting", file=sys.stderr)
+        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--frames", type=int, default=120)

@@ -109,6 +109,11 @@ def run_gate(model, texts, transcribe, voice="ryan", max_frames=None) -> dict:
 
 
 def main() -> None:
+    from qwen3_tts_tpu.device_lock import device_lock
+
+    if not device_lock(label='kv_quality_check.py'):
+        print("device lock never freed; aborting", file=sys.stderr)
+        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
                     help="checkpoint path or synthetic:tiny/flagship spec")

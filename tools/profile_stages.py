@@ -32,6 +32,11 @@ import numpy as np
 
 
 def main() -> None:
+    from qwen3_tts_tpu.device_lock import device_lock
+
+    if not device_lock(label='profile_stages.py'):
+        print("device lock never freed; aborting", file=sys.stderr)
+        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--iters", type=int, default=12)

@@ -38,6 +38,11 @@ from qwen3_tts_tpu.runtime.serving import ServingEngine  # noqa: E402
 
 
 def main() -> None:
+    from qwen3_tts_tpu.device_lock import device_lock
+
+    if not device_lock(label='soak_serving.py'):
+        print("device lock never freed; aborting", file=sys.stderr)
+        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=300.0)
     ap.add_argument("--seed", type=int, default=0)

@@ -36,6 +36,11 @@ def device_lock(
     """
     if os.environ.get("QWEN3_TTS_DEVICE_LOCK", "1") in ("0", ""):
         return True
+    # CPU-forced runs (tests, local dev) touch no shared device service —
+    # holding the host-wide lock would only stall real measurements
+    if (os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0")
+            or os.environ.get("JAX_PLATFORMS") == "cpu"):
+        return True
     try:
         import fcntl
     except ImportError:  # non-posix: nothing to do

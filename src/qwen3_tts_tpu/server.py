@@ -878,6 +878,20 @@ def main(argv: list[str] | None = None) -> None:
                     help="voice library directory (default: the app's)")
     args = ap.parse_args(argv)
 
+    # the daemon owns a big-cache engine for its whole lifetime: take the
+    # host-wide device lock so benchmarks/measurement steps can't allocate
+    # a second engine into the same HBM (wedge discipline — CLAUDE.md).
+    # No-op under QWEN3_TTS_CPU.
+    from .device_lock import device_lock
+
+    if not device_lock(label="server"):
+        import sys
+
+        print("error: device lock never freed (another engine-owning "
+              "process is using the TPU service); refusing to start a "
+              "second engine", file=sys.stderr)
+        raise SystemExit(2)
+
     from .engine import configs
     from .engine.api import Qwen3TTSModel, load_model
 

@@ -172,6 +172,41 @@ def test_pipeline_rejects_indivisible_shapes():
         joint_loss(params, cp_params, cfg, batch, stack_fn=stack)
 
 
+def test_pp_train_state_checkpoint_roundtrip(tmp_path):
+    """A pipeline-sharded TrainState survives orbax save -> restore into a
+    fresh pp-sharded template (resume onto the same mesh), and the restored
+    state steps identically to the uninterrupted run."""
+    from qwen3_tts_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    cfg, mesh, params, cp_params, batch = _setup()
+    opt = default_optimizer()
+    params_s = shard_params(params, mesh)
+    cp_s = shard_params(cp_params, mesh, replicated_spec(cp_params))
+    step = make_train_step(cfg, opt, remat=True, mesh=mesh, microbatches=4)
+
+    state = init_train_state(params_s, cp_s, opt)
+    state, _ = step(state, _put_batch(batch, mesh))
+    path = save_train_state(state, str(tmp_path / "ckpts"))
+
+    batch2 = synthetic_batch(cfg, batch_size=8, t_text=6, t_frames=4, seed=11)
+    cont_state, m_cont = step(state, _put_batch(batch2, mesh))
+
+    template = init_train_state(
+        shard_params(params, mesh),
+        shard_params(cp_params, mesh, replicated_spec(cp_params)),
+        opt,
+    )
+    restored = restore_train_state(path, template)
+    assert int(restored.step) == 1
+    res_state, m_res = step(restored, _put_batch(batch2, mesh))
+    np.testing.assert_allclose(
+        float(m_cont["loss"]), float(m_res["loss"]), rtol=1e-5
+    )
+
+
 def test_pp_param_spec_shards_block_leaves():
     cfg = configs.tiny("custom", quant=False)
     params = init_talker(cfg, seed=0)

@@ -14,6 +14,12 @@ equivalents"). Axes:
   into stages, microbatch activations rotate with collective permute
   (``parallel.pipeline``; manual over pp only, dp/tp stay GSPMD-auto).
 
+Sequence parallelism is a train-step option (``make_train_step(...,
+sequence_parallel=True)``): the residual stream shards along T over tp
+between blocks via sharding constraints. Expert parallelism is N/A by
+design — Qwen3-TTS has no mixture-of-experts layers anywhere
+(talker/code-predictor/codec are all dense).
+
 No NCCL/MPI analogue exists or is needed: placement is expressed with
 ``NamedSharding`` and ``jax.jit`` compiles in the communication.
 """

@@ -30,7 +30,11 @@ if _SRC not in sys.path:
 # initialisation (the TPU plugin preloads through sitecustomize, so a plain
 # JAX_PLATFORMS env var is too late) — same escape hatch as examples/ and
 # serve.py. Useful when the remote TPU service is unreachable or wedged.
-if os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0") or os.environ.get("JAX_PLATFORMS") == "cpu":
+_CPU_FORCED = (
+    os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0")
+    or os.environ.get("JAX_PLATFORMS") == "cpu"
+)
+if _CPU_FORCED:
     try:
         import jax
 
@@ -114,6 +118,21 @@ def main_menu() -> None:
 def main() -> None:
     if not _engine_check():
         raise SystemExit(1)
+    if not _CPU_FORCED:
+        # the app owns an engine on the shared TPU service for the whole
+        # session: take the host-wide device lock so a benchmark or
+        # measurement step can't allocate a second engine into the same
+        # HBM and wedge the service (CLAUDE.md). Short wait — interactive.
+        from qwen3_tts_tpu.device_lock import device_lock
+
+        wait = float(os.environ.get("QWEN3_TTS_DEVICE_LOCK_WAIT_S", 120))
+        if not device_lock(wait_s=wait, label="app"):
+            console.print(
+                "[err]The TPU device is busy (another engine-owning "
+                "process holds /tmp/qwen3_tts_device.lock).[/err]\n"
+                "Retry later, or run on CPU with QWEN3_TTS_CPU=1."
+            )
+            raise SystemExit(1)
     os.makedirs(config.BASE_OUTPUT_DIR, exist_ok=True)
     while True:
         try:

@@ -320,8 +320,11 @@ def _lock_or_exit() -> None:
 
 
 if __name__ == "__main__":
-    preflight()
+    # lock FIRST: waiting behind an in-flight measurement step can take up
+    # to an hour, and probing the device mid-step would both stale the
+    # health verdict and jitter the holder's timed numbers
     _lock_or_exit()
+    preflight()
     if len(sys.argv) > 1 and sys.argv[1] == "--serving":
         serving_bench(int(sys.argv[2]) if len(sys.argv) > 2 else BASELINE_STREAMS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--longform":

@@ -37,9 +37,14 @@ def device_lock(
     if os.environ.get("QWEN3_TTS_DEVICE_LOCK", "1") in ("0", ""):
         return True
     # CPU-forced runs (tests, local dev) touch no shared device service —
-    # holding the host-wide lock would only stall real measurements
-    if (os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0")
-            or os.environ.get("JAX_PLATFORMS") == "cpu"):
+    # holding the host-wide lock would only stall real measurements. Only
+    # QWEN3_TTS_CPU counts: every entry point that honors it translates it
+    # into jax.config.update("jax_platforms", "cpu") before device work, so
+    # the skip is sound. JAX_PLATFORMS deliberately does NOT skip — this
+    # image's sitecustomize preloads the TPU plugin, so the env var alone
+    # does not actually force CPU (CLAUDE.md) and skipping on it would
+    # leave a real-TPU engine unlocked.
+    if os.environ.get("QWEN3_TTS_CPU", "0") not in ("", "0"):
         return True
     try:
         import fcntl
@@ -71,3 +76,13 @@ def device_lock(
                 )
                 warned = True
             time.sleep(max(0.1, min(10.0, deadline - time.time())))
+
+
+def require_device_lock(label: str, *, wait_s: float | None = None) -> None:
+    """Acquire the device lock or exit(3) — the standard gate for
+    measurement harnesses. Call AFTER argument parsing and AFTER any
+    CPU-forcing decision, so ``--help``/CPU smoke modes never contend."""
+    if not device_lock(wait_s=wait_s, label=label):
+        print(f"{label}: device lock never freed; aborting",
+              file=sys.stderr)
+        raise SystemExit(3)

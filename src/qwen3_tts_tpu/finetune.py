@@ -154,6 +154,14 @@ def main(argv: list[str] | None = None) -> int:
               "path only (LoRA's adapter-sized step has no layer pipeline)",
               file=sys.stderr)
         return 1
+    if args.pp < 1:
+        print(f"error: --pp {args.pp} must be >= 1", file=sys.stderr)
+        return 1
+    if args.microbatches and args.pp <= 1:
+        print("error: --microbatches only applies with --pp > 1 (the "
+              "pipeline schedule is what consumes microbatches)",
+              file=sys.stderr)
+        return 1
     n_dev = len(jax.devices())
     if args.pp > 1 and (n_dev % args.pp or cfg.talker.n_layers % args.pp):
         print(f"error: --pp {args.pp} must divide both the device count "

@@ -71,12 +71,21 @@ def pipeline_stack(
 
     mb = B // M
     dtype = x.dtype
-    # activations cross the manual-pp boundary in f32 (bf16 -> f32 is
-    # lossless): the boundary input is pp-invariant, so its reverse-mode
+    # On CPU, activations cross the manual-pp boundary in f32 (bf16 -> f32
+    # is lossless): the boundary input is pp-invariant, so its reverse-mode
     # cotangent is a psum over pp, and XLA-CPU's AllReducePromotion pass
-    # crashes on bf16 all-reduces under partial-manual shard_map. The body
-    # casts straight back to the compute dtype.
-    xm = x.reshape(M, mb, *x.shape[1:]).astype(jnp.float32)
+    # crashes on bf16 all-reduces under partial-manual shard_map. On real
+    # TPU meshes the upcast would double boundary HBM/ICI bytes for
+    # nothing, so the boundary stays in the compute dtype there
+    # (QWEN3_TTS_PP_F32_BOUNDARY=1 forces the f32 path anywhere).
+    import os
+
+    f32_boundary = (
+        jax.default_backend() == "cpu"
+        or os.environ.get("QWEN3_TTS_PP_F32_BOUNDARY", "0") not in ("", "0")
+    )
+    bdt = jnp.float32 if f32_boundary else dtype
+    xm = x.reshape(M, mb, *x.shape[1:]).astype(bdt)
     am = jax.tree.map(lambda v: v.reshape(M, mb, *v.shape[1:]), mb_args)
     stage = jax.checkpoint(body) if remat else body
 
@@ -116,8 +125,8 @@ def pipeline_stack(
             lambda z: z.astype(dtype),
             jax.lax.pcast(
                 (
-                    jnp.zeros((mb, *x.shape[1:]), jnp.float32),
-                    jnp.zeros((M, mb, *x.shape[1:]), jnp.float32),
+                    jnp.zeros((mb, *x.shape[1:]), bdt),
+                    jnp.zeros((M, mb, *x.shape[1:]), bdt),
                 ),
                 (PP_AXIS,),
                 to="varying",
@@ -131,7 +140,7 @@ def pipeline_stack(
         # sidesteps an XLA-CPU AllReducePromotion crash on bf16 all-reduce
         # under partial-manual shard_map (exact: one stage is nonzero, so
         # the sum adds zeros and the downcast returns the original values).
-        return jax.lax.psum(outputs.astype(jnp.float32), PP_AXIS).astype(
+        return jax.lax.psum(outputs.astype(bdt), PP_AXIS).astype(
             outputs.dtype
         )
 

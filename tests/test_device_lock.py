@@ -10,10 +10,13 @@ from qwen3_tts_tpu.device_lock import device_lock
 
 
 def _env(path):
+    # pin the lock ON regardless of the developer's shell (QWEN3_TTS_CPU=1
+    # would legitimately skip it and void the contention assertions)
     return dict(
         os.environ,
         PYTHONPATH=os.path.join(os.path.dirname(__file__), "..", "src"),
         QWEN3_TTS_DEVICE_LOCK="1",
+        QWEN3_TTS_CPU="0",
     )
 
 

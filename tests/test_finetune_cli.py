@@ -144,6 +144,20 @@ def test_pp_rejects_lora_and_indivisible(data_dir, capsys):
     ])
     assert rc == 1
     assert "must divide" in capsys.readouterr().err
+    # --pp 0 is a clean CLI error, not a ZeroDivisionError
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--pp", "0",
+    ])
+    assert rc == 1
+    assert "must be >= 1" in capsys.readouterr().err
+    # --microbatches without --pp errors instead of being silently ignored
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--microbatches", "4",
+    ])
+    assert rc == 1
+    assert "only applies with --pp" in capsys.readouterr().err
 
 
 def test_batch_size_must_divide_dp(data_dir, capsys):

@@ -26,11 +26,6 @@ import numpy as np
 
 
 def main() -> None:
-    from qwen3_tts_tpu.device_lock import device_lock
-
-    if not device_lock(label='ab_fps.py'):
-        print("device lock never freed; aborting", file=sys.stderr)
-        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fps", type=int, nargs="+", default=[2, 3])
@@ -38,10 +33,14 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (harness smoke test, no TPU)")
     args = ap.parse_args()
-    if args.tiny:
+    if args.tiny:  # CPU smoke mode: no shared device, no lock
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from qwen3_tts_tpu.device_lock import require_device_lock
+
+        require_device_lock("ab_fps.py")
 
     from qwen3_tts_tpu.engine import configs, enable_compilation_cache
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel

@@ -23,11 +23,6 @@ import numpy as np
 
 
 def main() -> None:
-    from qwen3_tts_tpu.device_lock import device_lock
-
-    if not device_lock(label='ab_serving.py'):
-        print("device lock never freed; aborting", file=sys.stderr)
-        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--frames", type=int, default=120)
@@ -37,6 +32,9 @@ def main() -> None:
                          "cache pytree is a compile-time structure, so "
                          "dense-vs-int8 is one process per format)")
     args = ap.parse_args()
+    from qwen3_tts_tpu.device_lock import require_device_lock
+
+    require_device_lock('ab_serving.py')
     os.environ["QWEN3_TTS_KV"] = args.kv
     print(f"[kv format: {args.kv}]", flush=True)
 

@@ -109,11 +109,6 @@ def run_gate(model, texts, transcribe, voice="ryan", max_frames=None) -> dict:
 
 
 def main() -> None:
-    from qwen3_tts_tpu.device_lock import device_lock
-
-    if not device_lock(label='kv_quality_check.py'):
-        print("device lock never freed; aborting", file=sys.stderr)
-        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
                     help="checkpoint path or synthetic:tiny/flagship spec")
@@ -125,6 +120,9 @@ def main() -> None:
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--max-wer-delta", type=float, default=0.02)
     args = ap.parse_args()
+    from qwen3_tts_tpu.device_lock import require_device_lock
+
+    require_device_lock('kv_quality_check.py')
 
     from qwen3_tts_tpu import transcription
     from qwen3_tts_tpu.engine.api import load_model

@@ -26,17 +26,15 @@ import numpy as np
 
 
 def main() -> None:
-    from qwen3_tts_tpu.device_lock import device_lock
-
-    if not device_lock(label='probe_fetch.py'):
-        print("device lock never freed; aborting", file=sys.stderr)
-        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=8)
     args = ap.parse_args()
+    from qwen3_tts_tpu.device_lock import require_device_lock
+
+    require_device_lock('probe_fetch.py')
 
     import jax
 

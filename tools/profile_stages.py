@@ -32,11 +32,6 @@ import numpy as np
 
 
 def main() -> None:
-    from qwen3_tts_tpu.device_lock import device_lock
-
-    if not device_lock(label='profile_stages.py'):
-        print("device lock never freed; aborting", file=sys.stderr)
-        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--iters", type=int, default=12)
@@ -44,6 +39,9 @@ def main() -> None:
     ap.add_argument("--attn", type=int, default=512, help="attention bucket")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke run")
     args = ap.parse_args()
+    from qwen3_tts_tpu.device_lock import require_device_lock
+
+    require_device_lock('profile_stages.py')
 
     from qwen3_tts_tpu.engine import configs, enable_compilation_cache
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel

@@ -38,11 +38,6 @@ from qwen3_tts_tpu.runtime.serving import ServingEngine  # noqa: E402
 
 
 def main() -> None:
-    from qwen3_tts_tpu.device_lock import device_lock
-
-    if not device_lock(label='soak_serving.py'):
-        print("device lock never freed; aborting", file=sys.stderr)
-        raise SystemExit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=300.0)
     ap.add_argument("--seed", type=int, default=0)
@@ -51,6 +46,9 @@ def main() -> None:
                     help=">1 keeps N speculative steps in flight, so "
                          "cancels race dispatched-but-uncollected payloads")
     args = ap.parse_args()
+    from qwen3_tts_tpu.device_lock import require_device_lock
+
+    require_device_lock('soak_serving.py')
 
     rng = np.random.default_rng(args.seed)
     model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)

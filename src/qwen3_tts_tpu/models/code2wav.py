@@ -72,6 +72,7 @@ class Code2WavConfig:
     upsampling_ratios: tuple[int, ...] = (2, 2)
     decoder_dim: int = 1536
     sample_rate: int = 24_000
+    max_positions: int = 8000          # pre-transformer RoPE table length
 
     @property
     def head_dim(self) -> int:
@@ -107,6 +108,7 @@ class Code2WavConfig:
             upsampling_ratios=tuple(d.get("upsampling_ratios", (2, 2))),
             decoder_dim=d.get("decoder_dim", 1536),
             sample_rate=d.get("sample_rate", 24_000),
+            max_positions=d.get("max_position_embeddings", 8000),
         )
 
 
@@ -365,6 +367,246 @@ def pre_transformer(params: Params, x: jnp.ndarray,
 # --------------------------------------------------------------------------
 # full decode
 # --------------------------------------------------------------------------
+
+# --------------------------------------------------------------------------
+# streaming decode (exact: chunked output == one-shot decode, any chunking)
+#
+# Every stateful op carries exactly what the one-shot computation would
+# have seen to its left:
+#   - causal convs carry their true left context (zero-init == the causal
+#     zero padding), so boundary samples are bit-identical;
+#   - each strided transposed conv carries an overlap-add tail of
+#     (kernel - stride) raw samples, and every chunk emits
+#     raw[(k-s) : c*s + (k-s)) — i.e. the stream starts at the one-shot
+#     output's position 0 (the reference trims (k-s) on both ends:
+#     emitting from offset (k-s) reproduces the left trim, and the final
+#     never-flushed tail reproduces the right trim);
+#   - the pre-transformer keeps the last (sliding_window - 1) K/V
+#     positions per layer — everything older is masked out anyway.
+# --------------------------------------------------------------------------
+
+def stream_state_init(params: Params, cfg: Code2WavConfig, batch: int,
+                      dtype=jnp.float32) -> Params:
+    """Zero streaming state for a ``batch``-stream decode."""
+    H, D = cfg.hidden, cfg.decoder_dim
+    P = cfg.sliding_window - 1
+
+    def conv_ctx(ch, k, dilation=1):
+        return jnp.zeros((batch, ch, (k - 1) * dilation), dtype)
+
+    dec_blocks = []
+    for i, r in enumerate(cfg.upsample_rates):
+        out_dim = D // 2 ** (i + 1)
+        dec_blocks.append({
+            "tconv_tail": jnp.zeros((batch, out_dim, r), dtype),
+            "res": tuple(
+                {"c1": conv_ctx(out_dim, 7, d)} for d in (1, 3, 9)
+            ),
+        })
+    return {
+        "pos": jnp.zeros((), jnp.int32),
+        "pre_k": jnp.zeros(
+            (cfg.n_layers, batch, P, cfg.n_kv_heads, cfg.head_dim), dtype
+        ),
+        "pre_v": jnp.zeros(
+            (cfg.n_layers, batch, P, cfg.n_kv_heads, cfg.head_dim), dtype
+        ),
+        "up": tuple({"dw": conv_ctx(H, 7)} for _ in cfg.upsampling_ratios),
+        "dec": {
+            "conv_in": conv_ctx(H, 7),
+            "blocks": tuple(dec_blocks),
+            "conv_out": conv_ctx(D // 2 ** len(cfg.upsample_rates), 7),
+        },
+    }
+
+
+def _conv_stream(x: jnp.ndarray, p: Params, ctx: jnp.ndarray, *,
+                 dilation: int = 1, groups: int = 1):
+    """Stride-1 causal conv over [carried context | new samples]: returns
+    (y over the new samples only, updated context)."""
+    full = jnp.concatenate([ctx, x], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        full, p["w"].astype(x.dtype), window_strides=(1,), padding=[(0, 0)],
+        rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups, preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + p["b"].astype(x.dtype)[None, :, None]
+    rf = ctx.shape[-1]
+    return y, (full[..., -rf:] if rf else ctx)
+
+
+def _tconv_stream(x: jnp.ndarray, p: Params, tail: jnp.ndarray, *,
+                  stride: int, first: bool = False):
+    """Streaming transposed conv with an overlap-add carry.
+
+    The raw transposed conv of a c-frame chunk covers ``c*stride + r``
+    samples (r = kernel - stride); consecutive chunks' raw outputs overlap
+    by r, summed via the carried ``tail``. The one-shot reference trims r
+    samples off BOTH ends of the whole sequence, so: the first chunk
+    (``first=True``, a static trace-time variant) drops its r head samples
+    and emits ``c*stride - r``; later chunks emit exactly ``c*stride``; the
+    final r samples live in the never-flushed carry (the right trim)."""
+    w = p["w"]
+    k = w.shape[-1]
+    r = k - stride
+    c = x.shape[-1]
+    w_t = jnp.transpose(w, (1, 0, 2))[:, :, ::-1].astype(x.dtype)
+    # bias is NOT in raw: the carried tail overlap-adds onto the next
+    # chunk's raw head, and a bias baked into both would double-count —
+    # it is added once, at emission
+    raw = jax.lax.conv_general_dilated(
+        x, w_t, window_strides=(1,), padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,), dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    b = p["b"].astype(x.dtype)[None, :, None]
+    if r == 0:
+        return raw + b, tail
+    if first:
+        emit = raw[..., r : c * stride]
+    else:
+        head = raw[..., :r] + tail
+        emit = jnp.concatenate([head, raw[..., r : c * stride]], axis=-1)
+    return emit + b, raw[..., c * stride :]
+
+
+def _snake_res_stream(w, blk, st, dilations=(1, 3, 9)):
+    new_res = []
+    for j, (ru, rs) in enumerate(zip(blk["res"], st["res"])):
+        r = w
+        w = snake_beta(w, ru["a1"])
+        w, c1 = _conv_stream(w, ru["c1"], rs["c1"], dilation=dilations[j])
+        w = snake_beta(w, ru["a2"])
+        w = causal_conv(w, ru["c2"])          # k=1: stateless
+        w = w + r
+        new_res.append({"c1": c1})
+    return w, tuple(new_res)
+
+
+def _pre_transformer_stream(params: Params, x: jnp.ndarray, pos: jnp.ndarray,
+                            past_k: jnp.ndarray, past_v: jnp.ndarray,
+                            cfg: Code2WavConfig):
+    """Chunked pre-transformer: queries attend over [last W-1 cached | new]
+    with the absolute-position sliding mask. x [B, C, H]."""
+    from .layers import apply_rope, rope_slice
+
+    B, C, _ = x.shape
+    P = cfg.sliding_window - 1
+    hd = cfg.head_dim
+    g = cfg.n_heads // cfg.n_kv_heads
+    cos_t, sin_t = rope_tables(cfg.max_positions, hd, cfg.rope_theta)
+    cos_new, sin_new = rope_slice(cos_t, sin_t, pos, C)
+
+    q_pos = pos + jnp.arange(C)[:, None]                     # [C, 1]
+    key_pos = jnp.concatenate(
+        [pos - P + jnp.arange(P), pos + jnp.arange(C)]
+    )[None, :]                                               # [1, P+C]
+    allowed = (
+        (key_pos <= q_pos)
+        & (key_pos > q_pos - cfg.sliding_window)
+        & (key_pos >= 0)
+    )                                                        # [C, P+C]
+
+    def body(h, layer):
+        bp, pk, pv = layer
+        hn = rmsnorm(h, bp["ln1"], cfg.rms_eps)
+        q = linear(hn, bp["attn"]["q"]).reshape(B, C, cfg.n_heads, hd)
+        k = linear(hn, bp["attn"]["k"]).reshape(B, C, cfg.n_kv_heads, hd)
+        v = linear(hn, bp["attn"]["v"]).reshape(B, C, cfg.n_kv_heads, hd)
+        q = apply_rope(q, cos_new, sin_new)
+        k = apply_rope(k, cos_new, sin_new)
+        keys = jnp.concatenate([pk, k], axis=1)              # [B, P+C, ...]
+        vals = jnp.concatenate([pv, v], axis=1)
+        qg = q.reshape(B, C, cfg.n_kv_heads, g, hd)
+        scores = jnp.einsum(
+            "bthgd,bshd->bhgts", qg, keys,
+            preferred_element_type=jnp.float32,
+        ) * (hd ** -0.5)
+        scores = jnp.where(allowed[None, None, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
+        ctx = jnp.einsum(
+            "bhgts,bshd->bthgd", probs, vals,
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        a = linear(ctx.reshape(B, C, cfg.n_heads * hd), bp["attn"]["o"])
+        h = h + a * bp["ls_attn"].astype(h.dtype)
+        from .layers import swiglu_mlp
+
+        m = swiglu_mlp(bp["mlp"], rmsnorm(h, bp["ln2"], cfg.rms_eps))
+        h = h + m * bp["ls_mlp"].astype(h.dtype)
+        return h, (keys[:, -P:], vals[:, -P:])
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["blocks"], past_k, past_v)
+    )
+    return rmsnorm(x, params["ln_f"], cfg.rms_eps), new_k, new_v
+
+
+def code2wav_stream_step(params: Params, cfg: Code2WavConfig, state: Params,
+                         codes: jnp.ndarray, *, first_chunk: bool = False):
+    """Decode one chunk of ``codes`` [B, Q, C]; returns (wav, new state).
+
+    Concatenated chunk outputs equal ``code2wav_decode`` of the
+    concatenated codes for any chunking, up to f32 reassociation in the
+    overlap-adds (~1e-9). ``first_chunk`` is a static
+    trace-time flag (one extra compile variant): the stream's first chunk
+    emits ``C * total_upsample - sum_i(r_i * prod(rates after i))`` samples
+    (the reference decoder's left trims land entirely in chunk one), later
+    chunks exactly ``C * total_upsample``; the right-trimmed samples stay in
+    the carries, matching the one-shot output length."""
+    h = embed_codes(params, cfg, codes)                       # [B, C, H]
+    h, new_k, new_v = _pre_transformer_stream(
+        params["pre"], h, state["pos"], state["pre_k"], state["pre_v"], cfg
+    )
+    h = jnp.transpose(h, (0, 2, 1))                           # [B, H, C]
+
+    new_up = []
+    for i, (stage, st) in enumerate(zip(params["upsample"], state["up"])):
+        h, _ = _tconv_stream(
+            h, stage["tconv"],
+            jnp.zeros((h.shape[0], h.shape[1], 0), h.dtype),
+            stride=cfg.upsampling_ratios[i],
+        )  # k == stride: stateless
+        cnx = stage["cnx"]
+        C_ch = h.shape[1]
+        d, dw_ctx = _conv_stream(h, cnx["dw"], st["dw"], groups=C_ch)
+        d = jnp.transpose(d, (0, 2, 1))
+        d = _layer_norm(d, cnx["ln_w"], cnx["ln_b"])
+        d = linear(d, {"w": cnx["pw1"]["w"]}) + cnx["pw1"]["b"].astype(h.dtype)
+        d = jax.nn.gelu(d, approximate=False)
+        d = linear(d, {"w": cnx["pw2"]["w"]}) + cnx["pw2"]["b"].astype(h.dtype)
+        d = d * cnx["gamma"].astype(h.dtype)
+        h = h + jnp.transpose(d, (0, 2, 1))
+        new_up.append({"dw": dw_ctx})
+
+    dec = params["decoder"]
+    dst = state["dec"]
+    w, ci_ctx = _conv_stream(h, dec["conv_in"], dst["conv_in"])
+    new_blocks = []
+    for i, (blk, bst) in enumerate(zip(dec["blocks"], dst["blocks"])):
+        w = snake_beta(w, blk["snake"])
+        w, tail = _tconv_stream(
+            w, blk["tconv"], bst["tconv_tail"], stride=cfg.upsample_rates[i],
+            first=first_chunk,
+        )
+        w, new_res = _snake_res_stream(w, blk, bst)
+        new_blocks.append({"tconv_tail": tail, "res": new_res})
+    w = snake_beta(w, dec["snake_out"])
+    w, co_ctx = _conv_stream(w, dec["conv_out"], dst["conv_out"])
+    wav = jnp.clip(w[:, 0, :], -1.0, 1.0)
+
+    new_state = {
+        "pos": state["pos"] + codes.shape[-1],
+        "pre_k": new_k,
+        "pre_v": new_v,
+        "up": tuple(new_up),
+        "dec": {
+            "conv_in": ci_ctx,
+            "blocks": tuple(new_blocks),
+            "conv_out": co_ctx,
+        },
+    }
+    return wav, new_state
+
 
 def embed_codes(params: Params, cfg: Code2WavConfig,
                 codes: jnp.ndarray) -> jnp.ndarray:

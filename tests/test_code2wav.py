@@ -205,6 +205,60 @@ def test_code2wav_primitives_match_torch():
     np.testing.assert_allclose(want, np.asarray(got), rtol=1e-4, atol=1e-6)
 
 
+def test_streaming_matches_one_shot():
+    """Chunked streaming decode == one-shot decode, bit-identical, across
+    mixed chunk sizes (the adaptive schedule hands off 2->3->4 frames)."""
+    from qwen3_tts_tpu.models.code2wav import (
+        code2wav_stream_step,
+        stream_state_init,
+    )
+
+    _, cfg = _tiny_cfgs()
+    params = jax.tree.map(jnp.asarray, init_code2wav(cfg, seed=9))
+    rng = np.random.default_rng(2)
+    T = 2 + 3 + 4
+    codes = rng.integers(0, cfg.codebook_size,
+                         (2, cfg.num_quantizers, T)).astype(np.int32)
+    full = np.asarray(code2wav_decode(params, cfg, jnp.asarray(codes)))
+
+    state = stream_state_init(params, cfg, batch=2)
+    chunks = []
+    t = 0
+    for i, c in enumerate([2, 3, 4]):
+        wav, state = code2wav_stream_step(
+            params, cfg, state, jnp.asarray(codes[:, :, t : t + c]),
+            first_chunk=(i == 0),
+        )
+        chunks.append(np.asarray(wav))
+        t += c
+    streamed = np.concatenate(chunks, axis=-1)
+
+    assert streamed.shape == full.shape
+    # overlap-add splits f32 summations differently -> reassociation noise
+    # only (observed ~3e-9 absolute)
+    np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_chunk_lengths():
+    """Steady-state chunks emit exactly C*total_upsample samples; the first
+    chunk is shorter by the summed left trims (static shapes per variant)."""
+    from qwen3_tts_tpu.models.code2wav import (
+        code2wav_stream_step,
+        stream_state_init,
+    )
+
+    _, cfg = _tiny_cfgs()
+    params = jax.tree.map(jnp.asarray, init_code2wav(cfg, seed=9))
+    codes = jnp.zeros((1, cfg.num_quantizers, 4), jnp.int32)
+    state = stream_state_init(params, cfg, batch=1)
+    w1, state = code2wav_stream_step(params, cfg, state, codes,
+                                     first_chunk=True)
+    w2, _ = code2wav_stream_step(params, cfg, state, codes)
+    # left-trim deficit: sum_i r_i * prod(rates after i) = 3*2 + 2 = 8
+    assert w2.shape[-1] == 4 * cfg.total_upsample
+    assert w1.shape[-1] == 4 * cfg.total_upsample - 8
+
+
 def test_config_from_hf_dict():
     cfg = Code2WavConfig.from_hf_dict({
         "codebook_size": 2048,

@@ -123,6 +123,14 @@ class ModelConfig:
     code_predictor: CodePredictorConfig = field(default_factory=CodePredictorConfig)
     codec: CodecConfig = field(default_factory=CodecConfig)
     quant: QuantConfig = field(default_factory=QuantConfig)
+    # which codec decoder architecture `codec_params` carries:
+    #   "rvq"      — the synthetic RVQ codec (models/codec.py)
+    #   "code2wav" — the real published family (models/code2wav.py);
+    #                `code2wav` holds its geometry, and `codec` is derived
+    #                to match (frame rate, codebook counts) so the talker /
+    #                code-predictor plumbing is arch-agnostic
+    codec_arch: str = "rvq"
+    code2wav: "object | None" = None   # models.code2wav.Code2WavConfig
     dtype: str = "bfloat16"
     max_seq_len: int = 3072            # prompt + generated frames budget
     # whether the checkpoint natively honors the speed control tag; when
@@ -153,6 +161,66 @@ def flagship(mode: str = "custom", *, frames_per_step: int = 1) -> ModelConfig:
 
 def with_frames_per_step(cfg: ModelConfig, n: int) -> ModelConfig:
     return replace(cfg, talker=replace(cfg.talker, frames_per_step=n))
+
+
+def with_code2wav(cfg: ModelConfig, c2w) -> ModelConfig:
+    """Switch ``cfg`` to the real code2wav decoder (models/code2wav.py).
+
+    The legacy ``codec`` section is re-derived so every arch-agnostic
+    consumer (talker codebook sizes, code-predictor depth, frame-rate/hop
+    arithmetic in the runtimes) sees consistent numbers: code2wav
+    quantizers are uniform, so codebook and residual sizes coincide.
+    """
+    frame_rate = c2w.sample_rate / c2w.total_upsample
+    codec = replace(
+        cfg.codec,
+        sample_rate=c2w.sample_rate,
+        frame_rate=frame_rate,
+        num_codebooks=c2w.num_quantizers,
+        codebook_size=c2w.codebook_size,
+        residual_codebook_size=c2w.codebook_size,
+        # the cloning feature encoder emits latents in the code2wav width
+        # so ref-audio codes quantize against the real embedding tables
+        latent_dim=c2w.hidden,
+        # the legacy fields below only shape the synthetic RVQ tree (and
+        # the cloning feature encoder); keep them consistent with the hop
+        upsample_rates=tuple(c2w.upsample_rates)
+        + tuple(c2w.upsampling_ratios),
+        decoder_channels=tuple(
+            cfg.codec.decoder_channels[
+                : len(c2w.upsample_rates) + len(c2w.upsampling_ratios) + 1
+            ]
+        )
+        if len(cfg.codec.decoder_channels)
+        >= len(c2w.upsample_rates) + len(c2w.upsampling_ratios) + 1
+        else (cfg.codec.decoder_channels[0],)
+        * (len(c2w.upsample_rates) + len(c2w.upsampling_ratios) + 1),
+    )
+    return replace(cfg, codec_arch="code2wav", code2wav=c2w, codec=codec)
+
+
+def tiny_code2wav(mode: str = "custom") -> ModelConfig:
+    """Tiny config running the REAL code2wav decoder arch end-to-end on CPU
+    (hop kept small: 3*2*2 = 12 samples/frame)."""
+    from ..models.code2wav import Code2WavConfig
+
+    base = tiny(mode, quant=False)
+    c2w = Code2WavConfig(
+        codebook_size=base.codec.codebook_size,
+        num_quantizers=base.codec.num_codebooks,
+        hidden=32,
+        n_layers=1,
+        n_heads=4,
+        n_kv_heads=2,
+        ffn=64,
+        sliding_window=8,
+        upsample_rates=(3, 2),
+        upsampling_ratios=(2,),
+        decoder_dim=16,
+        sample_rate=base.codec.sample_rate,
+        max_positions=512,
+    )
+    return with_code2wav(base, c2w)
 
 
 def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:

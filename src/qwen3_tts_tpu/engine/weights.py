@@ -128,12 +128,19 @@ def config_from_dict(d: dict) -> ModelConfig:
                 kw[k] = tuple(v)
         return cls(**kw)
 
+    code2wav = None
+    if d.get("code2wav"):
+        from ..models.code2wav import Code2WavConfig
+
+        code2wav = build(Code2WavConfig, d["code2wav"])
     return ModelConfig(
         mode=d.get("mode", "custom"),
         talker=build(TalkerConfig, d.get("talker", {})),
         code_predictor=build(CodePredictorConfig, d.get("code_predictor", {})),
         codec=build(CodecConfig, d.get("codec", {})),
         quant=build(QuantConfig, d.get("quant", {})),
+        codec_arch=d.get("codec_arch", "rvq"),
+        code2wav=code2wav,
         dtype=d.get("dtype", "bfloat16"),
         max_seq_len=d.get("max_seq_len", 3072),
         native_speed=d.get("native_speed", False),
@@ -286,8 +293,11 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
         )
 
     cc = base.codec
-    cc_cfg = _first(hf, "codec_config", "code2wav_config",
-                    "speech_tokenizer_config", default={})
+    # NOTE: code2wav_config is NOT consumed here — a checkpoint carrying it
+    # switches to the real decoder below (configs.with_code2wav derives the
+    # legacy codec section from its geometry)
+    cc_cfg = _first(hf, "codec_config", "speech_tokenizer_config",
+                    default={})
     if isinstance(cc_cfg, dict) and cc_cfg:
         cc = dataclasses.replace(
             cc,
@@ -328,10 +338,18 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
         )
     # real Qwen3-TTS checkpoints honor the speed control tag natively, so
     # the engine's WSOLA fallback (engine/api.py) must not double-apply
-    return dataclasses.replace(
+    out = dataclasses.replace(
         base, talker=talker, code_predictor=cp, codec=cc, quant=quant,
         native_speed=True,
     )
+    # a checkpoint with a code2wav section runs the REAL decoder family
+    # (models/code2wav.py) — geometry comes entirely from its config
+    c2w_cfg = hf.get("code2wav_config")
+    if isinstance(c2w_cfg, dict) and c2w_cfg:
+        from ..models.code2wav import Code2WavConfig
+
+        out = configs.with_code2wav(out, Code2WavConfig.from_hf_dict(c2w_cfg))
+    return out
 
 
 # Qwen-style per-layer linear bases -> our stacked-block pytree paths.
@@ -501,16 +519,21 @@ def _import_transformer(
     unmapped: list[str],
     comp: str,
     indexed: dict[str, str] | None = None,
+    block_norms: dict[str, str] | None = None,
 ) -> int:
     """Map Qwen-style transformer tensor names onto a stacked-block pytree
-    (shared by talker and code predictor). Every assignment is
-    shape-validated against the init slot; failures land in ``unmapped``
-    with a reason. Returns the number of mapped tensors."""
+    (shared by talker, code predictor and the code2wav pre-transformer).
+    Every assignment is shape-validated against the init slot; failures
+    land in ``unmapped`` with a reason. Returns the number of mapped
+    tensors. ``block_norms`` overrides the per-layer exact-name map
+    (default: the Qwen3 q/k-norm + pre/post layernorm set)."""
     from ..ops.quant import dequantize as _deq
 
     count = 0
     consumed: set[str] = set()
     assigned_tops: set[str] = set()
+    if block_norms is None:
+        block_norms = _BLOCK_NORMS
 
     def fail(name: str, why: str) -> None:
         unmapped.append(f"{comp}:{name} ({why})")
@@ -573,8 +596,8 @@ def _import_transformer(
             if layer >= n_layers:
                 fail(name, f"layer {layer} >= n_layers {n_layers}")
                 continue
-            if rest in _BLOCK_NORMS:
-                if put_block(_BLOCK_NORMS[rest], arr, layer):
+            if rest in block_norms:
+                if put_block(block_norms[rest], arr, layer):
                     consumed.add(name)
                 else:
                     fail(name, "shape mismatch")
@@ -642,6 +665,123 @@ def _import_transformer(
             count += 1
             continue
         fail(name, "no mapping")
+    return count
+
+
+# HF code2wav tensor-path fragments -> our pytree dotted paths
+# (see models/code2wav.py init_code2wav; the HF module structure is
+# transformers Qwen3OmniMoeCode2Wav, parity-tested in tests/test_code2wav).
+_C2W_CONVNEXT = {
+    "dwconv.conv.weight": "cnx.dw.w",
+    "dwconv.conv.bias": "cnx.dw.b",
+    "norm.weight": "cnx.ln_w",
+    "norm.bias": "cnx.ln_b",
+    "pwconv1.weight": "cnx.pw1.w",
+    "pwconv1.bias": "cnx.pw1.b",
+    "pwconv2.weight": "cnx.pw2.w",
+    "pwconv2.bias": "cnx.pw2.b",
+    "gamma": "cnx.gamma",
+}
+_C2W_BLOCK_NORMS = {
+    "input_layernorm.weight": "ln1",
+    "post_attention_layernorm.weight": "ln2",
+    "self_attn_layer_scale.scale": "ls_attn",
+    "mlp_layer_scale.scale": "ls_mlp",
+}
+
+
+def _c2w_native_name(name: str, n_rates: int) -> str | None:
+    """Translate an HF code2wav tensor path (after the ``code2wav.``
+    component prefix) to our dotted pytree path; None if unrecognised."""
+    m = re.match(r"^upsample\.(\d+)\.0\.conv\.(weight|bias)$", name)
+    if m:
+        return f"upsample.{m.group(1)}.tconv." + ("w" if m.group(2) == "weight" else "b")
+    m = re.match(r"^upsample\.(\d+)\.1\.(.+)$", name)
+    if m and m.group(2) in _C2W_CONVNEXT:
+        return f"upsample.{m.group(1)}." + _C2W_CONVNEXT[m.group(2)]
+    m = re.match(r"^decoder\.0\.conv\.(weight|bias)$", name)
+    if m:
+        return "decoder.conv_in." + ("w" if m.group(1) == "weight" else "b")
+    m = re.match(r"^decoder\.(\d+)\.block\.(\d+)\.(.+)$", name)
+    if m:
+        blk, j, rest = int(m.group(1)) - 1, int(m.group(2)), m.group(3)
+        if not 0 <= blk < n_rates:
+            return None
+        base = f"decoder.blocks.{blk}"
+        if j == 0 and rest in ("alpha", "beta"):
+            return f"{base}.snake.{rest}"
+        if j == 1 and rest in ("conv.weight", "conv.bias"):
+            return f"{base}.tconv." + ("w" if rest == "conv.weight" else "b")
+        if 2 <= j <= 4:
+            sub = {
+                "act1.alpha": "a1.alpha", "act1.beta": "a1.beta",
+                "conv1.conv.weight": "c1.w", "conv1.conv.bias": "c1.b",
+                "act2.alpha": "a2.alpha", "act2.beta": "a2.beta",
+                "conv2.conv.weight": "c2.w", "conv2.conv.bias": "c2.b",
+            }.get(rest)
+            return f"{base}.res.{j - 2}.{sub}" if sub else None
+        return None
+    m = re.match(rf"^decoder\.{n_rates + 1}\.(alpha|beta)$", name)
+    if m:
+        return f"decoder.snake_out.{m.group(1)}"
+    m = re.match(rf"^decoder\.{n_rates + 2}\.conv\.(weight|bias)$", name)
+    if m:
+        return "decoder.conv_out." + ("w" if m.group(1) == "weight" else "b")
+    return None
+
+
+def _import_code2wav(
+    tree: dict, c2w_cfg, tensors: dict[str, np.ndarray],
+    gs: int, bits: int, unmapped: list[str],
+) -> int:
+    """Map HF ``code2wav.*`` tensors (transformers Qwen3OmniMoeCode2Wav
+    module paths) onto the models/code2wav.py pytree. The pre-transformer
+    reuses the shared Qwen-style stacked-block importer (quant-aware); the
+    conv/upsample/decoder stack maps by translated native path. Returns the
+    number of tensors mapped; unrecognised names land in ``unmapped``."""
+    from ..ops.quant import dequantize as _deq
+
+    count = 0
+    pre: dict[str, np.ndarray] = {}
+    rest: dict[str, np.ndarray] = {}
+    for name, arr in tensors.items():
+        if name.startswith("pre_transformer."):
+            pre[name[len("pre_transformer."):]] = arr
+        else:
+            rest[name] = arr
+
+    if pre:
+        count += _import_transformer(
+            tree["pre"], pre,
+            n_layers=c2w_cfg.n_layers,
+            top_map={"norm.weight": "ln_f"},
+            dense_dests=frozenset({"ln_f"}),
+            gs=gs, bits=bits, unmapped=unmapped, comp="code2wav.pre",
+            block_norms=_C2W_BLOCK_NORMS,
+        )
+
+    n_rates = len(c2w_cfg.upsample_rates)
+    for name in sorted(rest):
+        if name.endswith((".scales", ".biases")):
+            continue
+        arr = rest[name]
+        if name in ("code_embedding.weight", "code_embedding"):
+            base = "code_embedding"
+            if f"{base}.scales" in rest:  # MLX-quantized table: dequantize
+                arr = np.asarray(
+                    _deq(_gather_quantized(rest, base, gs, bits)), np.float32
+                )
+            if np.shape(tree["code_emb"]) == np.shape(arr):
+                tree["code_emb"] = np.asarray(arr)
+                count += 1
+            else:
+                unmapped.append(f"code2wav:{name} (shape mismatch)")
+            continue
+        native = _c2w_native_name(name, n_rates)
+        if native is not None and _try_native_path(tree, native, arr):
+            count += 1
+        else:
+            unmapped.append(f"code2wav:{name} (no mapping)")
     return count
 
 
@@ -729,7 +869,15 @@ def import_hf_checkpoint(
     )
 
     codec_params = init_codec(cfg, seed=2)
-    assigned["codec"] = _import_codec(codec_params, by_comp["codec"], unmapped)
+    if cfg.codec_arch == "code2wav":
+        assigned["codec"] = _import_code2wav(
+            codec_params["c2w"], cfg.code2wav, by_comp["codec"],
+            gs, bits, unmapped,
+        )
+    else:
+        assigned["codec"] = _import_codec(
+            codec_params, by_comp["codec"], unmapped
+        )
 
     synthetic: list[str] = []
     for comp, label in (

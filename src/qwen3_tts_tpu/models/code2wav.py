@@ -88,6 +88,18 @@ class Code2WavConfig:
     def frame_rate(self) -> float:
         return self.sample_rate / self.total_upsample
 
+    @property
+    def startup_samples(self) -> int:
+        """Length of the stream's edge run-in when chunks are decoded in
+        the uniform-shape variant (``first_chunk=False`` throughout): each
+        decoder block's transposed conv contributes its (kernel - stride)
+        = rate head samples, scaled by the rates below it. The one-shot
+        reference trims exactly these; hosts drop them per utterance."""
+        total = 0
+        for i, r in enumerate(self.upsample_rates):
+            total += r * int(np.prod(self.upsample_rates[i + 1 :]))
+        return total
+
     @classmethod
     def from_hf_dict(cls, d: dict) -> "Code2WavConfig":
         """Build from a checkpoint's ``code2wav_config`` JSON section."""
@@ -387,7 +399,13 @@ def pre_transformer(params: Params, x: jnp.ndarray,
 
 def stream_state_init(params: Params, cfg: Code2WavConfig, batch: int,
                       dtype=jnp.float32) -> Params:
-    """Zero streaming state for a ``batch``-stream decode."""
+    """Zero streaming state for a ``batch``-stream decode.
+
+    Layout contract with the serving engine (runtime/serving.py): every
+    leaf that must reset when a slot is recycled lives under ``"conv"``
+    with the batch on axis 0 (``state["conv"] -> .at[slots].set(0)``); the
+    ``pre_k/pre_v`` window buffers need no reset — a recycled slot restarts
+    at pos 0 and the absolute-position mask hides everything older."""
     H, D = cfg.hidden, cfg.decoder_dim
     P = cfg.sliding_window - 1
 
@@ -404,18 +422,21 @@ def stream_state_init(params: Params, cfg: Code2WavConfig, batch: int,
             ),
         })
     return {
-        "pos": jnp.zeros((), jnp.int32),
         "pre_k": jnp.zeros(
             (cfg.n_layers, batch, P, cfg.n_kv_heads, cfg.head_dim), dtype
         ),
         "pre_v": jnp.zeros(
             (cfg.n_layers, batch, P, cfg.n_kv_heads, cfg.head_dim), dtype
         ),
-        "up": tuple({"dw": conv_ctx(H, 7)} for _ in cfg.upsampling_ratios),
-        "dec": {
-            "conv_in": conv_ctx(H, 7),
-            "blocks": tuple(dec_blocks),
-            "conv_out": conv_ctx(D // 2 ** len(cfg.upsample_rates), 7),
+        "conv": {
+            "up": tuple(
+                {"dw": conv_ctx(H, 7)} for _ in cfg.upsampling_ratios
+            ),
+            "dec": {
+                "conv_in": conv_ctx(H, 7),
+                "blocks": tuple(dec_blocks),
+                "conv_out": conv_ctx(D // 2 ** len(cfg.upsample_rates), 7),
+            },
         },
     }
 
@@ -496,15 +517,26 @@ def _pre_transformer_stream(params: Params, x: jnp.ndarray, pos: jnp.ndarray,
     cos_t, sin_t = rope_tables(cfg.max_positions, hd, cfg.rope_theta)
     cos_new, sin_new = rope_slice(cos_t, sin_t, pos, C)
 
-    q_pos = pos + jnp.arange(C)[:, None]                     # [C, 1]
-    key_pos = jnp.concatenate(
-        [pos - P + jnp.arange(P), pos + jnp.arange(C)]
-    )[None, :]                                               # [1, P+C]
+    pos = jnp.asarray(pos, jnp.int32)
+    if pos.ndim == 1:  # per-stream positions (continuous batched serving)
+        q_pos = pos[:, None, None] + jnp.arange(C)[None, :, None]  # [B,C,1]
+        key_pos = jnp.concatenate(
+            [
+                pos[:, None] - P + jnp.arange(P)[None, :],
+                pos[:, None] + jnp.arange(C)[None, :],
+            ],
+            axis=1,
+        )[:, None, :]                                        # [B, 1, P+C]
+    else:
+        q_pos = (pos + jnp.arange(C))[:, None]               # [C, 1]
+        key_pos = jnp.concatenate(
+            [pos - P + jnp.arange(P), pos + jnp.arange(C)]
+        )[None, :]                                           # [1, P+C]
     allowed = (
         (key_pos <= q_pos)
         & (key_pos > q_pos - cfg.sliding_window)
         & (key_pos >= 0)
-    )                                                        # [C, P+C]
+    )                                                        # [B?, C, P+C]
 
     def body(h, layer):
         bp, pk, pv = layer
@@ -521,7 +553,9 @@ def _pre_transformer_stream(params: Params, x: jnp.ndarray, pos: jnp.ndarray,
             "bthgd,bshd->bhgts", qg, keys,
             preferred_element_type=jnp.float32,
         ) * (hd ** -0.5)
-        scores = jnp.where(allowed[None, None, None], scores, -jnp.inf)
+        mask = (allowed[None, None, None] if allowed.ndim == 2
+                else allowed[:, None, None])
+        scores = jnp.where(mask, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
         ctx = jnp.einsum(
             "bhgts,bshd->bthgd", probs, vals,
@@ -542,8 +576,10 @@ def _pre_transformer_stream(params: Params, x: jnp.ndarray, pos: jnp.ndarray,
 
 
 def code2wav_stream_step(params: Params, cfg: Code2WavConfig, state: Params,
-                         codes: jnp.ndarray, *, first_chunk: bool = False):
+                         codes: jnp.ndarray, pos=0, *,
+                         first_chunk: bool = False):
     """Decode one chunk of ``codes`` [B, Q, C]; returns (wav, new state).
+    ``pos`` — frames decoded before this chunk, scalar or [B] per-stream.
 
     Concatenated chunk outputs equal ``code2wav_decode`` of the
     concatenated codes for any chunking, up to f32 reassociation in the
@@ -555,12 +591,14 @@ def code2wav_stream_step(params: Params, cfg: Code2WavConfig, state: Params,
     the carries, matching the one-shot output length."""
     h = embed_codes(params, cfg, codes)                       # [B, C, H]
     h, new_k, new_v = _pre_transformer_stream(
-        params["pre"], h, state["pos"], state["pre_k"], state["pre_v"], cfg
+        params["pre"], h, pos, state["pre_k"], state["pre_v"], cfg
     )
     h = jnp.transpose(h, (0, 2, 1))                           # [B, H, C]
 
     new_up = []
-    for i, (stage, st) in enumerate(zip(params["upsample"], state["up"])):
+    for i, (stage, st) in enumerate(
+        zip(params["upsample"], state["conv"]["up"])
+    ):
         h, _ = _tconv_stream(
             h, stage["tconv"],
             jnp.zeros((h.shape[0], h.shape[1], 0), h.dtype),
@@ -579,7 +617,7 @@ def code2wav_stream_step(params: Params, cfg: Code2WavConfig, state: Params,
         new_up.append({"dw": dw_ctx})
 
     dec = params["decoder"]
-    dst = state["dec"]
+    dst = state["conv"]["dec"]
     w, ci_ctx = _conv_stream(h, dec["conv_in"], dst["conv_in"])
     new_blocks = []
     for i, (blk, bst) in enumerate(zip(dec["blocks"], dst["blocks"])):
@@ -595,14 +633,15 @@ def code2wav_stream_step(params: Params, cfg: Code2WavConfig, state: Params,
     wav = jnp.clip(w[:, 0, :], -1.0, 1.0)
 
     new_state = {
-        "pos": state["pos"] + codes.shape[-1],
         "pre_k": new_k,
         "pre_v": new_v,
-        "up": tuple(new_up),
-        "dec": {
-            "conv_in": ci_ctx,
-            "blocks": tuple(new_blocks),
-            "conv_out": co_ctx,
+        "conv": {
+            "up": tuple(new_up),
+            "dec": {
+                "conv_in": ci_ctx,
+                "blocks": tuple(new_blocks),
+                "conv_out": co_ctx,
+            },
         },
     }
     return wav, new_state

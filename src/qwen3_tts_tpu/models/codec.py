@@ -30,6 +30,13 @@ Params = dict[str, Any]
 _MAX_FRAMES = 4096  # RoPE table budget for the latent transformer
 
 
+def max_stream_frames(cfg: ModelConfig) -> int:
+    """Per-utterance frame budget imposed by the codec's position tables."""
+    if cfg.codec_arch == "code2wav":
+        return cfg.code2wav.max_positions
+    return _MAX_FRAMES
+
+
 # --------------------------------------------------------------------------
 # conv primitives
 # --------------------------------------------------------------------------
@@ -113,10 +120,47 @@ def _stack_trees(trees: list[Params]) -> Params:
     return _stack(trees)
 
 
+def _init_encoder(cfg: ModelConfig, rng, dtype) -> Params:
+    """Cloning-side waveform encoder: mirror of the RVQ decoder (strided
+    causal convs, reversed rates). Shared by both codec architectures."""
+    cc = cfg.codec
+    enc_stages = []
+    enc_channels = list(reversed(cc.decoder_channels))
+    for i, rate in enumerate(reversed(cc.upsample_rates)):
+        c_in, c_out = enc_channels[i], enc_channels[i + 1]
+        enc_stages.append(
+            {
+                "down": _conv_init(rng, 2 * rate + 1, c_in, c_out, dtype),
+                "res": _resunit_init(rng, c_out, cc.decoder_kernel, dtype),
+            }
+        )
+    return {
+        "in_conv": _conv_init(rng, 7, 1, enc_channels[0], dtype),
+        "stages": enc_stages,
+        "proj": _conv_init(rng, 1, enc_channels[-1], cc.latent_dim, dtype),
+        "ln": np.ones(cc.latent_dim, dtype=dtype),
+    }
+
+
 def init_codec(cfg: ModelConfig, seed: int = 2) -> Params:
     cc = cfg.codec
     rng = np.random.default_rng(seed)
     dtype = np.dtype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    if cfg.codec_arch == "code2wav":
+        # the real decoder family (models/code2wav.py); the cloning-side
+        # feature encoder keeps the synthetic architecture until the
+        # checkpoints' speech tokenizer is recoverable offline
+        from .code2wav import init_code2wav
+
+        return {
+            "c2w": init_code2wav(cfg.code2wav, seed=seed, dtype=dtype),
+            "enc": _init_encoder(cfg, rng, dtype),
+            "spk_proj": {
+                "w": rng.normal(
+                    0, 0.02, (cfg.talker.hidden, cc.latent_dim)
+                ).astype(dtype)
+            },
+        }
     head_dim = cc.latent_dim // cc.transformer_heads
     ffn = 4 * cc.latent_dim
     n_res = cc.num_codebooks - 1
@@ -128,18 +172,6 @@ def init_codec(cfg: ModelConfig, seed: int = 2) -> Params:
         dec_stages.append(
             {
                 "up": _conv_init(rng, 2 * rate + 1, c_in, c_out, dtype),
-                "res": _resunit_init(rng, c_out, cc.decoder_kernel, dtype),
-            }
-        )
-
-    # encoder: mirror of the decoder (strided causal convs, reversed rates)
-    enc_stages = []
-    enc_channels = list(reversed(cc.decoder_channels))
-    for i, rate in enumerate(reversed(cc.upsample_rates)):
-        c_in, c_out = enc_channels[i], enc_channels[i + 1]
-        enc_stages.append(
-            {
-                "down": _conv_init(rng, 2 * rate + 1, c_in, c_out, dtype),
                 "res": _resunit_init(rng, c_out, cc.decoder_kernel, dtype),
             }
         )
@@ -163,12 +195,7 @@ def init_codec(cfg: ModelConfig, seed: int = 2) -> Params:
             "stages": dec_stages,
             "out_conv": _conv_init(rng, cc.decoder_kernel, cc.decoder_channels[-1], 1, dtype),
         },
-        "enc": {
-            "in_conv": _conv_init(rng, 7, 1, enc_channels[0], dtype),
-            "stages": enc_stages,
-            "proj": _conv_init(rng, 1, enc_channels[-1], cc.latent_dim, dtype),
-            "ln": np.ones(cc.latent_dim, dtype=dtype),
-        },
+        "enc": _init_encoder(cfg, rng, dtype),
         # latent -> talker-hidden projection for cloning conditioning
         "spk_proj": {
             "w": rng.normal(0, 0.02, (cfg.talker.hidden, cc.latent_dim)).astype(dtype)
@@ -321,7 +348,15 @@ def init_codec_stream_state(
     cfg: ModelConfig, batch: int, *, dtype=jnp.bfloat16
 ) -> dict:
     """Device state for incremental codec decoding: latent-transformer KV
-    caches (full-utterance length) + per-conv left contexts."""
+    caches (full-utterance length) + per-conv left contexts.
+
+    Both codec architectures share the contract the runtimes rely on:
+    ``state["conv"]`` holds every leaf that resets on slot recycling
+    (batch axis 0), everything else is masked by stream position."""
+    if cfg.codec_arch == "code2wav":
+        from .code2wav import stream_state_init
+
+        return stream_state_init(None, cfg.code2wav, batch, dtype=dtype)
     cc = cfg.codec
     head_dim = cc.latent_dim // cc.transformer_heads
     cache_shape = (
@@ -344,7 +379,20 @@ def decode_codes_streaming(
 ) -> tuple[jnp.ndarray, dict]:
     """Decode ``chunk`` new frames with full left context; returns
     (wav_chunk [B, chunk*hop], new_state). Output matches decode_codes of
-    the whole history, sliced to these frames."""
+    the whole history, sliced to these frames.
+
+    code2wav models route to the real decoder's streaming step
+    (models/code2wav.py) in its uniform-shape variant: every chunk emits
+    exactly chunk*hop samples, with the stream's FIRST
+    ``sum_i((k_i - s_i) * prod(s_after_i))`` samples being the edge run-in
+    the one-shot reference trims (the engine drops them host-side per
+    utterance — engine/api.py c2w_startup_samples)."""
+    if cfg.codec_arch == "code2wav":
+        from .code2wav import code2wav_stream_step
+
+        return code2wav_stream_step(
+            params["c2w"], cfg.code2wav, state, codes_new, pos
+        )
     cc = cfg.codec
     dec = params["dec"]
     B, _, T = codes_new.shape
@@ -405,7 +453,6 @@ def rvq_quantize(
 ) -> jnp.ndarray:
     """Nearest-neighbour residual VQ: latent [B, T, D] -> codes [B, Q, T]."""
     cc = cfg.codec
-    dec = params["dec"]
 
     def nearest(resid: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
         rf = resid.astype(jnp.float32)
@@ -415,6 +462,23 @@ def rvq_quantize(
         norms = jnp.sum(tf * tf, axis=-1)
         return jnp.argmin(norms[None, None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
 
+    if cfg.codec_arch == "code2wav":
+        # fit the code2wav embedding MEAN to the encoder latent: the
+        # decoder embeds mean_q(e_q[code_q]), so residual-quantize the
+        # target Q*latent against the per-quantizer table slices
+        c2w = cfg.code2wav
+        tables = params["c2w"]["code_emb"].reshape(
+            c2w.num_quantizers, c2w.codebook_size, c2w.hidden
+        )
+        resid = latent.astype(jnp.float32) * c2w.num_quantizers
+        codes = []
+        for q in range(c2w.num_quantizers):
+            idx = nearest(resid, tables[q])
+            resid = resid - jnp.take(tables[q], idx, axis=0)
+            codes.append(idx)
+        return jnp.stack(codes, axis=1)
+
+    dec = params["dec"]
     resid = latent
     idx0 = nearest(resid, dec["cb0_emb"])
     resid = resid - jnp.take(dec["cb0_emb"], idx0, axis=0)

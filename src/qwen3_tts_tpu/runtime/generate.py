@@ -451,15 +451,21 @@ class Generator:
         hop = cfg.codec.hop
         emb, pad = self.assemble_prompt(prompt)
         Lb = emb.shape[1]
-        from ..models.codec import _MAX_FRAMES
+        from ..models.codec import max_stream_frames
 
-        # cap against both the talker cache (positions) and the codec
-        # latent-transformer cache (frames) — see ServingEngine.submit
+        # cap against both the talker cache (positions) and the codec's
+        # position tables (frames) — see ServingEngine.submit
         budget = min(
             (cfg.max_seq_len - Lb) * fps,
-            _MAX_FRAMES - 2 * max(self.chunk_schedule),
+            max_stream_frames(cfg) - 2 * max(self.chunk_schedule),
         )
         max_frames = max(1, min(max_frames, budget))
+        # code2wav streams lead with a fixed edge run-in that the one-shot
+        # decode trims; drop it from the first emitted audio
+        startup_skip = (
+            cfg.code2wav.startup_samples if cfg.codec_arch == "code2wav"
+            else 0
+        )
 
         start = time.perf_counter()
         cache_k, cache_v = self._alloc_cache()
@@ -541,6 +547,11 @@ class Generator:
                 done = True
             if valid > 0:
                 wav_chunk = wav[0][: valid * hop]
+                if startup_skip:  # code2wav edge run-in (see models/codec.py
+                    # decode_codes_streaming) — drop once per utterance
+                    cut = min(startup_skip, len(wav_chunk))
+                    wav_chunk = wav_chunk[cut:]
+                    startup_skip -= cut
                 wav_pieces.append(wav_chunk)
                 n_frames += valid
                 if ttfa is None:

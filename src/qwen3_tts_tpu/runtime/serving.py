@@ -468,16 +468,16 @@ class ServingEngine:
         gen = self.model.generator  # reuse its prompt assembly
         emb, pad = gen.assemble_prompt(prompt)
         Lb = emb.shape[1]
-        from ..models.codec import _MAX_FRAMES
+        from ..models.codec import max_stream_frames
 
-        # cap against BOTH the talker cache (positions) and the codec
-        # latent-transformer cache (frames): with frames_per_step>1 the
-        # talker budget alone can exceed the codec's 4096-frame capacity,
-        # and overflow there clamps writes silently (garbage audio). The
-        # 2*chunk margin covers speculative whole-chunk overshoot.
+        # cap against BOTH the talker cache (positions) and the codec's
+        # position tables (frames): with frames_per_step>1 the talker
+        # budget alone can exceed the codec's frame capacity, and overflow
+        # there clamps writes silently (garbage audio). The 2*chunk margin
+        # covers speculative whole-chunk overshoot.
         budget = min(
             (self.cfg.max_seq_len - Lb) * self.fps,
-            _MAX_FRAMES - 2 * max(self.chunk_schedule),
+            max_stream_frames(self.cfg) - 2 * max(self.chunk_schedule),
         )
         max_frames = max(1, min(max_frames, budget))
 
@@ -816,14 +816,26 @@ class ServingEngine:
                     codes_host[slot][:, :valid] if codes_host is not None
                     else _DeferredCodes(codes, slot, valid)
                 )
+                # code2wav: the stream's first chunk leads with a fixed
+                # edge run-in the one-shot decode trims (< one frame of
+                # samples, so it always fits the first chunk; the first
+                # chunk is always fetched eagerly for TTFA honesty)
+                startup = (
+                    self.cfg.code2wav.startup_samples
+                    if self.cfg.codec_arch == "code2wav"
+                    and stream.frames == 0
+                    else 0
+                )
                 if wav_host is not None:
-                    chunk_wav = stream_wav = wav_host[slot, : valid * hop]
+                    chunk_wav = stream_wav = (
+                        wav_host[slot, startup : valid * hop]
+                    )
                 elif stream.ttfa_s is None or stream.on_chunk is not None:
                     # first audible chunk (TTFA honesty) or a streaming
                     # consumer: host audio now (one whole-step fetch,
                     # shared by every such stream in this step)
                     chunk_wav = stream_wav = (
-                        fetch_wav_host()[slot, : valid * hop]
+                        fetch_wav_host()[slot, startup : valid * hop]
                     )
                 else:
                     # steady state: keep the row on device; one batched

@@ -227,7 +227,7 @@ def test_streaming_matches_one_shot():
     for i, c in enumerate([2, 3, 4]):
         wav, state = code2wav_stream_step(
             params, cfg, state, jnp.asarray(codes[:, :, t : t + c]),
-            first_chunk=(i == 0),
+            pos=jnp.int32(t), first_chunk=(i == 0),
         )
         chunks.append(np.asarray(wav))
         t += c
@@ -251,12 +251,82 @@ def test_streaming_chunk_lengths():
     params = jax.tree.map(jnp.asarray, init_code2wav(cfg, seed=9))
     codes = jnp.zeros((1, cfg.num_quantizers, 4), jnp.int32)
     state = stream_state_init(params, cfg, batch=1)
-    w1, state = code2wav_stream_step(params, cfg, state, codes,
+    w1, state = code2wav_stream_step(params, cfg, state, codes, pos=0,
                                      first_chunk=True)
-    w2, _ = code2wav_stream_step(params, cfg, state, codes)
+    w2, _ = code2wav_stream_step(params, cfg, state, codes, pos=4)
     # left-trim deficit: sum_i r_i * prod(rates after i) = 3*2 + 2 = 8
     assert w2.shape[-1] == 4 * cfg.total_upsample
     assert w1.shape[-1] == 4 * cfg.total_upsample - 8
+
+
+def test_hf_checkpoint_import_reproduces_torch_decode(tmp_path):
+    """End-to-end import fidelity: an HF snapshot carrying code2wav.* tensors
+    (real transformers module paths) plus a code2wav_config section loads
+    through import_hf_checkpoint, maps every codec tensor, and the imported
+    JAX decoder reproduces the torch reference's waveform."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from qwen3_tts_tpu.engine.weights import import_hf_checkpoint
+
+    hf_cfg, cfg = _tiny_cfgs()
+    model_t = _torch_model(hf_cfg)
+
+    tensors = {
+        f"code2wav.{k}": v.detach().numpy()
+        for k, v in model_t.state_dict().items()
+    }
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    save_file(tensors, str(snap / "model.safetensors"))
+    config = {
+        "talker_config": {
+            "vocab_size": 256, "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "head_dim": 16, "intermediate_size": 128,
+            "codec_vocab_size": 67, "codec_bos_token_id": 64,
+            "codec_eos_token_id": 65, "codec_pad_token_id": 66,
+            "num_speakers": 4,
+        },
+        "code_predictor_config": {
+            "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "head_dim": 16,
+            "intermediate_size": 64,
+        },
+        "code2wav_config": {
+            "codebook_size": 16, "num_quantizers": 3, "hidden_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "intermediate_size": 64,
+            "sliding_window": 4, "upsample_rates": [3, 2],
+            "upsampling_ratios": [2], "decoder_dim": 16,
+            "max_position_embeddings": 128,
+        },
+    }
+    (snap / "config.json").write_text(json.dumps(config))
+
+    with pytest.warns(UserWarning):  # talker/cp synthetic (allow_partial)
+        model = import_hf_checkpoint(str(snap), allow_partial=True)
+    assert model.cfg.codec_arch == "code2wav"
+    assert model.cfg.code2wav.upsample_rates == (3, 2)
+    assert model.cfg.codec.frame_rate == 24_000 / 12
+    report = model.import_report
+    assert report.assigned["codec"] == len(tensors)
+    assert not [u for u in report.unmapped if u.startswith("code2wav")]
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, cfg.codebook_size,
+                         (1, cfg.num_quantizers, 10)).astype(np.int64)
+    with torch.no_grad():
+        want = model_t(torch.tensor(codes)).numpy()[:, 0, :]
+    got = np.asarray(
+        code2wav_decode(
+            jax.tree.map(jnp.asarray, model.codec_params["c2w"]),
+            model.cfg.code2wav,
+            jnp.asarray(codes),
+        )
+    )
+    np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
 
 
 def test_config_from_hf_dict():

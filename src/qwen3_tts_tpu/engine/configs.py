@@ -71,6 +71,12 @@ class CodePredictorConfig:
     ffn: int = 3072
     rms_eps: float = 1e-6
     rope_theta: float = 10_000.0
+    # per-head q/k RMSNorm in the depth transformer. The published code
+    # predictor family (transformers Qwen3OmniMoeTalkerCodePredictor) has
+    # NO qk-norm; imports auto-set this from whether the checkpoint carries
+    # q_norm tensors (a norm applied where the weights expect none — or
+    # vice versa — mis-scales every attention read)
+    qk_norm: bool = True
 
 
 @dataclass(frozen=True)

@@ -400,10 +400,14 @@ _CP_TOP_MAP = {
     "model.norm.weight": "ln_f",
 }
 _CP_DENSE = frozenset({"cb0_emb", "res_emb", "heads", "ln_f"})
-# per-codebook variants: res_embeddings.3.weight -> res_emb[3]
+# per-codebook variants: res_embeddings.3.weight -> res_emb[3]. The
+# published layout (transformers Qwen3OmniMoeTalkerCodePredictor*) uses
+# lm_head.{i} and model.codec_embedding.{i} ModuleLists — same per-depth
+# structure as our stacked res_emb/heads.
 _CP_INDEXED = {"res_embeddings": "res_emb", "res_embs": "res_emb",
-               "heads": "heads", "lm_heads": "heads"}
-_INDEXED_RE = re.compile(r"^([A-Za-z_]+)\.(\d+)\.weight$")
+               "codec_embedding": "res_emb", "res_embedding": "res_emb",
+               "heads": "heads", "lm_heads": "heads", "lm_head": "heads"}
+_INDEXED_RE = re.compile(r"^(?:model\.)?([A-Za-z_]+)\.(\d+)\.weight$")
 _LAYER_RE = re.compile(r"^(?:model\.)?layers\.(\d+)\.(.+)$")
 
 
@@ -859,6 +863,17 @@ def import_hf_checkpoint(
         gs=gs, bits=bits, unmapped=unmapped, comp="talker",
     )
 
+    if by_comp["cp"] and not any("q_norm" in n for n in by_comp["cp"]):
+        # the published code-predictor family has NO per-head qk-norm
+        # (transformers Qwen3OmniMoeTalkerCodePredictorAttention): applying
+        # one over weights that never trained with it mis-scales every
+        # attention read, so follow the checkpoint
+        cfg = dataclasses.replace(
+            cfg,
+            code_predictor=dataclasses.replace(
+                cfg.code_predictor, qk_norm=False
+            ),
+        )
     cp_params = init_code_predictor(cfg, seed=1)
     assigned["code_predictor"] = _import_transformer(
         cp_params, by_comp["cp"],

@@ -117,7 +117,7 @@ def predict_residuals(
                 cos=cos, sin=sin,
                 cache_k=k_l, cache_v=v_l, pos=d,
                 n_heads=cp.n_heads, n_kv_heads=cp.n_heads,
-                head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=True,
+                head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=cp.qk_norm,
             )
             return out.x, (out.cache_k, out.cache_v)
 

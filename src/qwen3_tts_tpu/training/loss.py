@@ -199,7 +199,7 @@ def code_predictor_teacher_logits(
             cos=cos_t[:n_res], sin=sin_t[:n_res],
             cache_k=k_l, cache_v=v_l, pos=jnp.int32(0),
             n_heads=cp.n_heads, n_kv_heads=cp.n_heads,
-            head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=True,
+            head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=cp.qk_norm,
         )
         return out.x, None
 

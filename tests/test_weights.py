@@ -230,6 +230,70 @@ def _add_cp_tensors(tensors, cfg, rng):
         )
 
 
+def test_cp_import_published_layout(temp_dir):
+    """The published code-predictor naming (transformers
+    Qwen3OmniMoeTalkerCodePredictor: per-depth lm_head.{i} /
+    model.codec_embedding.{i} ModuleLists, NO q/k norms) maps onto the
+    stacked pytree, and the missing q_norm tensors flip cp qk_norm off."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    cfg = configs.tiny("custom", quant=True)
+    cp, t, cc = cfg.code_predictor, cfg.talker, cfg.codec
+    rng = np.random.default_rng(3)
+    n_res = cc.num_codebooks - 1
+    q_dim = cp.n_heads * cp.head_dim
+    tensors = {}
+
+    def lin(name, o, i):
+        tensors[f"code_predictor.{name}.weight"] = rng.normal(
+            0, 0.05, (o, i)).astype(np.float32)
+
+    lin("in_proj", cp.hidden, t.hidden)
+    tensors["code_predictor.cb0_embedding.weight"] = rng.normal(
+        0, 0.02, (cc.codebook_size, cp.hidden)).astype(np.float32)
+    for i in range(n_res):
+        tensors[f"code_predictor.model.codec_embedding.{i}.weight"] = (
+            rng.normal(0, 0.02, (cc.residual_codebook_size, cp.hidden))
+            .astype(np.float32)
+        )
+        tensors[f"code_predictor.lm_head.{i}.weight"] = rng.normal(
+            0, 0.02, (cc.residual_codebook_size, cp.hidden)
+        ).astype(np.float32)
+    tensors["code_predictor.model.norm.weight"] = np.ones(cp.hidden, np.float32)
+    for i in range(cp.n_layers):
+        lin(f"model.layers.{i}.self_attn.q_proj", q_dim, cp.hidden)
+        lin(f"model.layers.{i}.self_attn.k_proj", q_dim, cp.hidden)
+        lin(f"model.layers.{i}.self_attn.v_proj", q_dim, cp.hidden)
+        lin(f"model.layers.{i}.self_attn.o_proj", cp.hidden, q_dim)
+        lin(f"model.layers.{i}.mlp.gate_proj", cp.ffn, cp.hidden)
+        lin(f"model.layers.{i}.mlp.up_proj", cp.ffn, cp.hidden)
+        lin(f"model.layers.{i}.mlp.down_proj", cp.hidden, cp.ffn)
+        p = f"code_predictor.model.layers.{i}"
+        tensors[f"{p}.input_layernorm.weight"] = np.ones(cp.hidden, np.float32)
+        tensors[f"{p}.post_attention_layernorm.weight"] = np.ones(
+            cp.hidden, np.float32)
+
+    path = os.path.join(temp_dir, "omni_cp_ckpt")
+    os.makedirs(path)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(_hf_config_dict(cfg), f)
+
+    with pytest.warns(UserWarning):  # talker/codec synthetic
+        model = import_hf_checkpoint(path, allow_partial=True)
+    assert model.cfg.code_predictor.qk_norm is False
+    cp_unmapped = [u for u in model.import_report.unmapped
+                   if u.startswith("code_predictor")]
+    assert not cp_unmapped, cp_unmapped
+    assert model.import_report.assigned["code_predictor"] == len(tensors)
+    # the per-depth heads landed where predict_residuals reads them
+    got = np.asarray(model.cp_params["heads"][1])
+    want = tensors["code_predictor.lm_head.1.weight"]
+    np.testing.assert_array_equal(got.astype(np.float32), want)
+
+
 def _add_codec_tensors(tensors, cfg, seed):
     """Codec tensors as dotted native paths under the codec. prefix —
     exactly the geometry init_codec builds from config.json's codec

@@ -175,8 +175,13 @@ def main() -> None:
 
     t0 = time.perf_counter()
     # frames_per_step=2: the MTP decode head halves talker HBM traffic per
-    # frame (engine/configs.py TalkerConfig.frames_per_step)
-    cfg = configs.flagship("custom", frames_per_step=2)
+    # frame (engine/configs.py TalkerConfig.frames_per_step).
+    # QWEN3_TTS_BENCH_CODEC=code2wav swaps in the REAL decoder family at
+    # flagship geometry (models/code2wav.py) to measure its true cost.
+    if os.environ.get("QWEN3_TTS_BENCH_CODEC", "rvq") == "code2wav":
+        cfg = configs.flagship_code2wav("custom", frames_per_step=2)
+    else:
+        cfg = configs.flagship("custom", frames_per_step=2)
     model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
     gen = model.generator
     load_s = time.perf_counter() - t0
@@ -227,6 +232,7 @@ def main() -> None:
                     "compile_s": round(compile_s, 1),
                     "serving_8stream": serving,
                     "config": "flagship-1.7B, MTP frames_per_step=2, "
+                    f"codec={cfg.codec_arch}, "
                     f"adaptive chunks {gen.chunk_schedule}",
                 },
             }

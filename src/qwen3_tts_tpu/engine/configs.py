@@ -205,6 +205,30 @@ def with_code2wav(cfg: ModelConfig, c2w) -> ModelConfig:
     return replace(cfg, codec_arch="code2wav", code2wav=c2w, codec=codec)
 
 
+def flagship_code2wav(
+    mode: str = "custom", *, frames_per_step: int = 1
+) -> ModelConfig:
+    """Flagship talker driving the REAL code2wav decoder at the published
+    geometry, adjusted to the 12 Hz frame rate the TTS checkpoints use
+    (upsample 10*5*5*4*2 = 2000 samples/frame at 24 kHz; the Omni default
+    is 12.5 Hz). Until a real checkpoint pins the exact rates, this is the
+    honest cost model for benchmarking the real decoder family
+    (QWEN3_TTS_BENCH_CODEC=code2wav in bench.py)."""
+    from ..models.code2wav import Code2WavConfig
+
+    base = flagship(mode, frames_per_step=frames_per_step)
+    return with_code2wav(
+        base,
+        Code2WavConfig(
+            codebook_size=base.codec.codebook_size,
+            num_quantizers=base.codec.num_codebooks,
+            upsample_rates=(10, 5, 5, 4),
+            upsampling_ratios=(2,),
+            sample_rate=base.codec.sample_rate,
+        ),
+    )
+
+
 def tiny_code2wav(mode: str = "custom") -> ModelConfig:
     """Tiny config running the REAL code2wav decoder arch end-to-end on CPU
     (hop kept small: 3*2*2 = 12 samples/frame)."""

@@ -329,6 +329,17 @@ def test_hf_checkpoint_import_reproduces_torch_decode(tmp_path):
     np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
 
 
+def test_flagship_code2wav_config():
+    from qwen3_tts_tpu.engine import configs
+
+    cfg = configs.flagship_code2wav("custom", frames_per_step=2)
+    assert cfg.codec_arch == "code2wav"
+    assert cfg.code2wav.total_upsample == 2000       # 12 Hz at 24 kHz
+    assert cfg.codec.frame_rate == 12.0 and cfg.codec.hop == 2000
+    assert cfg.codec.latent_dim == cfg.code2wav.hidden
+    assert cfg.talker.frames_per_step == 2
+
+
 def test_config_from_hf_dict():
     cfg = Code2WavConfig.from_hf_dict({
         "codebook_size": 2048,

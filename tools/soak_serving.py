@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=300.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--codec", choices=["rvq", "code2wav"], default="rvq",
+                    help="codec architecture to soak (code2wav = the real "
+                    "decoder family incl. per-stream startup drops)")
     ap.add_argument("--pipeline", type=int, default=1,
                     help=">1 keeps N speculative steps in flight, so "
                          "cancels race dispatched-but-uncollected payloads")
@@ -51,12 +54,17 @@ def main() -> None:
     require_device_lock('soak_serving.py')
 
     rng = np.random.default_rng(args.seed)
-    model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
+    cfg = (configs.tiny_code2wav("custom") if args.codec == "code2wav"
+           else configs.tiny("custom"))
+    model = Qwen3TTSModel.synthetic(cfg, seed=5)
     engine = ServingEngine(
         model, max_streams=args.streams,
         sampling=SamplingConfig(temperature=0.9, top_k=20),
     )
     hop = model.cfg.codec.hop
+    # code2wav streams drop a fixed startup run-in per utterance
+    startup = (model.cfg.code2wav.startup_samples
+               if model.cfg.codec_arch == "code2wav" else 0)
 
     live: dict[int, int] = {}     # stream_id -> budget
     inflight: list = []
@@ -105,8 +113,9 @@ def main() -> None:
 
         for sid in [s for s in live if engine.streams[s].done]:
             wav, st = engine.collect(sid)
-            assert len(wav) == st.frames * hop, (
-                f"stream {sid}: wav {len(wav)} != frames {st.frames} * {hop}"
+            assert len(wav) == st.frames * hop - startup, (
+                f"stream {sid}: wav {len(wav)} != frames {st.frames} * "
+                f"{hop} - {startup}"
             )
             del live[sid]
             del engine.streams[sid]

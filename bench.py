@@ -304,7 +304,11 @@ def _lock_or_exit() -> None:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
     from qwen3_tts_tpu.device_lock import device_lock
 
-    if device_lock(label="bench.py"):
+    # wait long enough to outlast the longest single measurement step
+    # (3600 s bound) — the driver's benchmark must queue behind an
+    # in-flight step, not fail while the device is healthy
+    wait = float(os.environ.get("QWEN3_TTS_DEVICE_LOCK_WAIT_S", 7200))
+    if device_lock(label="bench.py", wait_s=wait):
         return
     print(
         json.dumps(

@@ -37,6 +37,14 @@ class TalkerConfig:
     codec_bos: int = 2048
     codec_eos: int = 2049
     codec_pad: int = 2050
+    # optional codec prompt-head control ids (the published talker family
+    # leads the codec stream with [nothink, think_bos, think_eos] before
+    # BOS — Qwen3OmniMoeTalker._get_talker_assistant_parts; see PARITY.md).
+    # None = absent: checkpoints that carry these ids in talker_config get
+    # the prompt head, synthetic configs stay unchanged.
+    codec_nothink: int | None = None
+    codec_think_bos: int | None = None
+    codec_think_eos: int | None = None
     n_speakers: int = 16               # built-in speaker embedding table
     tie_embeddings: bool = True
     # multi-token prediction: codec frames emitted per talker weight pass.
@@ -57,6 +65,13 @@ class TalkerConfig:
     @property
     def kv_dim(self) -> int:
         return self.n_kv_heads * self.head_dim
+
+    @property
+    def codec_prompt_head(self) -> tuple[int, ...]:
+        """Codec-stream control tokens preceding BOS, () when the
+        checkpoint config doesn't define them (see PARITY.md)."""
+        ids = (self.codec_nothink, self.codec_think_bos, self.codec_think_eos)
+        return tuple(i for i in ids if i is not None)
 
 
 @dataclass(frozen=True)

@@ -272,6 +272,15 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
                          default=t.codec_eos),
         codec_pad=_first(talker_cfg, "codec_pad_token_id", "codec_pad_id",
                          default=t.codec_pad),
+        # codec prompt-head control ids (published talker family leads the
+        # codec stream with nothink/think_bos/think_eos — PARITY.md); None
+        # when the checkpoint doesn't define them
+        codec_nothink=_first(talker_cfg, "codec_nothink_id",
+                             "codec_nothink_token_id", default=None),
+        codec_think_bos=_first(talker_cfg, "codec_think_bos_id",
+                               "codec_think_bos_token_id", default=None),
+        codec_think_eos=_first(talker_cfg, "codec_think_eos_id",
+                               "codec_think_eos_token_id", default=None),
         n_speakers=_first(talker_cfg, "num_speakers", "n_speakers",
                           default=t.n_speakers),
         frames_per_step=_first(talker_cfg, "frames_per_step",

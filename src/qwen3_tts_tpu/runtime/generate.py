@@ -405,6 +405,11 @@ class Generator:
             parts.append(
                 jnp.take(self.params["codec_emb"], jnp.asarray(cb0_np), axis=0)
             )
+        # codec prompt head (nothink/think markers) when the checkpoint
+        # defines the ids, then BOS — matching the published codec-stream
+        # layout (PARITY.md; absent on synthetic configs)
+        for tok in t.codec_prompt_head:
+            parts.append(self.params["codec_emb"][tok][None, :])
         parts.append(self.params["codec_emb"][t.codec_bos][None, :])
         emb = jnp.concatenate(parts, axis=0)  # [L, D]
 

@@ -91,6 +91,15 @@ def _talker_hidden_and_logits(
     text_emb = jnp.take_along_axis(
         seq_r, jnp.clip(src, 0, W - 1)[:, :, None], axis=1
     )
+    # codec prompt head (when the checkpoint defines the ids) then BOS —
+    # the exact inference layout (runtime/generate.py assemble_prompt)
+    head_ids = t.codec_prompt_head
+    head_rows = [
+        jnp.broadcast_to(
+            params["codec_emb"][i][None, None, :], (B, 1, text_emb.shape[-1])
+        )
+        for i in head_ids
+    ]
     bos = jnp.broadcast_to(
         params["codec_emb"][t.codec_bos][None, None, :], (B, 1, text_emb.shape[-1])
     )
@@ -113,7 +122,8 @@ def _talker_hidden_and_logits(
             lambda tk: merge_step_tokens(params, t, tk), in_axes=1, out_axes=1
         )(grouped)                                       # [B, K, D]
         frame_in = merged[:, :-1].astype(text_emb.dtype)
-    x = jnp.concatenate([text_emb, bos, frame_in], axis=1)  # [B, W+K, D]
+    x = jnp.concatenate([text_emb, *head_rows, bos, frame_in], axis=1)
+    W = W + len(head_rows)  # BOS position shifts past the prompt head
 
     S = x.shape[1]
     dtype = x.dtype

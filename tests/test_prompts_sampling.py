@@ -166,3 +166,51 @@ def test_overlong_prompt_truncation_keeps_speaker_row():
     np.testing.assert_array_equal(
         np.asarray(emb[0, 0], np.float32), spk
     )
+
+
+def test_codec_prompt_head_from_config():
+    """Checkpoint-defined think-token ids insert a codec prompt head before
+    BOS in BOTH the decode prompt and the training layout (PARITY.md);
+    absent ids (the default) leave everything unchanged."""
+    import dataclasses
+
+    import numpy as np
+
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.training.loss import joint_loss
+    from qwen3_tts_tpu.training.train import synthetic_batch
+
+    base = configs.tiny("custom", quant=False)
+    assert base.talker.codec_prompt_head == ()
+    cfg = dataclasses.replace(
+        base,
+        talker=dataclasses.replace(
+            base.talker, codec_vocab=70, codec_nothink=67,
+            codec_think_bos=68, codec_think_eos=69,
+        ),
+    )
+    assert cfg.talker.codec_prompt_head == (67, 68, 69)
+
+    m_plain = Qwen3TTSModel.synthetic(base, seed=0)
+    m_head = Qwen3TTSModel.synthetic(cfg, seed=0)
+    prompt = PromptSpec(text_tokens=np.arange(5, dtype=np.int32),
+                        speaker_id=1)
+    emb_p, pad_p = m_plain.generator.assemble_prompt(prompt)
+    emb_h, pad_h = m_head.generator.assemble_prompt(prompt)
+    # same bucket, three fewer pad rows: the head occupies real positions
+    assert emb_p.shape == emb_h.shape
+    assert pad_h == pad_p - 3
+    # the rows right before BOS are the head embeddings, in order
+    Lb = emb_h.shape[1]
+    for k, tok in enumerate((67, 68, 69)):
+        want = np.asarray(m_head.params["codec_emb"][tok], np.float32)
+        got = np.asarray(emb_h[0, Lb - 4 + k], np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    # the training layout mirrors it: losses differ from the plain config
+    # but stay finite (BOS indexing shifted correctly)
+    batch = synthetic_batch(cfg, batch_size=2, t_text=6, t_frames=4, seed=1)
+    loss_h, _ = joint_loss(m_head.params, m_head.cp_params, cfg, batch)
+    assert np.isfinite(float(loss_h))

@@ -113,7 +113,8 @@ def main() -> None:
 
         for sid in [s for s in live if engine.streams[s].done]:
             wav, st = engine.collect(sid)
-            assert len(wav) == st.frames * hop - startup, (
+            want = st.frames * hop - startup if st.frames else 0
+            assert len(wav) == want, (
                 f"stream {sid}: wav {len(wav)} != frames {st.frames} * "
                 f"{hop} - {startup}"
             )

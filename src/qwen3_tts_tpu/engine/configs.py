@@ -66,6 +66,23 @@ class TalkerConfig:
     def kv_dim(self) -> int:
         return self.n_kv_heads * self.head_dim
 
+    def __post_init__(self) -> None:
+        ids = (self.codec_nothink, self.codec_think_bos, self.codec_think_eos)
+        defined = [i for i in ids if i is not None]
+        if defined and len(defined) != 3:
+            raise ValueError(
+                "codec prompt head must define all three ids "
+                "(nothink/think_bos/think_eos) or none; got "
+                f"{ids} — a partial head matches no published layout"
+            )
+        bad = [i for i in defined if not 0 <= i < self.codec_vocab]
+        if bad:
+            raise ValueError(
+                f"codec prompt-head ids {bad} out of range for "
+                f"codec_vocab={self.codec_vocab} (a clamped gather would "
+                "silently condition on the wrong embedding row)"
+            )
+
     @property
     def codec_prompt_head(self) -> tuple[int, ...]:
         """Codec-stream control tokens preceding BOS, () when the

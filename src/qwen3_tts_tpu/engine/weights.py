@@ -244,6 +244,28 @@ def _first(d: dict, *keys, default=None):
     return default
 
 
+def _prompt_head_ids(talker_cfg: dict) -> dict:
+    """Codec prompt-head ids from a checkpoint config, all-or-none."""
+    ids = {
+        "codec_nothink": _first(talker_cfg, "codec_nothink_id",
+                                "codec_nothink_token_id", default=None),
+        "codec_think_bos": _first(talker_cfg, "codec_think_bos_id",
+                                  "codec_think_bos_token_id", default=None),
+        "codec_think_eos": _first(talker_cfg, "codec_think_eos_id",
+                                  "codec_think_eos_token_id", default=None),
+    }
+    n = sum(v is not None for v in ids.values())
+    if 0 < n < 3:
+        warnings.warn(
+            f"checkpoint defines only {n}/3 codec prompt-head ids "
+            f"({ids}); ignoring the partial head (unrecognised key "
+            "spelling? add the missing id via _tpu_rename.json-style "
+            "config override)"
+        )
+        return {k: None for k in ids}
+    return ids
+
+
 def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
     """ModelConfig from an HF config.json: talker dims from the top level /
     ``talker_config``; code-predictor and codec geometry from their own
@@ -274,13 +296,10 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
                          default=t.codec_pad),
         # codec prompt-head control ids (published talker family leads the
         # codec stream with nothink/think_bos/think_eos — PARITY.md); None
-        # when the checkpoint doesn't define them
-        codec_nothink=_first(talker_cfg, "codec_nothink_id",
-                             "codec_nothink_token_id", default=None),
-        codec_think_bos=_first(talker_cfg, "codec_think_bos_id",
-                               "codec_think_bos_token_id", default=None),
-        codec_think_eos=_first(talker_cfg, "codec_think_eos_id",
-                               "codec_think_eos_token_id", default=None),
+        # when the checkpoint doesn't define them. All-or-none: a partial
+        # set (an unrecognised key spelling) is dropped with a warning
+        # rather than emitting a head that matches no published layout
+        **_prompt_head_ids(talker_cfg),
         n_speakers=_first(talker_cfg, "num_speakers", "n_speakers",
                           default=t.n_speakers),
         frames_per_step=_first(talker_cfg, "frames_per_step",

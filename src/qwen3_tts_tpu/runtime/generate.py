@@ -392,6 +392,14 @@ class Generator:
             parts.append(
                 jnp.take(self.params["text_emb"], jnp.asarray(toks_np), axis=0)
             )
+        # codec prompt head (nothink/think markers) when the checkpoint
+        # defines the ids: the published layout leads the CODEC stream with
+        # them (PARITY.md), so they precede any acoustic-code conditioning.
+        # (The published layout's speaker-as-codec-token and codec_pad rows
+        # need the checkpoint's speaker-id table — see PARITY.md; ids are
+        # range-validated at config construction.)
+        for tok in t.codec_prompt_head:
+            parts.append(self.params["codec_emb"][tok][None, :])
         if prompt.acoustic_codes is not None and prompt.acoustic_codes.size:
             cb0_np = np.asarray(prompt.acoustic_codes[0])
             cb_size = self.cfg.codec.codebook_size
@@ -405,11 +413,6 @@ class Generator:
             parts.append(
                 jnp.take(self.params["codec_emb"], jnp.asarray(cb0_np), axis=0)
             )
-        # codec prompt head (nothink/think markers) when the checkpoint
-        # defines the ids, then BOS — matching the published codec-stream
-        # layout (PARITY.md; absent on synthetic configs)
-        for tok in t.codec_prompt_head:
-            parts.append(self.params["codec_emb"][tok][None, :])
         parts.append(self.params["codec_emb"][t.codec_bos][None, :])
         emb = jnp.concatenate(parts, axis=0)  # [L, D]
 

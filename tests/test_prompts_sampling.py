@@ -214,3 +214,15 @@ def test_codec_prompt_head_from_config():
     batch = synthetic_batch(cfg, batch_size=2, t_text=6, t_frames=4, seed=1)
     loss_h, _ = joint_loss(m_head.params, m_head.cp_params, cfg, batch)
     assert np.isfinite(float(loss_h))
+
+    # guard rails: a partial head and out-of-range ids fail loudly at
+    # config construction (a clamped gather would silently mis-condition)
+    import pytest
+
+    with pytest.raises(ValueError, match="all three"):
+        dataclasses.replace(base.talker, codec_nothink=64)
+    with pytest.raises(ValueError, match="out of range"):
+        dataclasses.replace(
+            base.talker, codec_nothink=200, codec_think_bos=201,
+            codec_think_eos=202,
+        )

@@ -109,6 +109,16 @@ class CodePredictorConfig:
     # q_norm tensors (a norm applied where the weights expect none — or
     # vice versa — mis-scales every attention read)
     qk_norm: bool = True
+    # depth-sequence seeding (PARITY.md):
+    #   "sum"          — position 0 = in_proj(talker hidden) + cb0 embedding
+    #   "hidden_token" — the published layout: TWO positions,
+    #                    [talker hidden, cb0 embedding]; head d scores
+    #                    position d+1. Imports auto-detect: a checkpoint
+    #                    with code-predictor tensors but no input
+    #                    projection uses hidden_token (the hidden feeds in
+    #                    raw, so cp hidden must equal talker hidden).
+    input_layout: str = "sum"
+    input_proj: bool = True            # apply in_proj to the talker hidden
 
 
 @dataclass(frozen=True)

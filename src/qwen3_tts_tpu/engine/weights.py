@@ -891,17 +891,34 @@ def import_hf_checkpoint(
         gs=gs, bits=bits, unmapped=unmapped, comp="talker",
     )
 
-    if by_comp["cp"] and not any("q_norm" in n for n in by_comp["cp"]):
-        # the published code-predictor family has NO per-head qk-norm
-        # (transformers Qwen3OmniMoeTalkerCodePredictorAttention): applying
-        # one over weights that never trained with it mis-scales every
-        # attention read, so follow the checkpoint
-        cfg = dataclasses.replace(
-            cfg,
-            code_predictor=dataclasses.replace(
-                cfg.code_predictor, qk_norm=False
-            ),
-        )
+    if by_comp["cp"]:
+        cp_updates = {}
+        if not any("q_norm" in n for n in by_comp["cp"]):
+            # the published code-predictor family has NO per-head qk-norm
+            # (transformers Qwen3OmniMoeTalkerCodePredictorAttention):
+            # applying one over weights that never trained with it
+            # mis-scales every attention read, so follow the checkpoint
+            cp_updates["qk_norm"] = False
+        if not any("in_proj" in n or "hidden_proj" in n
+                   for n in by_comp["cp"]):
+            # no input projection -> the published two-position layout
+            # ([talker hidden, cb0 embedding] — PARITY.md): the raw hidden
+            # feeds the depth transformer directly, so widths must match
+            if cfg.code_predictor.hidden != cfg.talker.hidden:
+                raise CheckpointImportError(
+                    "code-predictor checkpoint has no input projection but "
+                    f"cp hidden {cfg.code_predictor.hidden} != talker "
+                    f"hidden {cfg.talker.hidden}: layout unrecognised"
+                )
+            cp_updates["input_layout"] = "hidden_token"
+            cp_updates["input_proj"] = False
+        if cp_updates:
+            cfg = dataclasses.replace(
+                cfg,
+                code_predictor=dataclasses.replace(
+                    cfg.code_predictor, **cp_updates
+                ),
+            )
     cp_params = init_code_predictor(cfg, seed=1)
     assigned["code_predictor"] = _import_transformer(
         cp_params, by_comp["cp"],

@@ -92,30 +92,44 @@ def predict_residuals(
     cc = cfg.codec
     n_res = cc.num_codebooks - 1
     B = talker_hidden.shape[0]
-    depth_len = n_res + 1  # position 0 = (hidden+cb0), positions 1.. = residuals
+    hidden_token = cp.input_layout == "hidden_token"
+    # "sum": position 0 = (in_proj(hidden) + cb0 emb), positions 1.. =
+    # residual embeddings. "hidden_token" (the published layout,
+    # PARITY.md): positions 0-1 = [hidden, cb0 emb], positions 2.. =
+    # residuals; head d scores position d+1.
+    depth_len = n_res + (2 if hidden_token else 1)
 
     from ..ops.linear import linear
 
     cos_t, sin_t = rope_tables(depth_len, cp.head_dim, cp.rope_theta)
 
-    h0 = linear(talker_hidden[:, None, :], params["in_proj"])  # [B,1,H]
-    h0 = h0 + jnp.take(params["cb0_emb"], cb0_tokens, axis=0)[:, None, :]
+    hid = talker_hidden[:, None, :]
+    if cp.input_proj:
+        hid = linear(hid, params["in_proj"])                       # [B,1,H]
+    cb0 = jnp.take(params["cb0_emb"], cb0_tokens, axis=0)[:, None, :]
+    if hidden_token:
+        x0 = jnp.concatenate([hid, cb0.astype(hid.dtype)], axis=1)  # [B,2,H]
+    else:
+        x0 = hid + cb0
 
     q_dim_kv = cp.n_heads  # depth transformer uses MHA (n_kv == n_heads)
     cache_shape = (cp.n_layers, B, depth_len, q_dim_kv, cp.head_dim)
-    cache_k = jnp.zeros(cache_shape, dtype=h0.dtype)
-    cache_v = jnp.zeros(cache_shape, dtype=h0.dtype)
+    cache_k = jnp.zeros(cache_shape, dtype=x0.dtype)
+    cache_v = jnp.zeros(cache_shape, dtype=x0.dtype)
 
-    def run_blocks(x, ck, cv, d):
-        cos = jax.lax.dynamic_slice(cos_t, (d, 0), (1, cp.head_dim // 2))
-        sin = jax.lax.dynamic_slice(sin_t, (d, 0), (1, cp.head_dim // 2))
+    def run_blocks(x, ck, cv, pos):
+        T = x.shape[1]
+        cos, sin = (
+            jax.lax.dynamic_slice(cos_t, (pos, 0), (T, cp.head_dim // 2)),
+            jax.lax.dynamic_slice(sin_t, (pos, 0), (T, cp.head_dim // 2)),
+        )
 
         def body(xc, layer):
             bp, k_l, v_l = layer
             out = transformer_block(
                 bp, xc,
                 cos=cos, sin=sin,
-                cache_k=k_l, cache_v=v_l, pos=d,
+                cache_k=k_l, cache_v=v_l, pos=pos,
                 n_heads=cp.n_heads, n_kv_heads=cp.n_heads,
                 head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=cp.qk_norm,
             )
@@ -124,21 +138,46 @@ def predict_residuals(
         x, (nk, nv) = jax.lax.scan(body, x, (params["blocks"], ck, cv))
         return rmsnorm(x, params["ln_f"], cp.rms_eps), nk, nv
 
-    def depth_step(carry, d):
-        x_in, ck, cv = carry
-        h, ck, cv = run_blocks(x_in, ck, cv, d)
+    def score(h_last, d):
         head = jax.lax.dynamic_index_in_dim(params["heads"], d, axis=0,
                                             keepdims=False)
         logits = jnp.einsum(
-            "bod,vd->bov", h, head, preferred_element_type=jnp.float32
-        )[:, 0, :]
-        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B]
+            "bd,vd->bv", h_last, head, preferred_element_type=jnp.float32
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)       # [B]
+
+    def next_input(code, d):
         emb_tab = jax.lax.dynamic_index_in_dim(params["res_emb"], d, axis=0,
                                                keepdims=False)
-        next_in = jnp.take(emb_tab, code, axis=0)[:, None, :].astype(x_in.dtype)
-        return (next_in, ck, cv), code
+        return jnp.take(emb_tab, code, axis=0)[:, None, :].astype(x0.dtype)
+
+    if hidden_token:
+        # two-position prefill scores depth 0; the scan continues with
+        # single-token steps at positions 2.. (scan carries need one
+        # static shape, so the T=2 seed runs outside it)
+        h, ck, cv = run_blocks(x0, cache_k, cache_v, jnp.int32(0))
+        code0 = score(h[:, -1, :], jnp.int32(0))
+
+        def depth_step(carry, d):
+            x_in, ck, cv = carry
+            h, ck, cv = run_blocks(x_in, ck, cv, d + 1)
+            code = score(h[:, -1, :], d)
+            return (next_input(code, d), ck, cv), code
+
+        (_, _, _), rest = jax.lax.scan(
+            depth_step, (next_input(code0, 0), ck, cv),
+            jnp.arange(1, n_res),
+        )
+        codes = jnp.concatenate([code0[None], rest], axis=0)
+        return jnp.transpose(codes, (1, 0))  # [B, Q-1]
+
+    def depth_step(carry, d):
+        x_in, ck, cv = carry
+        h, ck, cv = run_blocks(x_in, ck, cv, d)
+        code = score(h[:, -1, :], d)
+        return (next_input(code, d), ck, cv), code
 
     (_, _, _), codes = jax.lax.scan(
-        depth_step, (h0, cache_k, cache_v), jnp.arange(n_res)
+        depth_step, (x0, cache_k, cache_v), jnp.arange(n_res)
     )
     return jnp.transpose(codes, (1, 0))  # [B, Q-1]

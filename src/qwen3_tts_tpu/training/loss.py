@@ -186,27 +186,36 @@ def code_predictor_teacher_logits(
     cc = cfg.codec
     n_res = cc.num_codebooks - 1
     N = talker_hidden.shape[0]
+    hidden_token = cp.input_layout == "hidden_token"
 
-    cos_t, sin_t = rope_tables(n_res + 1, cp.head_dim, cp.rope_theta)
+    cos_t, sin_t = rope_tables(n_res + 2, cp.head_dim, cp.rope_theta)
 
-    h0 = linear(talker_hidden[:, None, :], cp_params["in_proj"])
-    h0 = h0 + jnp.take(cp_params["cb0_emb"], codes[:, 0], axis=0)[:, None, :]
+    hid = talker_hidden[:, None, :]
+    if cp.input_proj:
+        hid = linear(hid, cp_params["in_proj"])
+    cb0 = jnp.take(cp_params["cb0_emb"], codes[:, 0], axis=0)[:, None, :]
+    if hidden_token:
+        # published layout (PARITY.md): [hidden, cb0] as two positions;
+        # head d scores position d+1
+        tf_in = [hid, cb0.astype(hid.dtype)]
+    else:
+        tf_in = [hid + cb0]
     # teacher inputs for depth d>=1: embedding of ground-truth residual d-1
-    tf_in = [h0]
     for d in range(n_res - 1):
         emb = jnp.take(cp_params["res_emb"][d], codes[:, d + 1], axis=0)
-        tf_in.append(emb[:, None, :].astype(h0.dtype))
-    x = jnp.concatenate(tf_in, axis=1)                 # [N, n_res, H]
+        tf_in.append(emb[:, None, :].astype(hid.dtype))
+    x = jnp.concatenate(tf_in, axis=1)        # [N, n_res (+1 if 2-pos), H]
 
     dtype = x.dtype
-    cache_k = jnp.zeros((cp.n_layers, N, n_res, cp.n_heads, cp.head_dim), dtype)
+    T_depth = x.shape[1]
+    cache_k = jnp.zeros((cp.n_layers, N, T_depth, cp.n_heads, cp.head_dim), dtype)
     cache_v = jnp.zeros_like(cache_k)
 
     def body(xc, layer):
         bp, k_l, v_l = layer
         out = transformer_block(
             bp, xc,
-            cos=cos_t[:n_res], sin=sin_t[:n_res],
+            cos=cos_t[:T_depth], sin=sin_t[:T_depth],
             cache_k=k_l, cache_v=v_l, pos=jnp.int32(0),
             n_heads=cp.n_heads, n_kv_heads=cp.n_heads,
             head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=cp.qk_norm,
@@ -214,8 +223,10 @@ def code_predictor_teacher_logits(
         return out.x, None
 
     x, _ = jax.lax.scan(body, x, (cp_params["blocks"], cache_k, cache_v))
-    h = rmsnorm(x, cp_params["ln_f"], cp.rms_eps)      # [N, n_res, H]
-    # head d scores depth position d
+    h = rmsnorm(x, cp_params["ln_f"], cp.rms_eps)      # [N, T_depth, H]
+    if hidden_token:
+        h = h[:, 1:, :]  # head d scores position d+1 (the decode layout)
+    # head d scores depth slot d
     logits = jnp.einsum(
         "ndh,dvh->ndv", h, cp_params["heads"],
         preferred_element_type=jnp.float32,

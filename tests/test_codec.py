@@ -206,3 +206,43 @@ def test_streaming_decode_mixed_chunk_sizes():
 
     assert streamed.shape == full[0].shape
     np.testing.assert_allclose(streamed, full[0], atol=5e-3)
+
+
+def test_cp_hidden_token_layout_consistency():
+    """The published two-position depth layout (input_layout=hidden_token,
+    no input projection): greedy decode must be self-consistent with the
+    teacher-forced logits — feeding the predicted codes back through
+    code_predictor_teacher_logits reproduces them at every depth."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.training.loss import code_predictor_teacher_logits
+
+    base = configs.tiny("custom", quant=False)
+    cfg = dataclasses.replace(
+        base,
+        # hidden feeds the depth transformer raw: widths must match
+        code_predictor=dataclasses.replace(
+            base.code_predictor, hidden=base.talker.hidden,
+            input_layout="hidden_token", input_proj=False, qk_norm=False,
+        ),
+    )
+    cp = init_code_predictor(cfg, seed=7)
+    rng = np.random.default_rng(0)
+    B = 3
+    hidden = jnp.asarray(
+        rng.normal(0, 1, (B, cfg.talker.hidden)).astype(np.float32)
+    )
+    cb0 = jnp.asarray(rng.integers(0, cfg.codec.codebook_size, B),
+                      dtype=jnp.int32)
+
+    codes_res = np.asarray(predict_residuals(cp, cfg, hidden, cb0))
+    assert codes_res.shape == (B, cfg.codec.num_codebooks - 1)
+
+    full = np.concatenate([np.asarray(cb0)[:, None], codes_res], axis=1)
+    logits = np.asarray(
+        code_predictor_teacher_logits(cp, cfg, hidden, jnp.asarray(full))
+    )
+    np.testing.assert_array_equal(np.argmax(logits, axis=-1), codes_res)

@@ -239,7 +239,17 @@ def test_cp_import_published_layout(temp_dir):
 
     from safetensors.numpy import save_file
 
-    cfg = configs.tiny("custom", quant=True)
+    import dataclasses
+
+    base = configs.tiny("custom", quant=True)
+    # published layout: no input projection — the talker hidden feeds the
+    # depth transformer raw, so cp hidden == talker hidden
+    cfg = dataclasses.replace(
+        base,
+        code_predictor=dataclasses.replace(
+            base.code_predictor, hidden=base.talker.hidden
+        ),
+    )
     cp, t, cc = cfg.code_predictor, cfg.talker, cfg.codec
     rng = np.random.default_rng(3)
     n_res = cc.num_codebooks - 1
@@ -250,7 +260,6 @@ def test_cp_import_published_layout(temp_dir):
         tensors[f"code_predictor.{name}.weight"] = rng.normal(
             0, 0.05, (o, i)).astype(np.float32)
 
-    lin("in_proj", cp.hidden, t.hidden)
     tensors["code_predictor.cb0_embedding.weight"] = rng.normal(
         0, 0.02, (cc.codebook_size, cp.hidden)).astype(np.float32)
     for i in range(n_res):
@@ -284,6 +293,9 @@ def test_cp_import_published_layout(temp_dir):
     with pytest.warns(UserWarning):  # talker/codec synthetic
         model = import_hf_checkpoint(path, allow_partial=True)
     assert model.cfg.code_predictor.qk_norm is False
+    # no in_proj tensor -> the two-position published layout auto-detects
+    assert model.cfg.code_predictor.input_layout == "hidden_token"
+    assert model.cfg.code_predictor.input_proj is False
     cp_unmapped = [u for u in model.import_report.unmapped
                    if u.startswith("code_predictor")]
     assert not cp_unmapped, cp_unmapped

@@ -384,6 +384,8 @@ def prepare_segments(
             segment,
             voice=voice,
             speakers=cfg.speakers,
+            speaker_tokens=(dict(cfg.talker.speaker_tokens)
+                            if cfg.talker.speaker_tokens else None),
             instruct=instruct,
             speed=speed,
             ref_text=ref_text,

@@ -45,6 +45,11 @@ class TalkerConfig:
     codec_nothink: int | None = None
     codec_think_bos: int | None = None
     codec_think_eos: int | None = None
+    # checkpoint-defined speaker-name -> codec-token-id map (the published
+    # configs carry talker_config.speaker_id; the speaker then conditions
+    # as a codec control token in the prompt head instead of the learned
+    # spk_emb row). Tuple of (name, id) pairs so the config stays hashable.
+    speaker_tokens: tuple[tuple[str, int], ...] | None = None
     n_speakers: int = 16               # built-in speaker embedding table
     tie_embeddings: bool = True
     # multi-token prediction: codec frames emitted per talker weight pass.
@@ -82,6 +87,14 @@ class TalkerConfig:
                 f"codec_vocab={self.codec_vocab} (a clamped gather would "
                 "silently condition on the wrong embedding row)"
             )
+        if self.speaker_tokens:
+            bad = [(n, i) for n, i in self.speaker_tokens
+                   if not 0 <= i < self.codec_vocab]
+            if bad:
+                raise ValueError(
+                    f"speaker codec-token ids out of range for "
+                    f"codec_vocab={self.codec_vocab}: {bad}"
+                )
 
     @property
     def codec_prompt_head(self) -> tuple[int, ...]:

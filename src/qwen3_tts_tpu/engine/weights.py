@@ -121,12 +121,11 @@ def config_to_dict(cfg: ModelConfig) -> dict:
 
 def config_from_dict(d: dict) -> ModelConfig:
     def build(cls, sub):
+        def tup(v):  # deep list -> tuple (speaker_tokens nests pairs)
+            return tuple(tup(x) for x in v) if isinstance(v, list) else v
+
         fields = {f.name for f in dataclasses.fields(cls)}
-        kw = {k: v for k, v in sub.items() if k in fields}
-        for k, v in kw.items():
-            if isinstance(v, list):
-                kw[k] = tuple(v)
-        return cls(**kw)
+        return cls(**{k: tup(v) for k, v in sub.items() if k in fields})
 
     code2wav = None
     if d.get("code2wav"):
@@ -300,6 +299,13 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
         # set (an unrecognised key spelling) is dropped with a warning
         # rather than emitting a head that matches no published layout
         **_prompt_head_ids(talker_cfg),
+        # speaker-name -> codec-token map (published configs:
+        # talker_config.speaker_id dict); speakers then condition as codec
+        # control tokens in the prompt head
+        speaker_tokens=tuple(
+            sorted((str(k).lower(), int(v))
+                   for k, v in talker_cfg["speaker_id"].items())
+        ) if isinstance(talker_cfg.get("speaker_id"), dict) else None,
         n_speakers=_first(talker_cfg, "num_speakers", "n_speakers",
                           default=t.n_speakers),
         frames_per_step=_first(talker_cfg, "frames_per_step",
@@ -369,6 +375,10 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
     out = dataclasses.replace(
         base, talker=talker, code_predictor=cp, codec=cc, quant=quant,
         native_speed=True,
+        # the app's speaker pickers list the checkpoint's own speakers
+        # when it defines the name -> codec-token map
+        speakers=(tuple(n for n, _ in talker.speaker_tokens)
+                  if talker.speaker_tokens else base.speakers),
     )
     # a checkpoint with a code2wav section runs the REAL decoder family
     # (models/code2wav.py) — geometry comes entirely from its config

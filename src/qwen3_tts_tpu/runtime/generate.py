@@ -400,6 +400,12 @@ class Generator:
         # range-validated at config construction.)
         for tok in t.codec_prompt_head:
             parts.append(self.params["codec_emb"][tok][None, :])
+        if prompt.speaker_token is not None:
+            # speaker as a codec control token, right after the think
+            # markers (the published order [nothink, tb, te, speaker])
+            parts.append(
+                self.params["codec_emb"][int(prompt.speaker_token)][None, :]
+            )
         if prompt.acoustic_codes is not None and prompt.acoustic_codes.size:
             cb0_np = np.asarray(prompt.acoustic_codes[0])
             cb_size = self.cfg.codec.codebook_size

@@ -48,6 +48,11 @@ class PromptSpec:
 
     text_tokens: np.ndarray            # [T_text] int32
     speaker_id: int | None = None      # index into the talker spk_emb table
+    # speaker as a CODEC-vocab control token (the published layout when the
+    # checkpoint's talker_config carries a speaker_id name->id dict —
+    # PARITY.md); placed in the codec prompt head, mutually exclusive with
+    # the learned spk_emb row above
+    speaker_token: int | None = None
     # cloning extras:
     acoustic_codes: np.ndarray | None = None   # [Q, T_ref] codec codes
     speaker_vector: np.ndarray | None = None   # [D_talker] from codec encoder
@@ -226,7 +231,12 @@ def build_prompt(
     acoustic_codes: np.ndarray | None = None,
     speaker_vector: np.ndarray | None = None,
     template: PromptTemplate | None = None,
+    speaker_tokens: dict[str, int] | None = None,
 ) -> PromptSpec:
+    """``speaker_tokens``: checkpoint-defined name -> codec-token-id map
+    (talker_config.speaker_id in the published configs); when it covers
+    the requested voice, the speaker conditions as a codec control token
+    instead of the synthetic spk_emb row."""
     template = template or SYNTHETIC_TEMPLATE
     rendered = template.render(
         mode, text, instruct=instruct, speed=speed, ref_text=ref_text,
@@ -235,20 +245,26 @@ def build_prompt(
     tokens = np.asarray(tokenizer.encode(rendered), dtype=np.int32)
 
     speaker_id: int | None = None
+    speaker_token: int | None = None
     if mode == "custom" and voice:
         name = voice.lower()
-        if name not in speakers:
+        if speaker_tokens and name in speaker_tokens:
+            speaker_token = int(speaker_tokens[name])
+        elif name in speakers:
+            speaker_id = speakers.index(name)
+        else:
             # the reference surfaces invalid speakers at the picker
             # (custom.py:64-91); the engine contract mirrors that loudly
             # instead of silently substituting a default voice
+            valid = sorted(set(speakers) | set(speaker_tokens or ()))
             raise ValueError(
-                f"unknown speaker {voice!r}; valid speakers: {list(speakers)}"
+                f"unknown speaker {voice!r}; valid speakers: {valid}"
             )
-        speaker_id = speakers.index(name)
 
     return PromptSpec(
         text_tokens=tokens,
         speaker_id=speaker_id,
+        speaker_token=speaker_token,
         acoustic_codes=acoustic_codes,
         speaker_vector=speaker_vector,
     )

@@ -226,3 +226,60 @@ def test_codec_prompt_head_from_config():
             base.talker, codec_nothink=200, codec_think_bos=201,
             codec_think_eos=202,
         )
+
+
+def test_speaker_codec_token_from_config():
+    """A checkpoint-defined speaker_id map (name -> codec token) conditions
+    the speaker as a codec control token in the prompt instead of the
+    synthetic spk_emb row; unknown voices list the map's names."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec, build_prompt
+
+    base = configs.tiny("custom", quant=False)
+    cfg = dataclasses.replace(
+        base,
+        speakers=("vivian", "ryan"),
+        talker=dataclasses.replace(
+            base.talker, speaker_tokens=(("ryan", 60), ("vivian", 61)),
+        ),
+    )
+    model = Qwen3TTSModel.synthetic(cfg, seed=0)
+
+    spec = build_prompt(
+        model.tokenizer, "custom", "hello", voice="Ryan",
+        speakers=cfg.speakers, speaker_tokens=dict(cfg.talker.speaker_tokens),
+    )
+    assert spec.speaker_token == 60 and spec.speaker_id is None
+
+    with pytest.raises(ValueError, match="unknown speaker"):
+        build_prompt(
+            model.tokenizer, "custom", "hello", voice="nobody",
+            speakers=cfg.speakers,
+            speaker_tokens=dict(cfg.talker.speaker_tokens),
+        )
+
+    # the token's embedding row lands in the assembled prompt (before BOS)
+    emb, pad = model.generator.assemble_prompt(
+        PromptSpec(text_tokens=np.arange(4, dtype=np.int32),
+                   speaker_token=60)
+    )
+    Lb = emb.shape[1]
+    want = np.asarray(model.params["codec_emb"][60], np.float32)
+    np.testing.assert_array_equal(np.asarray(emb[0, Lb - 2], np.float32), want)
+
+    # ids outside the codec vocab fail loudly at config construction
+    with pytest.raises(ValueError, match="out of range"):
+        dataclasses.replace(base.talker, speaker_tokens=(("x", 999),))
+
+    # config round trip keeps the map (nested tuples survive JSON)
+    from qwen3_tts_tpu.engine.weights import config_from_dict, config_to_dict
+    import json
+
+    back = config_from_dict(json.loads(json.dumps(config_to_dict(cfg))))
+    assert back.talker.speaker_tokens == (("ryan", 60), ("vivian", 61))

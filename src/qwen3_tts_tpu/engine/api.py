@@ -26,7 +26,10 @@ from . import configs
 from .configs import ModelConfig
 from .tokenizer import load_tokenizer
 
-_SYNTH_RE = re.compile(r"^synthetic:(tiny|flagship)(?::(custom|design|base))?$")
+_SYNTH_RE = re.compile(
+    r"^synthetic:(tiny|flagship|tiny-code2wav|flagship-code2wav)"
+    r"(?::(custom|design|base))?$"
+)
 
 
 def compute_format() -> str:
@@ -289,7 +292,12 @@ def load_model(model_path: str, **kwargs) -> Qwen3TTSModel:
     m = _SYNTH_RE.match(model_path or "")
     if m:
         size, mode = m.group(1), m.group(2) or "custom"
-        cfg = configs.tiny(mode, quant=True) if size == "tiny" else configs.flagship(mode)
+        cfg = {
+            "tiny": lambda: configs.tiny(mode, quant=True),
+            "flagship": lambda: configs.flagship(mode),
+            "tiny-code2wav": lambda: configs.tiny_code2wav(mode),
+            "flagship-code2wav": lambda: configs.flagship_code2wav(mode),
+        }[size]()
         return Qwen3TTSModel.synthetic(cfg, seed=kwargs.get("seed", 0))
 
     if not os.path.isdir(model_path):

@@ -901,6 +901,9 @@ def main(argv: list[str] | None = None) -> None:
         )
     elif args.model == "synthetic-tiny":
         model = Qwen3TTSModel.synthetic(configs.tiny(args.mode))
+    elif args.model == "synthetic-tiny-code2wav":
+        # the real decoder family at tiny scale (models/code2wav.py)
+        model = Qwen3TTSModel.synthetic(configs.tiny_code2wav(args.mode))
     else:
         model = load_model(args.model)
 

@@ -22,7 +22,7 @@ while time.time() - start < budget:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp; print(float(jnp.arange(8.0).sum()))"],
-            timeout=90, capture_output=True)
+            timeout=240, capture_output=True)
         if r.returncode == 0:
             print(f"device up after {time.time()-start:.0f}s", flush=True)
             sys.exit(0)

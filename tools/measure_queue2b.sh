@@ -1,19 +1,12 @@
 #!/bin/sh
-# Measurement queue v2 for when the device service recovers from a wedge.
-# Supersedes measure_queue.sh (same structure) and adds the int8 KV-cache
-# A/B (tools/ab_serving.py --kv int8). Each step is its own process (one
-# big-cache engine per process — CLAUDE.md HBM gotcha) and logs to
-# /tmp/mq_*.log.
-#
-# Ordering is risk-managed: bench.py (headline number, proven-safe
-# allocation) runs FIRST after recovery; the riskiest allocation (16-slot
-# engine) runs LAST, and every step is preceded by a trivial-op probe so a
-# re-wedge aborts the queue instead of piling more engines onto a hung
-# service.
+# Continuation of measure_queue2.sh after bench.py already succeeded
+# (/tmp/mq_bench.log): the remaining A/B battery, then the code2wav codec
+# benches from measure_queue3.sh. Probe timeout is 240 s — device
+# first-contact through the tunnel takes ~130 s per fresh process, so the
+# old 90 s probe could never see a healthy device.
 set -x
 cd "$(dirname "$0")/.."
 
-# wait_device [budget_seconds]: bench.preflight pattern, standalone
 wait_device() {
     python - "$1" <<'EOF'
 import subprocess, sys, time
@@ -36,12 +29,7 @@ sys.exit(1)
 EOF
 }
 
-wait_device "${1:-43200}" || { echo "device never recovered"; exit 1; }
-
-timeout 3000 python bench.py > /tmp/mq_bench.log 2>&1
-echo "BENCH DONE rc=$?"
-
-wait_device 1800 || { echo "wedged after bench; stopping"; exit 1; }
+wait_device 1800 || { echo "wedged before ab_serving; stopping"; exit 1; }
 timeout 2400 python tools/ab_serving.py --reps 3 > /tmp/mq_ab_serving.log 2>&1
 echo "AB_SERVING DONE rc=$?"
 
@@ -54,11 +42,11 @@ wait_device 1800 || { echo "wedged after ab_kv_int8; stopping"; exit 1; }
 timeout 2400 python tools/probe_fetch.py --reps 3 > /tmp/mq_probe_fetch.log 2>&1
 echo "PROBE_FETCH DONE rc=$?"
 
-wait_device 1800 || { echo "wedged after ab_kv_int8; stopping"; exit 1; }
+wait_device 1800 || { echo "wedged after probe_fetch; stopping"; exit 1; }
 timeout 2400 python tools/ab_fps.py --reps 3 > /tmp/mq_ab_fps.log 2>&1
 echo "AB_FPS DONE rc=$?"
 
-wait_device 1800 || { echo "wedged after probe_fetch; stopping"; exit 1; }
+wait_device 1800 || { echo "wedged after ab_fps; stopping"; exit 1; }
 timeout 2400 python tools/ab_scale.py --reps 3 --streams 8 --chunks 8 16 32 > /tmp/mq_scale8.log 2>&1
 echo "SCALE8 DONE rc=$?"
 
@@ -71,4 +59,14 @@ timeout 2400 python tools/ab_scale.py --reps 3 --streams 16 --chunks 16 --kv int
     > /tmp/mq_scale16_int8.log 2>&1
 echo "SCALE16_INT8 DONE rc=$?"
 
-echo "MEASUREMENT QUEUE DONE"
+wait_device 1800 || { echo "wedged before c2w bench; stopping"; exit 1; }
+QWEN3_TTS_BENCH_CODEC=code2wav timeout 3600 python bench.py \
+    > /tmp/mq3_bench_c2w.log 2>&1
+echo "BENCH_C2W DONE rc=$?"
+
+wait_device 1800 || { echo "wedged after c2w bench; stopping"; exit 1; }
+QWEN3_TTS_BENCH_CODEC=code2wav timeout 2400 python bench.py --serving 8 \
+    > /tmp/mq3_serving_c2w.log 2>&1
+echo "SERVING_C2W DONE rc=$?"
+
+echo "MEASUREMENT QUEUE 2B DONE"

@@ -62,6 +62,31 @@ class TalkerConfig:
     # architectural extension: real 1-frame checkpoints need an MTP
     # fine-tune (training/loss.py trains it) before enabling it.
     frames_per_step: int = 1
+    # decode feedback protocol (PARITY.md item 3):
+    #   "cb0"          — the talker autoregresses on codebook-0 embeddings
+    #                    alone (residuals predicted per chunk, batched —
+    #                    the TPU-fast default for synthetic/MTP models);
+    #   "residual_sum" — the published Qwen3OmniMoeTalker generate loop
+    #                    (transformers prepare_inputs_for_generation): the
+    #                    next talker input is the SUM of ALL Q codebook
+    #                    embeddings for the previous frame (cb0 via the
+    #                    talker codec_emb, residual d via the code
+    #                    predictor's depth-d input table) PLUS a per-step
+    #                    trailing-text hidden — the talker re-reads the
+    #                    text one token per frame, then a tts_pad
+    #                    embedding once the text runs out. Requires
+    #                    frames_per_step == 1 (real checkpoints carry no
+    #                    MTP heads) and the three tts_* ids below.
+    feedback: str = "cb0"
+    # TEXT-vocab control ids for the trailing-text protocol (the published
+    # top-level config's tts_{pad,bos,eos}_token_id). Embedded through
+    # text_emb (and text_proj when the checkpoint ships one).
+    tts_pad_id: int | None = None
+    tts_bos_id: int | None = None
+    tts_eos_id: int | None = None
+    # per-slot trailing-text buffer capacity in frames (serving keeps the
+    # buffer device-resident; text beyond it conditions as tts_pad)
+    trailing_bucket: int = 512
 
     @property
     def q_dim(self) -> int:
@@ -94,6 +119,28 @@ class TalkerConfig:
                 raise ValueError(
                     f"speaker codec-token ids out of range for "
                     f"codec_vocab={self.codec_vocab}: {bad}"
+                )
+        if self.feedback not in ("cb0", "residual_sum"):
+            raise ValueError(f"unknown feedback protocol: {self.feedback!r}")
+        if self.feedback == "residual_sum":
+            if self.frames_per_step != 1:
+                raise ValueError(
+                    "feedback='residual_sum' (the published 1-frame decode "
+                    "loop) is incompatible with frames_per_step="
+                    f"{self.frames_per_step}; MTP is an architectural "
+                    "extension of the cb0 protocol"
+                )
+            tts = (self.tts_pad_id, self.tts_bos_id, self.tts_eos_id)
+            if any(i is None for i in tts):
+                raise ValueError(
+                    "feedback='residual_sum' needs tts_pad_id/tts_bos_id/"
+                    f"tts_eos_id (trailing-text protocol); got {tts}"
+                )
+            bad = [i for i in tts if not 0 <= i < self.vocab_size]
+            if bad:
+                raise ValueError(
+                    f"tts control ids {bad} out of range for "
+                    f"vocab_size={self.vocab_size}"
                 )
 
     @property
@@ -202,6 +249,16 @@ class ModelConfig:
         "ryan", "aiden", "serena", "vivian", "uncle_fu",
         "dylan", "eric", "ono_anna", "sohee",
     )
+
+    def __post_init__(self) -> None:
+        if self.talker.feedback == "residual_sum":
+            if self.code_predictor.hidden != self.talker.hidden:
+                raise ValueError(
+                    "feedback='residual_sum' feeds the code predictor's "
+                    "depth-table embeddings back into the talker, so their "
+                    f"widths must match: cp.hidden={self.code_predictor.hidden}"
+                    f" vs talker.hidden={self.talker.hidden}"
+                )
 
     @property
     def frames_per_second(self) -> float:
@@ -348,6 +405,35 @@ def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:
         ),
         quant=QuantConfig(bits=8, group_size=16, enabled=quant),
         max_seq_len=256,
+    )
+
+
+def tiny_feedback(mode: str = "custom") -> ModelConfig:
+    """Tiny config running the published decode protocol end-to-end on CPU:
+    residual-sum talker feedback + trailing-text conditioning + the
+    two-position (hidden_token) code-predictor layout — the conditioning
+    stack a real imported checkpoint uses (PARITY.md)."""
+    base = tiny(mode)
+    return replace(
+        base,
+        talker=replace(
+            base.talker,
+            feedback="residual_sum",
+            tts_pad_id=250,
+            tts_bos_id=251,
+            tts_eos_id=252,
+            codec_nothink=60,
+            codec_think_bos=61,
+            codec_think_eos=62,
+            trailing_bucket=64,
+        ),
+        code_predictor=replace(
+            base.code_predictor,
+            hidden=base.talker.hidden,
+            input_layout="hidden_token",
+            input_proj=False,
+            qk_norm=False,
+        ),
     )
 
 

@@ -82,11 +82,19 @@ def predict_residuals(
     cfg: ModelConfig,
     talker_hidden: jnp.ndarray,   # [B, D_talker] — B is (batch*frames_in_chunk)
     cb0_tokens: jnp.ndarray,      # [B] sampled codebook-0 ids
+    return_feedback: bool = False,
 ) -> jnp.ndarray:
     """Depth-autoregressive greedy prediction of residual codebooks.
 
     Returns codes [B, Q-1] (int32). The whole depth loop is one lax.scan,
     jit-friendly and batched over frames.
+
+    ``return_feedback``: also return the summed input embeddings of the
+    predicted codes, Σ_d res_emb[d][code_d] — the residual half of the
+    published talker feedback (TalkerConfig.feedback="residual_sum": the
+    next talker input sums ALL codebook embeddings; transformers
+    Qwen3OmniMoeTalker prepare_inputs_for_generation builds exactly this
+    from the predictor's per-step input embeddings). Shape [B, H_cp].
     """
     cp = cfg.code_predictor
     cc = cfg.codec
@@ -151,6 +159,12 @@ def predict_residuals(
                                                keepdims=False)
         return jnp.take(emb_tab, code, axis=0)[:, None, :].astype(x0.dtype)
 
+    def finish(codes_depth_first: jnp.ndarray):
+        codes = jnp.transpose(codes_depth_first, (1, 0))       # [B, Q-1]
+        if not return_feedback:
+            return codes
+        return codes, residual_feedback_sum(params, codes)
+
     if hidden_token:
         # two-position prefill scores depth 0; the scan continues with
         # single-token steps at positions 2.. (scan carries need one
@@ -168,8 +182,7 @@ def predict_residuals(
             depth_step, (next_input(code0, 0), ck, cv),
             jnp.arange(1, n_res),
         )
-        codes = jnp.concatenate([code0[None], rest], axis=0)
-        return jnp.transpose(codes, (1, 0))  # [B, Q-1]
+        return finish(jnp.concatenate([code0[None], rest], axis=0))
 
     def depth_step(carry, d):
         x_in, ck, cv = carry
@@ -180,4 +193,16 @@ def predict_residuals(
     (_, _, _), codes = jax.lax.scan(
         depth_step, (x0, cache_k, cache_v), jnp.arange(n_res)
     )
-    return jnp.transpose(codes, (1, 0))  # [B, Q-1]
+    return finish(codes)
+
+
+def residual_feedback_sum(params: Params, codes: jnp.ndarray) -> jnp.ndarray:
+    """Σ_d res_emb[d][codes[:, d]] — the residual-codebook half of the
+    published talker feedback sum ([B, Q-1] codes -> [B, H_cp]). The
+    published loop sums the predictor's per-depth INPUT embeddings of the
+    generated codes (mid hiddens + the last table applied to the last
+    code), which is exactly each depth's res_emb row."""
+    per_depth = jax.vmap(lambda tab, c: jnp.take(tab, c, axis=0))(
+        params["res_emb"], jnp.transpose(codes, (1, 0))
+    )                                                   # [Q-1, B, H]
+    return jnp.sum(per_depth, axis=0)

@@ -307,3 +307,16 @@ def mtp_logits(
 
 def embed_text_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params["text_emb"], tokens, axis=0)
+
+
+def text_projection(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply the checkpoint's text-projection MLP when present (identity
+    otherwise). The published talker family projects text hiddens into the
+    talker width before they condition the prompt / trailing-text streams
+    (transformers Qwen3OmniMoeTalkerResizeMLP: biased fc1 -> silu ->
+    biased fc2); standalone checkpoints whose text_emb already lives in
+    talker width simply ship no projection tensors."""
+    tp = params.get("text_proj")
+    if tp is None:
+        return x
+    return linear(jax.nn.silu(linear(x, tp["fc1"])), tp["fc2"])

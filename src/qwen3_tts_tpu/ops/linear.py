@@ -78,4 +78,8 @@ def linear(x: jnp.ndarray, params: dict) -> jnp.ndarray:
         b = jnp.asarray(params["lora_b"], dtype=x.dtype)
         delta = _dense_matmul(_dense_matmul(x, a), b)
         out = out + params["lora_scale"].astype(x.dtype) * delta
+    if "b" in params:  # additive bias (distinct from the quant affine
+        # "bias"); only a few checkpoint-side MLPs carry one (e.g. the
+        # published talker's text_projection ResizeMLP)
+        out = out + jnp.asarray(params["b"], dtype=out.dtype)
     return out

@@ -278,6 +278,111 @@ def make_decode_chunk_fn(
     return decode_chunk
 
 
+def trailing_lookup(trailing: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Row ``g`` of each stream's trailing-text buffer ([B, Tb, D], [B] ->
+    [B, D]). The buffer's tail rows are tts_pad embeddings (see
+    Generator.assemble_prompt_full), so clamping the index reproduces the
+    published "tts_pad forever after the text" behavior for any utterance
+    length."""
+    Tb = trailing.shape[1]
+    idx = jnp.clip(g, 0, Tb - 1)[:, None, None]
+    return jnp.take_along_axis(trailing, idx, axis=1)[:, 0, :]
+
+
+def make_decode_chunk_fn_feedback(
+    cfg: ModelConfig, chunk: int, sampling: SamplingConfig,
+    attn_len: int | None = None,
+) -> Callable:
+    """Published-protocol chunk decode (TalkerConfig.feedback =
+    "residual_sum", PARITY.md item 3): each talker step consumes the SUM of
+    ALL codebook embeddings of the previous frame (cb0 via the talker's
+    codec_emb, residual d via the code predictor's depth-d input table)
+    plus one trailing-text row (the talker re-reads the text one token per
+    frame; tts_pad rows after it ends) — transformers
+    Qwen3OmniMoeTalkerForConditionalGeneration.prepare_inputs_for_generation.
+
+    The code predictor therefore runs per frame INSIDE the talker scan (its
+    codes feed the next input) instead of batched per chunk; the serial
+    depth scan adds ~cp-share latency per frame — the price of the
+    published protocol's exact conditioning. Residual codes come out of the
+    scan directly; everything downstream (streaming codec, EOS, PCM)
+    matches the cb0 path."""
+    from ..models.codec import decode_codes_streaming
+    from ..ops.pcm import wav_to_pcm16
+
+    t = cfg.talker
+    assert t.frames_per_step == 1, "residual_sum feedback is 1-frame"
+    S = cfg.max_seq_len
+    A = attn_len or S
+    cb_size = cfg.codec.codebook_size
+
+    @partial(jax.jit, donate_argnums=(3, 4, 5))
+    def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
+                     cstate, trailing, pos, pad_len, n_frames, last_token,
+                     res_sum, g, key):
+        """trailing: [B, Tb, D]; res_sum: [B, D] feedback sum of the
+        previous frame's residual codes; g: [B] trailing rows consumed."""
+        cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+        full_k, full_v = cache_k, cache_v
+        if A < S:
+            cache_k = jax.tree.map(lambda c: c[:, :, :A], cache_k)
+            cache_v = jax.tree.map(lambda c: c[:, :, :A], cache_v)
+
+        def step(carry, _):
+            ck, cv, p, tok, rs, gg, k = carry
+            emb = (
+                jnp.take(params["codec_emb"], tok[:, 0], axis=0)
+                + rs + trailing_lookup(trailing, gg)
+            )[:, None, :]
+            hidden, logits, ck, cv = talker_forward(
+                params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad_len
+            )
+            h = hidden[:, -1, :]
+            k, sub = jax.random.split(k)
+            cb0 = sample_token(logits[:, -1, :], sub, sampling)   # [B]
+            res_codes, rs = predict_residuals(
+                cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
+                return_feedback=True,
+            )
+            carry = (ck, cv, p + 1, cb0[:, None], rs.astype(h.dtype),
+                     gg + 1, k)
+            return carry, (cb0, res_codes)
+
+        (ck, cv, p, tok, res_sum, g, key), (tokens, residuals) = jax.lax.scan(
+            step,
+            (cache_k, cache_v, pos, last_token, res_sum, g, key),
+            None, length=chunk,
+        )
+        tokens_bc = jnp.transpose(tokens, (1, 0))               # [B, chunk]
+        flat_cb0 = jnp.clip(tokens_bc, 0, cb_size - 1)
+        codes = jnp.concatenate(
+            [
+                flat_cb0[:, :, None],
+                jnp.transpose(residuals, (1, 0, 2)),            # [B, chunk, Q-1]
+            ],
+            axis=-1,
+        ).transpose(0, 2, 1)                                    # [B, Q, chunk]
+
+        wav_chunk, cstate = decode_codes_streaming(
+            codec_params, cfg, codes, cstate, n_frames
+        )
+        n_frames = jnp.asarray(n_frames) + chunk
+        is_eos = tokens_bc == t.codec_eos
+        eos_hit = jnp.any(is_eos, axis=1)
+        eos_idx = jnp.argmax(is_eos, axis=1)
+        n_valid = jnp.where(eos_hit, eos_idx, chunk).astype(jnp.int32)
+        if A < S:
+            upd = lambda f, c: jax.lax.dynamic_update_slice(  # noqa: E731
+                f, c, (0, 0, 0, 0, 0)
+            )
+            ck = jax.tree.map(upd, full_k, ck)
+            cv = jax.tree.map(upd, full_v, cv)
+        return (ck, cv, cstate, p, tok, key, n_frames, res_sum, g,
+                n_valid, codes, wav_to_pcm16(wav_chunk))
+
+    return decode_chunk
+
+
 # --------------------------------------------------------------------------
 # the synthesis driver
 # --------------------------------------------------------------------------
@@ -330,7 +435,12 @@ class Generator:
     def _decode_fn(self, chunk: int, attn_len: int | None = None):
         key = ("decode", chunk, self.sampling, attn_len)
         if key not in self._fns:
-            self._fns[key] = make_decode_chunk_fn(
+            factory = (
+                make_decode_chunk_fn_feedback
+                if self.cfg.talker.feedback == "residual_sum"
+                else make_decode_chunk_fn
+            )
+            self._fns[key] = factory(
                 self.cfg, chunk, self.sampling, attn_len=attn_len,
             )
         return self._fns[key]
@@ -367,6 +477,131 @@ class Generator:
 
         Returns (emb [1, L_bucket, D], pad_len).
         """
+        emb, pad, _ = self.assemble_prompt_full(prompt)
+        return emb, pad
+
+    def assemble_prompt_full(
+        self, prompt: PromptSpec
+    ) -> tuple[jnp.ndarray, int, jnp.ndarray | None]:
+        """(emb [1, L_bucket, D], pad_len, trailing [1, Tb, D] | None).
+
+        ``trailing`` is the per-frame trailing-text buffer of the published
+        decode protocol (None unless feedback="residual_sum")."""
+        if self.cfg.talker.feedback == "residual_sum":
+            return self._assemble_published(prompt)
+        emb, pad = self._assemble_cb0(prompt)
+        return emb, pad, None
+
+    def _assemble_published(
+        self, prompt: PromptSpec
+    ) -> tuple[jnp.ndarray, int, jnp.ndarray]:
+        """The published dual-stream prompt (transformers
+        Qwen3OmniMoeForConditionalGeneration._get_talker_assistant_parts):
+        every position is text-hidden + codec-embedding summed —
+
+            txt[0..2]                            (codec stream: zeros)
+            tts_pad + [nothink, think_bos, think_eos]
+            tts_pad + speaker codec token        (when defined)
+            tts_pad + acoustic cb0 codes         (cloning; extrapolated —
+                                                  Omni has no clone mode)
+            tts_bos + codec_pad
+            txt[3]  + codec_bos                  (FIRST text token only)
+
+        The rest of the text conditions DURING decode, one projected row
+        per frame, then tts_eos, then tts_pad forever — returned here as a
+        [1, Tb, D] buffer whose tail rows are tts_pad (so a clamped lookup
+        is exact; runtime trailing_lookup)."""
+        t = self.cfg.talker
+        params = self.params
+        from ..models.talker import text_projection
+
+        toks_np = np.asarray(prompt.text_tokens)
+        if toks_np.size and (
+            int(toks_np.max()) >= t.vocab_size or int(toks_np.min()) < 0
+        ):
+            raise ValueError(
+                f"token id {int(toks_np.max())} out of range for "
+                f"vocab_size {t.vocab_size}: tokenizer/config mismatch"
+            )
+        ctl = jnp.asarray(
+            [t.tts_pad_id, t.tts_bos_id, t.tts_eos_id], jnp.int32
+        )
+        ctl_e = text_projection(
+            params, jnp.take(params["text_emb"], ctl, axis=0)
+        )
+        pad_e, bos_e, eos_e = ctl_e[0], ctl_e[1], ctl_e[2]
+        txt = text_projection(
+            params, jnp.take(params["text_emb"], jnp.asarray(toks_np), axis=0)
+        ) if toks_np.size else jnp.zeros((0, pad_e.shape[-1]), pad_e.dtype)
+        T = int(txt.shape[0])
+        # the published head is the 3 chatml rows <|im_start|>assistant\n;
+        # shorter (synthetic) prompts keep at least the last token for the
+        # codec_bos position
+        n_head = min(3, max(T - 1, 0))
+
+        parts = []
+        if prompt.speaker_vector is not None:  # synthetic cloning vector
+            vec = jnp.asarray(prompt.speaker_vector, dtype=pad_e.dtype)
+            parts.append(vec[None, :])
+        if n_head:
+            parts.append(txt[:n_head])
+        codec_emb = params["codec_emb"]
+        for tok in t.codec_prompt_head:
+            parts.append((pad_e + codec_emb[tok])[None, :])
+        if prompt.speaker_token is not None:
+            parts.append(
+                (pad_e + codec_emb[int(prompt.speaker_token)])[None, :]
+            )
+        elif prompt.speaker_id is not None:
+            # synthetic speaker table: its row rides the codec stream slot
+            parts.append(
+                (pad_e + params["spk_emb"][prompt.speaker_id])[None, :]
+            )
+        if prompt.acoustic_codes is not None and prompt.acoustic_codes.size:
+            cb0_np = np.asarray(prompt.acoustic_codes[0])
+            cb_size = self.cfg.codec.codebook_size
+            if int(cb0_np.max()) >= cb_size or int(cb0_np.min()) < 0:
+                raise ValueError(
+                    f"acoustic code {int(cb0_np.max())} out of range for "
+                    f"codebook_size {cb_size}"
+                )
+            parts.append(
+                pad_e[None, :]
+                + jnp.take(codec_emb, jnp.asarray(cb0_np), axis=0)
+            )
+        parts.append((bos_e + codec_emb[t.codec_pad])[None, :])
+        first_txt = txt[n_head] if T > n_head else pad_e
+        parts.append((first_txt + codec_emb[t.codec_bos])[None, :])
+        emb = jnp.concatenate(parts, axis=0)
+
+        # left-pad to a bucket (RoPE is relative; pad keys are masked)
+        L = int(emb.shape[0])
+        max_prompt = max(
+            16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
+        )
+        allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
+        cap = allowed[-1] if allowed else max_prompt
+        Lb = min(bucket_len(L), cap)
+        if L > Lb:  # over-long acoustic context: keep head + tail
+            emb = jnp.concatenate([emb[:n_head], emb[L - (Lb - n_head):]],
+                                  axis=0)
+            L = Lb
+        pad = Lb - L
+        padded = jnp.zeros((Lb, emb.shape[1]), emb.dtype)
+        padded = jax.lax.dynamic_update_slice(padded, emb, (pad, 0))
+
+        # trailing buffer: text rows AFTER the first, then tts_eos, then
+        # tts_pad fill to the static capacity (one compile variant)
+        Tb = t.trailing_bucket
+        trail_rows = txt[n_head + 1:][: Tb - 1]
+        n_trail = int(trail_rows.shape[0])
+        buf = jnp.broadcast_to(pad_e[None, :], (Tb, pad_e.shape[-1]))
+        buf = buf.at[n_trail].set(eos_e)
+        if n_trail:
+            buf = jax.lax.dynamic_update_slice(buf, trail_rows, (0, 0))
+        return padded[None, :, :], pad, buf[None, :, :]
+
+    def _assemble_cb0(self, prompt: PromptSpec) -> tuple[jnp.ndarray, int]:
         t = self.cfg.talker
         parts = []
         if prompt.speaker_id is not None:
@@ -463,7 +698,8 @@ class Generator:
         t = cfg.talker
         fps = t.frames_per_step
         hop = cfg.codec.hop
-        emb, pad = self.assemble_prompt(prompt)
+        emb, pad, trailing = self.assemble_prompt_full(prompt)
+        feedback = t.feedback == "residual_sum"
         Lb = emb.shape[1]
         from ..models.codec import max_stream_frames
 
@@ -495,8 +731,21 @@ class Generator:
 
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         cstate = init_codec_stream_state(cfg, 1, dtype=dtype)
-        state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
-                 jnp.int32(0))
+        if feedback:
+            # seed the published feedback loop: the prefill-sampled frame's
+            # residual codes (conditioning-only, like the cb0 seed) provide
+            # the first step's residual-embedding sum
+            _, res_sum = predict_residuals(
+                self.cp_params, cfg, hidden_last,
+                jnp.clip(first[:, 0], 0, cfg.codec.codebook_size - 1),
+                return_feedback=True,
+            )
+            state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
+                     jnp.int32(0), res_sum.astype(dtype),
+                     jnp.zeros((1,), jnp.int32))
+        else:
+            state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
+                     jnp.int32(0))
         wav_pieces: list[np.ndarray] = []  # final-quality chunk outputs
         n_frames = 0
         dispatched = 0
@@ -518,12 +767,21 @@ class Generator:
                 Lb + (dispatched + chunk) // fps, cfg.max_seq_len
             )
             decode = self._decode_fn(chunk, A)
-            ck, cv, rg, pos, tok, k, nf = state
-            ck, cv, rg, pos, tok, k, nf, n_valid, codes, wav = decode(
-                self.params, self.cp_params, self.codec_params,
-                ck, cv, rg, pos, pad_len, nf, tok, k,
-            )
-            state = (ck, cv, rg, pos, tok, k, nf)
+            if feedback:
+                ck, cv, rg, pos, tok, k, nf, rs, g = state
+                (ck, cv, rg, pos, tok, k, nf, rs, g,
+                 n_valid, codes, wav) = decode(
+                    self.params, self.cp_params, self.codec_params,
+                    ck, cv, rg, trailing, pos, pad_len, nf, tok, rs, g, k,
+                )
+                state = (ck, cv, rg, pos, tok, k, nf, rs, g)
+            else:
+                ck, cv, rg, pos, tok, k, nf = state
+                ck, cv, rg, pos, tok, k, nf, n_valid, codes, wav = decode(
+                    self.params, self.cp_params, self.codec_params,
+                    ck, cv, rg, pos, pad_len, nf, tok, k,
+                )
+                state = (ck, cv, rg, pos, tok, k, nf)
             # start async host copies at dispatch: the transfer overlaps the
             # next chunk's compute instead of serializing at device_get
             # (gated: on a single-connection tunnel early copies can delay

@@ -131,6 +131,8 @@ class _PendingPrefill:
     pos: int = 0              # tokens prefilled so far
     last_logits: Any = None   # [V] logits at the final prompt position
     last_hidden: Any = None   # [D] hidden at the final prompt position
+    trailing: Any = None      # [1, Tb, D] trailing-text buffer (feedback
+    #                           protocol only — runtime.generate)
 
 
 class ServingEngine:
@@ -194,6 +196,16 @@ class ServingEngine:
         )
         self.tok = jnp.full((self.B, self.fps), t.codec_pad, jnp.int32)
         self.active_mask = jnp.zeros((self.B,), jnp.bool_)
+        # published feedback protocol (TalkerConfig.feedback="residual_sum",
+        # runtime.generate): per-slot residual-embedding sums, trailing-text
+        # buffers and consumed-row counters, all device-resident
+        self.feedback = t.feedback == "residual_sum"
+        if self.feedback:
+            self.res_sum = jnp.zeros((self.B, t.hidden), dtype)
+            self.trail = jnp.zeros(
+                (self.B, t.trailing_bucket, t.hidden), dtype
+            )
+            self.trail_g = jnp.zeros((self.B,), jnp.int32)
         self.key = jax.random.PRNGKey(0)
         self.streams: dict[int, Stream] = {}
         self._slots: list[Stream | None] = [None] * self.B
@@ -448,6 +460,100 @@ class ServingEngine:
         self._decode_fns[fn_key] = decode_chunk
         return decode_chunk
 
+    def _decode_fn_fb(self, chunk: int, wins: tuple[int, ...]) -> Callable:
+        """Feedback-protocol fused serve step (TalkerConfig.feedback =
+        "residual_sum"): mirrors runtime.generate.make_decode_chunk_fn_feedback
+        with per-slot activity masking — the code predictor runs per frame
+        inside the talker scan, and each step's input is the sum of ALL
+        codebook embeddings of the previous frame plus the slot's trailing-
+        text row. Inactive slots hold their res_sum/counter and emit PAD."""
+        fn_key = ("fb", chunk, wins)
+        if fn_key in self._decode_fns:
+            return self._decode_fns[fn_key]
+        from ..models.codec import decode_codes_streaming
+        from ..ops.pcm import wav_to_pcm16
+        from .generate import trailing_lookup
+
+        cfg = self.cfg
+        t = cfg.talker
+        sampling = self.sampling
+        cb_size = cfg.codec.codebook_size
+        S = cfg.max_seq_len
+        A = max(wins)
+        group_size = self.B // len(wins)
+        split = (
+            tuple((group_size, w) for w in wins) if len(wins) > 1 else None
+        )
+        assert self.fps == 1
+
+        @partial(jax.jit, donate_argnums=(3, 4, 5))
+        def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
+                         cstate, trail, pos, pad, frames, tok, res_sum,
+                         trail_g, active, key):
+            cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+            full_k, full_v = cache_k, cache_v
+            if A < S:
+                cache_k = jax.tree.map(lambda c: c[:, :, :A], cache_k)
+                cache_v = jax.tree.map(lambda c: c[:, :, :A], cache_v)
+
+            def step(carry, _):
+                ck, cv, p, tk, rs, gg, k = carry
+                emb = (
+                    jnp.take(params["codec_emb"], tk[:, 0], axis=0)
+                    + rs + trailing_lookup(trail, gg)
+                )[:, None, :]
+                hidden, logits, ck, cv = talker_forward(
+                    params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad,
+                    window_split=split,
+                )
+                h = hidden[:, -1, :]
+                k, sub = jax.random.split(k)
+                cb0 = sample_token(logits[:, -1, :], sub, sampling)
+                res_codes, rs_new = predict_residuals(
+                    cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
+                    return_feedback=True,
+                )
+                cb0 = jnp.where(active, cb0, t.codec_pad)
+                rs = jnp.where(active[:, None], rs_new.astype(rs.dtype), rs)
+                gg = jnp.where(active, gg + 1, gg)
+                p = jnp.where(active, p + 1, p)
+                return (ck, cv, p, cb0[:, None], rs, gg, k), (cb0, res_codes)
+
+            ((ck, cv, p, tk, res_sum, trail_g, key),
+             (tokens, residuals)) = jax.lax.scan(
+                step,
+                (cache_k, cache_v, pos, tok, res_sum, trail_g, key),
+                None, length=chunk,
+            )
+            tokens_bc = jnp.transpose(tokens, (1, 0))          # [B, chunk]
+            codes = jnp.concatenate(
+                [
+                    jnp.clip(tokens_bc, 0, cb_size - 1)[:, :, None],
+                    jnp.transpose(residuals, (1, 0, 2)),
+                ],
+                axis=-1,
+            ).transpose(0, 2, 1)                               # [B, Q, chunk]
+            wav_chunk, cstate = decode_codes_streaming(
+                codec_params, cfg, codes, cstate, frames
+            )
+            frames = jnp.where(active, frames + chunk, frames)
+            is_eos = tokens_bc == t.codec_eos
+            eos_hit = jnp.any(is_eos, axis=1)
+            n_valid = jnp.where(
+                eos_hit, jnp.argmax(is_eos, axis=1), chunk
+            ).astype(jnp.int32)
+            if A < S:
+                upd = lambda f, c: jax.lax.dynamic_update_slice(  # noqa: E731
+                    f, c, (0, 0, 0, 0, 0)
+                )
+                ck = jax.tree.map(upd, full_k, ck)
+                cv = jax.tree.map(upd, full_v, cv)
+            return (ck, cv, cstate, p, tk, key, frames, res_sum, trail_g,
+                    n_valid, codes, wav_to_pcm16(wav_chunk))
+
+        self._decode_fns[fn_key] = decode_chunk
+        return decode_chunk
+
     # -- stream lifecycle ---------------------------------------------------
 
     def free_slots(self) -> int:
@@ -466,7 +572,7 @@ class ServingEngine:
             raise RuntimeError("no free slots; call step() until one frees")
 
         gen = self.model.generator  # reuse its prompt assembly
-        emb, pad = gen.assemble_prompt(prompt)
+        emb, pad, trailing = gen.assemble_prompt_full(prompt)
         Lb = emb.shape[1]
         from ..models.codec import max_stream_frames
 
@@ -507,6 +613,7 @@ class ServingEngine:
                              kv_format=self._kv_fmt),
             sv=kv_cache_init(scratch, self._cache_dtype,
                              kv_format=self._kv_fmt),
+            trailing=trailing,
         ))
         return stream.stream_id
 
@@ -619,17 +726,34 @@ class ServingEngine:
             scratch = (t.n_layers, nb, Lb, t.n_kv_heads, t.head_dim)
             sk = kv_cache_init(scratch, self._cache_dtype,
                                kv_format=self._kv_fmt)
-            (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
-             self.frames_dev, self.active_mask, conv, self.key) = (
-                self._prefill_batch_fn(Lb, nb)(
-                    self.model.params, emb, pads, sk,
-                    kv_cache_init(scratch, self._cache_dtype,
-                                  kv_format=self._kv_fmt),
-                    self.cache_k, self.cache_v, slots,
-                    self.pos, self.pad, self.tok, self.frames_dev,
-                    self.active_mask, self.cstate["conv"], self.key,
+            sv = kv_cache_init(scratch, self._cache_dtype,
+                               kv_format=self._kv_fmt)
+            if self.feedback:
+                trail_bufs = jnp.concatenate(
+                    [pp.trailing for pp in group]
+                    + [group[0].trailing] * fill, axis=0
+                )                                       # [nb, Tb, D]
+                (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
+                 self.frames_dev, self.active_mask, conv, self.res_sum,
+                 self.trail, self.trail_g, self.key) = (
+                    self._prefill_batch_fn_fb(Lb, nb)(
+                        self.model.params, self.cp_params, emb, pads, sk, sv,
+                        self.cache_k, self.cache_v, trail_bufs, slots,
+                        self.pos, self.pad, self.tok, self.frames_dev,
+                        self.active_mask, self.cstate["conv"],
+                        self.res_sum, self.trail, self.trail_g, self.key,
+                    )
                 )
-            )
+            else:
+                (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
+                 self.frames_dev, self.active_mask, conv, self.key) = (
+                    self._prefill_batch_fn(Lb, nb)(
+                        self.model.params, emb, pads, sk, sv,
+                        self.cache_k, self.cache_v, slots,
+                        self.pos, self.pad, self.tok, self.frames_dev,
+                        self.active_mask, self.cstate["conv"], self.key,
+                    )
+                )
             self.cstate = dict(self.cstate, conv=conv)
             for pp in group:
                 self._host_pos[pp.stream.slot] = Lb
@@ -694,6 +818,121 @@ class ServingEngine:
         self._scatter_fns[key] = activate
         return activate
 
+    def _activate_fn_fb(self, Lb: int) -> Callable:
+        """Feedback-protocol single-stream activation: like _activate_fn,
+        plus the published seed — the code predictor runs on the seed
+        token's (prefill hidden, cb0) to produce the slot's first residual
+        feedback sum, the slot's trailing-text buffer scatters in, and its
+        consumed-row counter resets."""
+        key = ("activate_fb", Lb)
+        if key in self._scatter_fns:
+            return self._scatter_fns[key]
+        cfg = self.cfg
+        t = cfg.talker
+        sampling = self.sampling
+        cb_size = cfg.codec.codebook_size
+
+        @partial(jax.jit, donate_argnums=(4, 5))
+        def activate(params, cp_params, sk, sv, cache_k, cache_v, slot, pad,
+                     last_logits, last_hidden, trailing, pos_v, pad_v,
+                     tok_v, frames_v, active_v, conv, res_v, trail_v, g_v,
+                     key):
+            key, sub = jax.random.split(key)
+            first = sample_token(last_logits[None], sub, sampling)   # [1]
+            _, rs = predict_residuals(
+                cp_params, cfg, last_hidden[None],
+                jnp.clip(first, 0, cb_size - 1), return_feedback=True,
+            )
+            cache_k = jax.tree.map(
+                lambda c, u: jax.lax.dynamic_update_slice(
+                    c, u, (0, slot, 0, 0, 0)
+                ),
+                cache_k, sk,
+            )
+            cache_v = jax.tree.map(
+                lambda c, u: jax.lax.dynamic_update_slice(
+                    c, u, (0, slot, 0, 0, 0)
+                ),
+                cache_v, sv,
+            )
+            onehot = jnp.arange(tok_v.shape[0]) == slot
+            pos_v = jnp.where(onehot, Lb, pos_v)
+            pad_v = jnp.where(onehot, pad, pad_v)
+            tok_v = jnp.where(onehot[:, None], first[:, None], tok_v)
+            frames_v = jnp.where(onehot, 0, frames_v)
+            active_v = jnp.where(onehot, True, active_v)
+            conv = jax.tree.map(
+                lambda a: jnp.where(onehot[:, None, None], 0.0, a), conv
+            )
+            res_v = jnp.where(onehot[:, None], rs.astype(res_v.dtype), res_v)
+            trail_v = jax.lax.dynamic_update_slice(
+                trail_v, trailing.astype(trail_v.dtype), (slot, 0, 0)
+            )
+            g_v = jnp.where(onehot, 0, g_v)
+            return (cache_k, cache_v, pos_v, pad_v, tok_v, frames_v,
+                    active_v, conv, res_v, trail_v, g_v, key)
+
+        self._scatter_fns[key] = activate
+        return activate
+
+    def _prefill_batch_fn_fb(self, Lb: int, nb: int) -> Callable:
+        """Feedback-protocol batched cold-start prefill: _prefill_batch_fn
+        plus the seed code-predictor pass and the trailing/res_sum/counter
+        scatters. Padded rows replicate entry 0, so their duplicate scatter
+        writes stay bit-identical (the predictor is deterministic given the
+        replicated hidden/seed)."""
+        key = ("fb", Lb, nb)
+        if key in self._prefill_batch_fns:
+            return self._prefill_batch_fns[key]
+        cfg = self.cfg
+        t = cfg.talker
+        sampling = self.sampling
+        cb_size = cfg.codec.codebook_size
+
+        @partial(jax.jit, donate_argnums=(6, 7))
+        def prefill_activate(params, cp_params, emb, pads, sk, sv,
+                             cache_k, cache_v, trail_bufs, slots, pos_v,
+                             pad_v, tok_v, frames_v, active_v, conv,
+                             res_v, trail_v, g_v, key):
+            cos_t, sin_t = rope_tables(cfg.max_seq_len, t.head_dim,
+                                       t.rope_theta)
+            hidden, logits, sk, sv = talker_forward(
+                params, t, emb, sk, sv, jnp.int32(0), cos_t, sin_t,
+                pad_len=pads, head_last_only=True,
+            )
+            h = hidden[:, -1, :]
+            key, sub = jax.random.split(key)
+            keys = jax.vmap(lambda s: jax.random.fold_in(sub, s))(slots)
+            first = jax.vmap(
+                lambda l, k: sample_token(l[None, :], k, sampling)[0]
+            )(logits[:, -1, :], keys)                          # [nb]
+            _, rs = predict_residuals(
+                cp_params, cfg, h, jnp.clip(first, 0, cb_size - 1),
+                return_feedback=True,
+            )
+            cache_k = jax.tree.map(
+                lambda c, u: c.at[:, slots, :Lb].set(u), cache_k, sk
+            )
+            cache_v = jax.tree.map(
+                lambda c, u: c.at[:, slots, :Lb].set(u), cache_v, sv
+            )
+            pos_v = pos_v.at[slots].set(Lb)
+            pad_v = pad_v.at[slots].set(pads)
+            tok_v = tok_v.at[slots].set(first[:, None])
+            frames_v = frames_v.at[slots].set(0)
+            active_v = active_v.at[slots].set(True)
+            conv = jax.tree.map(lambda a: a.at[slots].set(0.0), conv)
+            res_v = res_v.at[slots].set(rs.astype(res_v.dtype))
+            trail_v = trail_v.at[slots].set(
+                trail_bufs.astype(trail_v.dtype)
+            )
+            g_v = g_v.at[slots].set(0)
+            return (cache_k, cache_v, pos_v, pad_v, tok_v, frames_v,
+                    active_v, conv, res_v, trail_v, g_v, key)
+
+        self._prefill_batch_fns[key] = prefill_activate
+        return prefill_activate
+
     def _finish_prefill(self, pp: _PendingPrefill) -> None:
         """Scatter the scratch cache into the slot and activate the stream
         (one fused dispatch — see _activate_fn)."""
@@ -701,16 +940,31 @@ class ServingEngine:
         slot = stream.slot
         if self._slots[slot] is not stream or stream.done:
             return  # stream was cancelled/recycled while pending
-        (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
-         self.frames_dev, self.active_mask, conv, self.key) = (
-            self._activate_fn(pp.Lb)(
-                self.model.params, pp.sk, pp.sv, self.cache_k, self.cache_v,
-                jnp.int32(slot), jnp.int32(pp.pad),
-                pp.last_logits, pp.last_hidden,
-                self.pos, self.pad, self.tok, self.frames_dev,
-                self.active_mask, self.cstate["conv"], self.key,
+        if self.feedback:
+            (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
+             self.frames_dev, self.active_mask, conv, self.res_sum,
+             self.trail, self.trail_g, self.key) = (
+                self._activate_fn_fb(pp.Lb)(
+                    self.model.params, self.cp_params, pp.sk, pp.sv,
+                    self.cache_k, self.cache_v,
+                    jnp.int32(slot), jnp.int32(pp.pad),
+                    pp.last_logits, pp.last_hidden, pp.trailing,
+                    self.pos, self.pad, self.tok, self.frames_dev,
+                    self.active_mask, self.cstate["conv"],
+                    self.res_sum, self.trail, self.trail_g, self.key,
+                )
             )
-        )
+        else:
+            (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
+             self.frames_dev, self.active_mask, conv, self.key) = (
+                self._activate_fn(pp.Lb)(
+                    self.model.params, pp.sk, pp.sv, self.cache_k,
+                    self.cache_v, jnp.int32(slot), jnp.int32(pp.pad),
+                    pp.last_logits, pp.last_hidden,
+                    self.pos, self.pad, self.tok, self.frames_dev,
+                    self.active_mask, self.cstate["conv"], self.key,
+                )
+            )
         self._host_pos[slot] = pp.Lb
         self._host_frames[slot] = 0
         self.cstate = dict(self.cstate, conv=conv)
@@ -745,14 +999,24 @@ class ServingEngine:
                 if slot // group_size == g
             ]
             wins.append(attn_bucket((max(gpos) if gpos else 0) + steps, S))
-        (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
-         self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
-            chunk, tuple(wins)
-        )(
-            self.model.params, self.cp_params, self.codec_params,
-            self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
-            self.frames_dev, self.tok, self.active_mask, self.key,
-        )
+        if self.feedback:
+            (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
+             self.key, self.frames_dev, self.res_sum, self.trail_g,
+             n_valid, codes, wav) = self._decode_fn_fb(chunk, tuple(wins))(
+                self.model.params, self.cp_params, self.codec_params,
+                self.cache_k, self.cache_v, self.cstate, self.trail,
+                self.pos, self.pad, self.frames_dev, self.tok,
+                self.res_sum, self.trail_g, self.active_mask, self.key,
+            )
+        else:
+            (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
+             self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
+                chunk, tuple(wins)
+            )(
+                self.model.params, self.cp_params, self.codec_params,
+                self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
+                self.frames_dev, self.tok, self.active_mask, self.key,
+            )
         for slot, _ in active:
             self._host_pos[slot] += steps
             self._host_frames[slot] += chunk

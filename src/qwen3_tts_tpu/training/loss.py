@@ -37,9 +37,112 @@ def _cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
     return total / count
 
 
+def _published_hidden_and_logits(
+    params: Any, cp_params: Any, cfg: ModelConfig, batch: dict,
+    stack_fn: Any = None, act_constraint: Any = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced forward under the published decode protocol
+    (TalkerConfig.feedback="residual_sum") — the exact inference layout of
+    runtime/generate.py _assemble_published + the feedback decode loop:
+
+        txt[0..2] | tts_pad+[markers] | (tts_pad+speaker)? |
+        tts_bos+codec_pad | txt[3]+codec_bos |
+        frame g: codec_emb[cb0_g] + Σ_d res_emb[d][code_{d+1,g}] + trail(g)
+
+    where trail(g) is the projected text row n_head+1+g, then tts_eos, then
+    tts_pad (the talker re-reads the text one token per frame). Residual
+    sums are teacher-forced from ground-truth codes; decode uses the code
+    predictor's own output (standard teacher forcing)."""
+    from ..models.code_predictor import residual_feedback_sum
+    from ..models.talker import text_projection
+
+    t = cfg.talker
+    text = batch["text_tokens"]                       # [B, Tt] right-padded
+    text_mask = batch["text_mask"]
+    codes = batch["codes"]                            # [B, Q, Tf]
+    codes0 = codes[:, 0, :]
+    B, Tt = text.shape
+    Tf = codes0.shape[1]
+    assert t.frames_per_step == 1
+
+    txt = text_projection(
+        params, jnp.take(params["text_emb"], text, axis=0)
+    )                                                 # [B, Tt, D]
+    ctl = jnp.asarray([t.tts_pad_id, t.tts_bos_id, t.tts_eos_id], jnp.int32)
+    ctl_e = text_projection(params, jnp.take(params["text_emb"], ctl, axis=0))
+    pad_e, bos_e, eos_e = ctl_e[0], ctl_e[1], ctl_e[2]
+    n_head = min(3, Tt - 1)
+    D = txt.shape[-1]
+
+    def brow(row):                                    # [D] -> [B, 1, D]
+        return jnp.broadcast_to(row[None, None, :], (B, 1, D))
+
+    codec_emb = params["codec_emb"]
+    parts = [txt[:, :n_head]]
+    for tok in t.codec_prompt_head:
+        parts.append(brow(pad_e + codec_emb[tok]))
+    if "speaker_token" in batch:                      # published speaker-as-
+        # codec-token conditioning (ids from talker_config.speaker_id)
+        spk = jnp.take(codec_emb, batch["speaker_token"], axis=0)
+        parts.append(pad_e[None, None, :] + spk[:, None, :])
+    elif "speaker_id" in batch:                       # synthetic table row
+        spk = jnp.take(
+            params["spk_emb"], jnp.maximum(batch["speaker_id"], 0), axis=0
+        )
+        parts.append(pad_e[None, None, :] + spk[:, None, :].astype(txt.dtype))
+    parts.append(brow(bos_e + codec_emb[t.codec_pad]))
+    parts.append(
+        txt[:, n_head:n_head + 1] + codec_emb[t.codec_bos][None, None, :]
+    )
+
+    # trailing-text rows for frames 0..Tf-2 (the input consuming frame g's
+    # codes adds trail(g), mirroring the decode loop's carried counter)
+    n_real = jnp.sum(text_mask.astype(jnp.int32), axis=1)    # [B]
+    idx = n_head + 1 + jnp.arange(Tf - 1)                    # [Tf-1]
+    gathered = jnp.take_along_axis(
+        txt, jnp.clip(idx, 0, Tt - 1)[None, :, None], axis=1
+    )                                                        # [B, Tf-1, D]
+    real = (idx[None, :] < n_real[:, None])[..., None]
+    at_eos = (idx[None, :] == n_real[:, None])[..., None]
+    trail = jnp.where(
+        real, gathered, jnp.where(at_eos, eos_e, pad_e)
+    )
+
+    cb0_in = jnp.take(codec_emb, codes0[:, :-1], axis=0)     # [B, Tf-1, D]
+    res2d = jnp.transpose(codes[:, 1:, :-1], (0, 2, 1)).reshape(
+        B * (Tf - 1), -1
+    )
+    res_sum = residual_feedback_sum(cp_params, res2d).reshape(
+        B, Tf - 1, D
+    )
+    frame_in = (cb0_in + res_sum.astype(txt.dtype) + trail).astype(txt.dtype)
+
+    x = jnp.concatenate(parts + [frame_in], axis=1)
+    P = x.shape[1] - (Tf - 1)                                # prompt length
+    shift = jnp.zeros((B,), jnp.int32)                       # no left pad
+
+    S = x.shape[1]
+    if stack_fn is None:
+        cache_k = jnp.zeros(
+            (t.n_layers, B, S, t.n_kv_heads, t.head_dim), x.dtype
+        )
+        cache_v = jnp.zeros_like(cache_k)
+        cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
+        hidden, logits, _, _ = talker_forward(
+            params, t, x, cache_k, cache_v, jnp.int32(0), cos_t, sin_t,
+            pad_len=shift, act_constraint=act_constraint,
+        )
+    else:
+        y = stack_fn(params["blocks"], x, shift)
+        hidden = rmsnorm(y, params["ln_f"], t.rms_eps)
+        logits = linear(hidden, params["head"]).astype(jnp.float32)
+    # the codec_bos row sits at P-1; its output predicts frame 0
+    return hidden[:, P - 1:, :], logits[:, P - 1:, :]
+
+
 def _talker_hidden_and_logits(
     params: Any, cfg: ModelConfig, batch: dict, stack_fn: Any = None,
-    act_constraint: Any = None,
+    act_constraint: Any = None, cp_params: Any = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full-sequence forward; returns (hidden, logits) at frame positions.
 
@@ -58,6 +161,16 @@ def _talker_hidden_and_logits(
     valid positions.
     """
     t = cfg.talker
+    if t.feedback == "residual_sum":
+        if cp_params is None:
+            raise ValueError(
+                "feedback='residual_sum' training needs cp_params (the "
+                "talker input sums the predictor's depth-table embeddings)"
+                " — use joint_loss, or pass cp_params explicitly"
+            )
+        return _published_hidden_and_logits(
+            params, cp_params, cfg, batch, stack_fn, act_constraint
+        )
     text = batch["text_tokens"]                       # [B, Tt] right-padded
     text_mask = batch["text_mask"]                    # [B, Tt] bool
     codes0 = batch["codes"][:, 0, :]                  # [B, Tf]
@@ -166,9 +279,14 @@ def _talker_hidden_and_logits(
     return hidden_frames, logits_frames
 
 
-def talker_loss(params: Any, cfg: ModelConfig, batch: dict) -> jnp.ndarray:
-    """Codebook-0 next-frame cross entropy."""
-    _, logits = _talker_hidden_and_logits(params, cfg, batch)
+def talker_loss(
+    params: Any, cfg: ModelConfig, batch: dict, cp_params: Any = None
+) -> jnp.ndarray:
+    """Codebook-0 next-frame cross entropy. ``cp_params`` is required
+    under feedback='residual_sum' (the talker input embeds residual codes
+    through the predictor's depth tables)."""
+    _, logits = _talker_hidden_and_logits(params, cfg, batch,
+                                          cp_params=cp_params)
     return _cross_entropy(logits, batch["codes"][:, 0, :], batch["frame_mask"])
 
 
@@ -237,7 +355,8 @@ def code_predictor_teacher_logits(
 def code_predictor_loss(
     params: Any, cp_params: Any, cfg: ModelConfig, batch: dict
 ) -> jnp.ndarray:
-    hidden, _ = _talker_hidden_and_logits(params, cfg, batch)
+    hidden, _ = _talker_hidden_and_logits(params, cfg, batch,
+                                          cp_params=cp_params)
     B, Tf, D = hidden.shape
     Q = batch["codes"].shape[1]
     flat_h = hidden.reshape(B * Tf, D)
@@ -260,7 +379,7 @@ def joint_loss(
     runner (pipeline parallelism — see ``_talker_hidden_and_logits``);
     ``act_constraint`` turns on sequence-parallel activation sharding."""
     hidden, logits = _talker_hidden_and_logits(
-        params, cfg, batch, stack_fn, act_constraint
+        params, cfg, batch, stack_fn, act_constraint, cp_params=cp_params
     )
     t_loss = _cross_entropy(logits, batch["codes"][:, 0, :], batch["frame_mask"])
 

@@ -1,0 +1,298 @@
+"""The published decode protocol (TalkerConfig.feedback="residual_sum").
+
+Covers PARITY.md item 3 — the transformers Qwen3OmniMoeTalker generate
+loop: the next talker input is the SUM of all codebook embeddings of the
+previous frame plus a per-step trailing-text row, the code predictor runs
+per frame inside the decode scan, and the prompt is the dual-stream
+(text-hidden + codec-embedding) layout. Tests pin:
+
+- config validation (the protocol's structural requirements),
+- the trailing-text buffer layout (text rows, tts_eos, tts_pad fill),
+- decode end-to-end on the tiny feedback config,
+- serving <-> single-stream greedy parity (the CLAUDE.md invariant) under
+  the protocol, including a mid-flight join,
+- teacher-forced training layout == decode layout (argmax of the training
+  logits reproduces the greedily decoded token stream).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.engine import configs
+from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+from qwen3_tts_tpu.models.code_predictor import (
+    predict_residuals,
+    residual_feedback_sum,
+)
+from qwen3_tts_tpu.runtime.prompts import PromptSpec
+from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+from qwen3_tts_tpu.runtime.serving import ServingEngine
+
+GREEDY = SamplingConfig(temperature=0.0)
+
+
+def _model(seed: int = 0) -> Qwen3TTSModel:
+    cfg = configs.tiny_feedback("custom")
+    m = Qwen3TTSModel.synthetic(cfg, seed=seed)
+    m.generator.sampling = GREEDY
+    return m
+
+
+def _prompt(n: int = 8, speaker: int | None = 1) -> PromptSpec:
+    return PromptSpec(
+        text_tokens=np.arange(n, dtype=np.int32) + 5, speaker_id=speaker
+    )
+
+
+# -- config validation -------------------------------------------------------
+
+def test_feedback_requires_fps1():
+    with pytest.raises(ValueError, match="frames_per_step"):
+        dataclasses.replace(
+            configs.tiny_feedback().talker, frames_per_step=2
+        )
+
+
+def test_feedback_requires_tts_ids():
+    with pytest.raises(ValueError, match="tts_pad_id"):
+        dataclasses.replace(
+            configs.tiny_feedback().talker, tts_eos_id=None
+        )
+
+
+def test_feedback_requires_width_match():
+    base = configs.tiny_feedback()
+    with pytest.raises(ValueError, match="widths must match"):
+        dataclasses.replace(
+            base,
+            code_predictor=dataclasses.replace(
+                base.code_predictor, hidden=32
+            ),
+        )
+
+
+def test_tts_ids_range_checked():
+    with pytest.raises(ValueError, match="out of range"):
+        dataclasses.replace(
+            configs.tiny_feedback().talker, tts_pad_id=4096
+        )
+
+
+# -- prompt + trailing buffer -----------------------------------------------
+
+def test_trailing_buffer_layout():
+    m = _model()
+    t = m.cfg.talker
+    prompt = _prompt(10, speaker=None)
+    emb, pad, trail = m.generator.assemble_prompt_full(prompt)
+    Tb = t.trailing_bucket
+    assert trail.shape == (1, Tb, t.hidden)
+    text_emb = np.asarray(m.params["text_emb"])
+    toks = prompt.text_tokens
+    n_head = 3
+    trail_np = np.asarray(trail[0], dtype=np.float32)
+    # rows 0..T-n_head-2: projected text rows after the FIRST text token
+    # (no text_proj on the synthetic model -> raw text_emb rows)
+    expect_rows = text_emb[toks[n_head + 1:]]
+    n_trail = expect_rows.shape[0]
+    np.testing.assert_allclose(
+        trail_np[:n_trail], expect_rows.astype(np.float32), rtol=1e-6
+    )
+    # then one tts_eos row, then tts_pad fill to the bucket
+    np.testing.assert_allclose(
+        trail_np[n_trail], text_emb[t.tts_eos_id].astype(np.float32),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        trail_np[n_trail + 1:],
+        np.broadcast_to(
+            text_emb[t.tts_pad_id], (Tb - n_trail - 1, t.hidden)
+        ).astype(np.float32),
+        rtol=1e-6,
+    )
+
+
+def test_published_prompt_rows():
+    """Dual-stream prompt: head text rows, pad+markers, pad+speaker,
+    bos+codec_pad, first_text+codec_bos (left-padded to the bucket)."""
+    m = _model()
+    t = m.cfg.talker
+    prompt = _prompt(8, speaker=1)
+    emb, pad, _ = m.generator.assemble_prompt_full(prompt)
+    rows = np.asarray(emb[0, pad:], dtype=np.float32)
+    text_emb = np.asarray(m.params["text_emb"], dtype=np.float32)
+    codec_emb = np.asarray(m.params["codec_emb"], dtype=np.float32)
+    spk_emb = np.asarray(m.params["spk_emb"], dtype=np.float32)
+    toks = prompt.text_tokens
+    pad_e = text_emb[t.tts_pad_id]
+    bos_e = text_emb[t.tts_bos_id]
+    expected = [
+        text_emb[toks[0]], text_emb[toks[1]], text_emb[toks[2]],
+        pad_e + codec_emb[t.codec_nothink],
+        pad_e + codec_emb[t.codec_think_bos],
+        pad_e + codec_emb[t.codec_think_eos],
+        pad_e + spk_emb[1],
+        bos_e + codec_emb[t.codec_pad],
+        text_emb[toks[3]] + codec_emb[t.codec_bos],
+    ]
+    assert rows.shape[0] == len(expected)
+    for i, exp in enumerate(expected):
+        # the summed rows round once in bf16; pure-copy rows are exact
+        np.testing.assert_allclose(rows[i], exp, rtol=2e-2, atol=2e-2)
+
+
+# -- decode ------------------------------------------------------------------
+
+def test_feedback_decode_end_to_end():
+    m = _model()
+    res = m.generator.synthesize(_prompt(), max_frames=10, seed=3)
+    assert res.frames > 0
+    assert res.wav.dtype == np.int16
+    assert len(res.wav) == res.frames * m.cfg.codec.hop
+
+
+def test_feedback_decode_deterministic_greedy():
+    m = _model()
+    a = m.generator.synthesize(_prompt(), max_frames=10, seed=0)
+    b = m.generator.synthesize(_prompt(), max_frames=10, seed=7)
+    # greedy sampling ignores the key: identical streams
+    np.testing.assert_array_equal(a.wav, b.wav)
+
+
+# -- serving parity -----------------------------------------------------------
+
+def test_serving_matches_single_stream():
+    m = _model()
+    prompts = [_prompt(6 + i, speaker=i % 2) for i in range(3)]
+    singles = [
+        m.generator.synthesize(p, max_frames=12, seed=0).wav for p in prompts
+    ]
+    eng = ServingEngine(m, max_streams=4, chunk=4, sampling=GREEDY)
+    outs = eng.run(prompts, max_frames=12)
+    for i, (wav, st) in enumerate(outs):
+        assert st.frames == 12
+        np.testing.assert_array_equal(wav, singles[i])
+
+
+def test_serving_join_under_load_matches():
+    """A stream joining mid-flight must not perturb live feedback streams,
+    and must itself decode token-identically."""
+    m = _model()
+    p0, p1 = _prompt(6, 0), _prompt(9, 1)
+    s0 = m.generator.synthesize(p0, max_frames=16, seed=0).wav
+    s1 = m.generator.synthesize(p1, max_frames=8, seed=0).wav
+
+    eng = ServingEngine(m, max_streams=4, chunk=4, sampling=GREEDY)
+    id0 = eng.submit(p0, max_frames=16)
+    for _ in range(2):
+        eng.step()
+    id1 = eng.submit(p1, max_frames=8)  # joins while stream 0 decodes
+    for _ in range(40):
+        eng.step()
+        if eng.streams[id0].done and eng.streams[id1].done:
+            break
+    w0, _ = eng.collect(id0)
+    w1, _ = eng.collect(id1)
+    np.testing.assert_array_equal(w0, s0)
+    np.testing.assert_array_equal(w1, s1)
+
+
+# -- training layout == decode layout -----------------------------------------
+
+def test_training_layout_matches_decode():
+    """Teacher-forcing the greedily decoded codes through the published
+    training layout must reproduce the decoded token stream via argmax —
+    the strongest train/serve-parity statement available offline."""
+    from qwen3_tts_tpu.models.codec import init_codec_stream_state
+    from qwen3_tts_tpu.training.loss import _published_hidden_and_logits
+
+    m = _model()
+    cfg = m.cfg
+    t = cfg.talker
+    gen = m.generator
+    prompt = _prompt(8, speaker=1)
+    chunk = 8
+
+    emb, pad, trailing = gen.assemble_prompt_full(prompt)
+    Lb = emb.shape[1]
+    cache_k, cache_v = gen._alloc_cache()
+    pad_len = jnp.int32(pad)
+    hidden_last, logits, cache_k, cache_v = gen._prefill_fn()(
+        m.params, emb, pad_len, cache_k, cache_v
+    )
+    key = jax.random.PRNGKey(0)
+    seed_tok = gen._seed_tokens(hidden_last, logits, key)      # [1, 1]
+    seed_res, res_sum = predict_residuals(
+        gen.cp_params, cfg, hidden_last,
+        jnp.clip(seed_tok[:, 0], 0, cfg.codec.codebook_size - 1),
+        return_feedback=True,
+    )
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    cstate = init_codec_stream_state(cfg, 1, dtype=dtype)
+    decode = gen._decode_fn(chunk, None)
+    (_, _, _, _, _, _, _, _, _, n_valid, codes, _) = decode(
+        m.params, gen.cp_params, gen.codec_params, cache_k, cache_v,
+        cstate, trailing, jnp.int32(Lb), pad_len, jnp.int32(0),
+        seed_tok, res_sum.astype(dtype), jnp.zeros((1,), jnp.int32), key,
+    )
+    valid = int(n_valid[0])
+    assert valid >= 2, "tiny model hit EOS immediately; adjust the prompt"
+
+    # frames: [seed, decoded 0..valid-1] (codebook-0 rows are stored
+    # clipped, which matches what teacher forcing feeds)
+    seed_frame = jnp.concatenate(
+        [jnp.clip(seed_tok[:, :1], 0, cfg.codec.codebook_size - 1),
+         seed_res], axis=1
+    )[:, :, None]                                              # [1, Q, 1]
+    full_codes = jnp.concatenate(
+        [seed_frame, codes[:, :, :valid]], axis=2
+    )                                                          # [1, Q, 1+valid]
+
+    toks = prompt.text_tokens
+    batch = {
+        "text_tokens": jnp.asarray(toks)[None, :],
+        "text_mask": jnp.ones((1, len(toks)), bool),
+        "codes": full_codes,
+        "frame_mask": jnp.ones((1, full_codes.shape[2]), bool),
+        "speaker_id": jnp.asarray([1], jnp.int32),
+    }
+    _, tf_logits = _published_hidden_and_logits(
+        m.params, gen.cp_params, cfg, batch
+    )
+    # position g predicts frame g (position 0 is the codec_bos row whose
+    # output chose the seed). Decode stores cb0 CLIPPED to the codebook, so
+    # a mid-stream control token (possible on tiny synthetic vocabularies)
+    # makes teacher-forced inputs diverge from that frame on — compare the
+    # prefix where every stored code is unambiguous.
+    pred = np.asarray(jnp.argmax(tf_logits[0], axis=-1))
+    got = np.asarray(full_codes[0, 0, :])
+    cb = cfg.codec.codebook_size
+    ok = int(np.cumprod(got < cb - 1).sum())   # unambiguous prefix length
+    assert ok >= 3, f"too few comparable frames ({ok}); reseed the test"
+    np.testing.assert_array_equal(pred[:ok], got[:ok])
+
+
+def test_residual_feedback_sum_matches_tables():
+    m = _model()
+    cfg = m.cfg
+    n_res = cfg.codec.num_codebooks - 1
+    codes = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, cfg.codec.residual_codebook_size, size=(3, n_res)
+        ),
+        jnp.int32,
+    )
+    s = np.asarray(
+        residual_feedback_sum(m.generator.cp_params, codes),
+        dtype=np.float32,
+    )
+    tabs = np.asarray(m.generator.cp_params["res_emb"], dtype=np.float32)
+    expect = np.zeros_like(s)
+    for b in range(3):
+        for d in range(n_res):
+            expect[b] += tabs[d, int(codes[b, d])]
+    np.testing.assert_allclose(s, expect, rtol=1e-3, atol=1e-3)

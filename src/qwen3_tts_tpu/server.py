@@ -537,10 +537,12 @@ class TTSService:
             self.errors_total += 1
 
     def _cancel_job_streams(self, job: _Job) -> None:
-        """Free every engine slot the job still occupies."""
+        """Free every engine slot the job still occupies. The _active entry
+        drops BEFORE engine.cancel so an observer never sees a freed slot
+        with a lingering active-job record (stats/tests poll both)."""
         for sid in [s for s, j in self._active.items() if j is job]:
-            self.engine.cancel(sid)
             del self._active[sid]
+            self.engine.cancel(sid)
 
     def _drain_cancels(self) -> None:
         while True:

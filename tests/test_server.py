@@ -281,15 +281,22 @@ def test_service_cancel_stops_job():
 
     model = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=5)
     service = TTSService(model, max_streams=2, sampling=GREEDY).start()
+    # pin a single chunk size: the driver only drains cancels between
+    # engine steps, and the default adaptive schedule compiles three decode
+    # variants inside the step — minutes on a CPU contended by a parallel
+    # test run, which starved this test's deadline
+    service.engine.chunk = 4
     try:
         job = service.submit(text="cancel me please", max_frames=400)
-        deadline = _time.time() + 120
+        deadline = _time.time() + 300
         while not job.seg_of_stream and _time.time() < deadline:
             _time.sleep(0.05)  # wait for the driver to submit the segment
         assert job.seg_of_stream, "job never reached the engine"
         service.cancel(job)
-        deadline = _time.time() + 60
-        while service.engine.free_slots() < 2 and _time.time() < deadline:
+        deadline = _time.time() + 300
+        while (
+            service.engine.free_slots() < 2 or service._active
+        ) and _time.time() < deadline:
             _time.sleep(0.05)
         assert service.engine.free_slots() == 2
         assert not service._active

@@ -174,8 +174,12 @@ def main() -> None:
     enable_compilation_cache()
 
     t0 = time.perf_counter()
-    # frames_per_step=2: the MTP decode head halves talker HBM traffic per
-    # frame (engine/configs.py TalkerConfig.frames_per_step).
+    # frames_per_step=2: fps=3 wins single-stream (34.3x vs 26.7x,
+    # tools/ab_fps.py) but was measured to COLLAPSE the 8-stream aggregate
+    # (47x vs 75x, cold TTFA 905 ms) — the deeper sequential MTP chain
+    # serializes against the batch. One model serves both metrics here, so
+    # the headline stays fps=2; single-stream-only deployments can flip it
+    # (PERF.md).
     # QWEN3_TTS_BENCH_CODEC=code2wav swaps in the REAL decoder family at
     # flagship geometry (models/code2wav.py) to measure its true cost.
     if os.environ.get("QWEN3_TTS_BENCH_CODEC", "rvq") == "code2wav":
@@ -241,7 +245,7 @@ def main() -> None:
 
 
 def preflight(deadline_s: float | None = None,
-              probe_timeout_s: float = 90.0) -> None:
+              probe_timeout_s: float = 240.0) -> None:
     """Wait until the device service answers a trivial op before loading.
 
     The remote TPU service can wedge (blocked calls, no error — CLAUDE.md)

@@ -310,6 +310,20 @@ def _config_from_hf(hf: dict, mode: str) -> ModelConfig:
                           default=t.n_speakers),
         frames_per_step=_first(talker_cfg, "frames_per_step",
                                default=t.frames_per_step),
+        # trailing-text control ids (published top-level config; the
+        # talker re-reads the text during decode under the residual_sum
+        # feedback protocol — runtime/generate.py). Recording them is
+        # harmless on their own; import_hf_checkpoint only flips
+        # feedback="residual_sum" when the full evidence set is present.
+        tts_pad_id=_first(hf, "tts_pad_token_id",
+                          default=_first(talker_cfg, "tts_pad_token_id",
+                                         default=None)),
+        tts_bos_id=_first(hf, "tts_bos_token_id",
+                          default=_first(talker_cfg, "tts_bos_token_id",
+                                         default=None)),
+        tts_eos_id=_first(hf, "tts_eos_token_id",
+                          default=_first(talker_cfg, "tts_eos_token_id",
+                                         default=None)),
     )
 
     cp = base.code_predictor
@@ -499,6 +513,44 @@ def _gather_quantized(
             "bias": biases.astype(np.float32),
         }
     return {"w": w}
+
+
+def _extract_text_projection(
+    tk: dict[str, np.ndarray], gs: int, bits: int
+) -> tuple[dict | None, int]:
+    """Pull the talker's text_projection ResizeMLP out of the tensor dict
+    (transformers Qwen3OmniMoeTalkerResizeMLP: biased linear_fc1 -> act ->
+    biased linear_fc2). Returns (params tree for ``text_proj`` | None,
+    tensors consumed). Consumed names are removed from ``tk`` so the
+    generic transformer import doesn't report them unmapped."""
+    names = [n for n in tk if "text_projection" in n]
+    if not names:
+        return None, 0
+    out: dict = {}
+    consumed: list[str] = []
+    for fc, key in (("linear_fc1", "fc1"), ("linear_fc2", "fc2")):
+        base = next(
+            (n[: -len(".weight")] for n in names
+             if fc in n and n.endswith(".weight")),
+            None,
+        )
+        if base is None:
+            raise CheckpointImportError(
+                f"text_projection tensors present but {fc}.weight missing "
+                f"(found: {sorted(names)[:6]}) — layout unrecognised"
+            )
+        lin = _gather_quantized(tk, base, gs, bits)
+        bias = tk.get(f"{base}.bias")
+        if bias is not None:
+            lin = dict(lin, b=bias)
+            consumed.append(f"{base}.bias")
+        out[key] = lin
+        for suf in (".weight", ".scales", ".biases"):
+            if f"{base}{suf}" in tk:
+                consumed.append(f"{base}{suf}")
+    for n in consumed:
+        tk.pop(n, None)
+    return out, len(consumed)
 
 
 def _match_linear_format(value: dict, slot: dict, gs: int, bits: int) -> dict:
@@ -894,12 +946,18 @@ def import_hf_checkpoint(
     assigned: dict[str, int] = {}
 
     talker = init_talker(cfg, seed=kwargs.get("seed", 0))
+    # the text_projection ResizeMLP (when shipped) is pulled out FIRST so
+    # its names don't land in `unmapped` during the generic pass
+    text_proj, tp_count = _extract_text_projection(by_comp["talker"], gs, bits)
     assigned["talker"] = _import_transformer(
         talker, by_comp["talker"],
         n_layers=cfg.talker.n_layers,
         top_map=_TALKER_TOP_MAP, dense_dests=_TALKER_DENSE,
         gs=gs, bits=bits, unmapped=unmapped, comp="talker",
     )
+    if text_proj is not None:
+        talker["text_proj"] = text_proj
+        assigned["talker"] += tp_count
 
     if by_comp["cp"]:
         cp_updates = {}
@@ -929,6 +987,35 @@ def import_hf_checkpoint(
                     cfg.code_predictor, **cp_updates
                 ),
             )
+        # published decode protocol (PARITY.md item 3): a checkpoint whose
+        # code predictor follows the two-position layout AND whose config
+        # carries the think markers + tts control ids almost certainly
+        # follows the full published generate loop — enable the
+        # residual-sum talker feedback + trailing-text conditioning
+        # (runtime/generate.py). All-or-none: missing tts ids leave the
+        # cb0 protocol in place with a warning, never a half protocol.
+        t = cfg.talker
+        if (
+            cfg.code_predictor.input_layout == "hidden_token"
+            and t.codec_prompt_head
+            and t.frames_per_step == 1
+        ):
+            tts = (t.tts_pad_id, t.tts_bos_id, t.tts_eos_id)
+            if all(i is not None for i in tts):
+                cfg = dataclasses.replace(
+                    cfg,
+                    talker=dataclasses.replace(t, feedback="residual_sum"),
+                )
+            else:
+                warnings.warn(
+                    "checkpoint matches the published code-predictor "
+                    "layout and defines codec think markers, but "
+                    "tts_{pad,bos,eos}_token_id are missing from its "
+                    "config — running the cb0 feedback protocol (the "
+                    "trailing-text loop needs those ids); add them via a "
+                    "config override if the checkpoint expects the "
+                    "published decode loop"
+                )
     cp_params = init_code_predictor(cfg, seed=1)
     assigned["code_predictor"] = _import_transformer(
         cp_params, by_comp["cp"],

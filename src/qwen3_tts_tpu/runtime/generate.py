@@ -340,11 +340,13 @@ def make_decode_chunk_fn_feedback(
             h = hidden[:, -1, :]
             k, sub = jax.random.split(k)
             cb0 = sample_token(logits[:, -1, :], sub, sampling)   # [B]
-            res_codes, rs = predict_residuals(
+            res_codes, rs_new = predict_residuals(
                 cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
                 return_feedback=True,
             )
-            carry = (ck, cv, p + 1, cb0[:, None], rs.astype(h.dtype),
+            # cast to the CARRY's dtype (imported fp32 tables would other-
+            # wise widen the carry mid-scan)
+            carry = (ck, cv, p + 1, cb0[:, None], rs_new.astype(rs.dtype),
                      gg + 1, k)
             return carry, (cb0, res_codes)
 

@@ -1206,7 +1206,7 @@ class ServingEngine:
         prompts: list[PromptSpec],
         *,
         max_frames: int | list[int],
-        pipeline_depth: int = 3,
+        pipeline_depth: int = 2,
     ) -> list[tuple[np.ndarray, Stream]]:
         """Serve all prompts to completion (continuous batching: new prompts
         enter as slots free up); returns [(wav, stream), ...] in order.

@@ -62,7 +62,8 @@ from typing import Any
 
 import numpy as np
 
-_PIPELINE_DEPTH = 3
+_PIPELINE_DEPTH = 2  # depth 2 beat 3 by ~15% in the same-process serving
+# A/B (tools/ab_serving.py medians 87-90x vs 74-76x, PERF.md round 2)
 
 
 # --------------------------------------------------------------------------

@@ -124,11 +124,13 @@ def _hf_config_dict(cfg):
     }
 
 
-def _write_mlx_style_checkpoint(path, cfg, seed=11, full=False):
+def _write_mlx_style_checkpoint(path, cfg, seed=11, full=False,
+                                extra_tensors=None, config_extra=None):
     """Synthesize an MLX-layout talker checkpoint (uint32-packed quantized
     linears + dense norms/embeddings) and return the dense weights used.
     ``full=True`` adds codec + code-predictor tensors so the import needs
-    no synthetic fallback at all."""
+    no synthetic fallback at all. ``extra_tensors``/``config_extra`` merge
+    additional tensors / config.json keys (protocol-evidence tests)."""
     from safetensors.numpy import save_file
 
     from qwen3_tts_tpu.ops.quant import dequantize, quantize_weights
@@ -183,10 +185,15 @@ def _write_mlx_style_checkpoint(path, cfg, seed=11, full=False):
         _add_cp_tensors(tensors, cfg, rng)
         _add_codec_tensors(tensors, cfg, seed + 5)
 
+    if extra_tensors:
+        tensors.update(extra_tensors)
+    hf = _hf_config_dict(cfg)
+    if config_extra:
+        hf.update(config_extra)
     os.makedirs(path, exist_ok=True)
     save_file(tensors, os.path.join(path, "model.safetensors"))
     with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(_hf_config_dict(cfg), f)
+        json.dump(hf, f)
     return tensors, dense
 
 
@@ -509,3 +516,152 @@ def test_rename_map_adapts_unusual_layouts(temp_dir):
         odd,
         atol=1e-2,
     )
+
+
+# -- published decode protocol: importer evidence gate ------------------------
+
+def _published_cp_tensors(cfg, rng):
+    """Published code-predictor naming (two-position layout: no in_proj,
+    no q/k norms) — the evidence half the feedback gate reads from
+    tensors (see test_cp_import_published_layout for the mapping test)."""
+    cp, cc = cfg.code_predictor, cfg.codec
+    n_res = cc.num_codebooks - 1
+    q_dim = cp.n_heads * cp.head_dim
+    tensors = {}
+
+    def lin(name, o, i):
+        tensors[f"code_predictor.{name}.weight"] = rng.normal(
+            0, 0.05, (o, i)).astype(np.float32)
+
+    tensors["code_predictor.cb0_embedding.weight"] = rng.normal(
+        0, 0.02, (cc.codebook_size, cp.hidden)).astype(np.float32)
+    for i in range(n_res):
+        tensors[f"code_predictor.model.codec_embedding.{i}.weight"] = (
+            rng.normal(0, 0.02, (cc.residual_codebook_size, cp.hidden))
+            .astype(np.float32))
+        tensors[f"code_predictor.lm_head.{i}.weight"] = rng.normal(
+            0, 0.02, (cc.residual_codebook_size, cp.hidden)
+        ).astype(np.float32)
+    tensors["code_predictor.model.norm.weight"] = np.ones(
+        cp.hidden, np.float32)
+    for i in range(cp.n_layers):
+        lin(f"model.layers.{i}.self_attn.q_proj", q_dim, cp.hidden)
+        lin(f"model.layers.{i}.self_attn.k_proj", q_dim, cp.hidden)
+        lin(f"model.layers.{i}.self_attn.v_proj", q_dim, cp.hidden)
+        lin(f"model.layers.{i}.self_attn.o_proj", cp.hidden, q_dim)
+        lin(f"model.layers.{i}.mlp.gate_proj", cp.ffn, cp.hidden)
+        lin(f"model.layers.{i}.mlp.up_proj", cp.ffn, cp.hidden)
+        lin(f"model.layers.{i}.mlp.down_proj", cp.hidden, cp.ffn)
+        p = f"code_predictor.model.layers.{i}"
+        tensors[f"{p}.input_layernorm.weight"] = np.ones(
+            cp.hidden, np.float32)
+        tensors[f"{p}.post_attention_layernorm.weight"] = np.ones(
+            cp.hidden, np.float32)
+    return tensors
+
+
+def _feedback_cfg_and_extras(seed=7):
+    import dataclasses
+
+    base = configs.tiny("custom", quant=True)
+    cfg = dataclasses.replace(
+        base,
+        code_predictor=dataclasses.replace(
+            base.code_predictor, hidden=base.talker.hidden
+        ),
+    )
+    t = cfg.talker
+    rng = np.random.default_rng(seed)
+    extra = _published_cp_tensors(cfg, rng)
+    _add_codec_tensors(extra, cfg, seed + 2)
+    extra["speaker_embedding.weight"] = rng.normal(
+        0, 0.02, (t.n_speakers, t.hidden)).astype(np.float32)
+    # text_projection ResizeMLP (biased fc1 -> act -> biased fc2)
+    tp = {}
+    tp["talker.text_projection.linear_fc1.weight"] = rng.normal(
+        0, 0.05, (t.ffn, t.hidden)).astype(np.float32)
+    tp["talker.text_projection.linear_fc1.bias"] = rng.normal(
+        0, 0.01, (t.ffn,)).astype(np.float32)
+    tp["talker.text_projection.linear_fc2.weight"] = rng.normal(
+        0, 0.05, (t.hidden, t.ffn)).astype(np.float32)
+    tp["talker.text_projection.linear_fc2.bias"] = rng.normal(
+        0, 0.01, (t.hidden,)).astype(np.float32)
+    extra.update(tp)
+    config_extra = {
+        "codec_nothink_id": 60,
+        "codec_think_bos_id": 61,
+        "codec_think_eos_id": 62,
+        "tts_pad_token_id": 250,
+        "tts_bos_token_id": 251,
+        "tts_eos_token_id": 252,
+    }
+    return cfg, extra, tp, config_extra
+
+
+def test_feedback_protocol_autodetected(temp_dir):
+    """A checkpoint with the two-position code-predictor layout + think
+    markers + tts control ids enables the published decode protocol
+    (feedback='residual_sum'), imports text_projection, and synthesizes
+    end-to-end; the native-cache round trip preserves it all."""
+    from qwen3_tts_tpu.engine.weights import load_checkpoint
+
+    cfg, extra, tp, config_extra = _feedback_cfg_and_extras()
+    path = os.path.join(temp_dir, "fb_ckpt")
+    _write_mlx_style_checkpoint(
+        path, cfg, full=False, extra_tensors=extra, config_extra=config_extra
+    )
+    model = import_hf_checkpoint(path)
+    t = model.cfg.talker
+    assert t.feedback == "residual_sum"
+    assert (t.tts_pad_id, t.tts_bos_id, t.tts_eos_id) == (250, 251, 252)
+    assert (t.codec_nothink, t.codec_think_bos, t.codec_think_eos) == (
+        60, 61, 62)
+    assert model.cfg.code_predictor.input_layout == "hidden_token"
+    # text_projection mapped losslessly, bias included
+    np.testing.assert_array_equal(
+        np.asarray(model.params["text_proj"]["fc1"]["w"], np.float32),
+        tp["talker.text_projection.linear_fc1.weight"])
+    np.testing.assert_array_equal(
+        np.asarray(model.params["text_proj"]["fc2"]["b"], np.float32),
+        tp["talker.text_projection.linear_fc2.bias"])
+    assert not [u for u in model.import_report.unmapped
+                if "text_projection" in u]
+
+    # the imported model runs the protocol end-to-end
+    out = model.generate(
+        text="hello protocol", voice=sorted(model.cfg.speakers)[0],
+        max_frames=6,
+    ) if hasattr(model, "generate") else None
+    if out is None:
+        from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+        res = model.generator.synthesize(
+            PromptSpec(text_tokens=np.arange(8, dtype=np.int32) + 5,
+                       speaker_id=0),
+            max_frames=6,
+        )
+        assert res.frames > 0
+
+    # native round trip preserves the protocol config
+    native = os.path.join(temp_dir, "native")
+    save_model(model, native)
+    back = load_model(native)
+    assert back.cfg.talker.feedback == "residual_sum"
+    assert back.cfg.talker.tts_eos_id == 252
+    assert "text_proj" in back.params
+
+
+def test_feedback_gate_needs_tts_ids(temp_dir):
+    """Same evidence minus the tts ids: the importer warns and stays on the
+    cb0 protocol instead of running half the published loop."""
+    cfg, extra, _, config_extra = _feedback_cfg_and_extras()
+    for k in ("tts_pad_token_id", "tts_bos_token_id", "tts_eos_token_id"):
+        del config_extra[k]
+    path = os.path.join(temp_dir, "fb_ckpt_no_tts")
+    _write_mlx_style_checkpoint(
+        path, cfg, full=False, extra_tensors=extra, config_extra=config_extra
+    )
+    with pytest.warns(UserWarning, match="tts_"):
+        model = import_hf_checkpoint(path)
+    assert model.cfg.talker.feedback == "cb0"
+    assert model.cfg.code_predictor.input_layout == "hidden_token"

@@ -148,6 +148,8 @@ class ServingEngine:
         prefill_chunk: int = 128,
         sampling: SamplingConfig | None = None,
         n_groups: int | None = None,
+        accumulate_wav: bool = False,
+        accum_cap_frames: int = 600,
     ):
         self.model = model
         self.cfg: ModelConfig = model.cfg
@@ -196,6 +198,41 @@ class ServingEngine:
         )
         self.tok = jnp.full((self.B, self.fps), t.codec_pad, jnp.int32)
         self.active_mask = jnp.zeros((self.B,), jnp.bool_)
+        # wav accumulation (batch / non-streaming jobs): chunk audio writes
+        # into a persistent per-slot device buffer instead of being fetched
+        # per chunk — the steady-state fetch shrinks to the [B] n_valid
+        # vector (tools/probe_fetch.py measured that ceiling ~2x the
+        # full-fetch throughput on this tunnel), and each stream's audio
+        # crosses the link ONCE when it finishes. Trades streaming/TTFA
+        # away: on_chunk consumers and audio-on-host TTFA need the
+        # default per-chunk path.
+        self.accum = bool(accumulate_wav)
+        if self.accum:
+            if t.feedback == "residual_sum":
+                raise NotImplementedError(
+                    "accumulate_wav with the residual_sum feedback protocol"
+                    " is not wired yet; run the default per-chunk path"
+                )
+            self.accum_cap_frames = int(accum_cap_frames)
+            cap = self.accum_cap_frames * self.cfg.codec.hop
+            self.wav_accum = jnp.zeros((self.B, cap), jnp.int16)
+            self._row_gather = jax.jit(
+                lambda buf, i: jax.lax.dynamic_index_in_dim(
+                    buf, i, axis=0, keepdims=False
+                )
+            )
+            hop = self.cfg.codec.hop
+            # scatter one step's [B, chunk*hop] PCM into the buffer at each
+            # slot's frame offset (one compile per chunk size in the
+            # schedule); the buffer is donated through every step
+            self._accum_write = jax.jit(
+                lambda buf, wav, frames_before: jax.vmap(
+                    lambda row, w, o: jax.lax.dynamic_update_slice(
+                        row, w, (o * hop,)
+                    )
+                )(buf, wav, frames_before),
+                donate_argnums=(0,),
+            )
         # published feedback protocol (TalkerConfig.feedback="residual_sum",
         # runtime.generate): per-slot residual-embedding sums, trailing-text
         # buffers and consumed-row counters, all device-resident
@@ -570,6 +607,25 @@ class ServingEngine:
         (advanced by subsequent steps); returns the stream id."""
         if all(s is not None for s in self._slots):
             raise RuntimeError("no free slots; call step() until one frees")
+        if self.accum:
+            if on_chunk is not None:
+                raise ValueError(
+                    "accumulate_wav keeps audio on device until a stream "
+                    "finishes; per-chunk on_chunk consumers need the "
+                    "default streaming engine"
+                )
+            # speculative steps can overshoot EOS by ~pipeline-depth chunks
+            # of device-side frame-counter advance; the buffer must cover
+            # the budget plus that margin or the clamped scatter would
+            # corrupt the tail
+            margin = 4 * max(self.chunk_schedule)
+            if max_frames + margin > self.accum_cap_frames:
+                raise ValueError(
+                    f"max_frames={max_frames} exceeds the accumulation "
+                    f"buffer ({self.accum_cap_frames} frames incl. a "
+                    f"{margin}-frame speculative margin); raise "
+                    "accum_cap_frames or lower the budget"
+                )
 
         gen = self.model.generator  # reuse its prompt assembly
         emb, pad, trailing = gen.assemble_prompt_full(prompt)
@@ -1009,6 +1065,7 @@ class ServingEngine:
                 self.res_sum, self.trail_g, self.active_mask, self.key,
             )
         else:
+            frames_before = self.frames_dev  # accum-mode scatter offsets
             (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
              self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
                 chunk, tuple(wins)
@@ -1017,6 +1074,14 @@ class ServingEngine:
                 self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
                 self.frames_dev, self.tok, self.active_mask, self.key,
             )
+            if self.accum:
+                # audio stays on device: scatter this step's PCM into the
+                # per-slot buffer; the per-chunk host fetch shrinks to the
+                # [B] n_valid vector (codes are not collected in this mode)
+                self.wav_accum = self._accum_write(
+                    self.wav_accum, wav, frames_before
+                )
+                codes = wav = None
         for slot, _ in active:
             self._host_pos[slot] += steps
             self._host_frames[slot] += chunk
@@ -1040,7 +1105,11 @@ class ServingEngine:
         snapshot, n_valid, codes, wav = payload
         hop = self.cfg.codec.hop
         defer = _defer_wav()
-        if defer:
+        if self.accum:
+            valid_host = jax.device_get(n_valid)
+            codes_host = None
+            wav_host = None
+        elif defer:
             # fetch ONLY the per-slot valid counts (a few bytes); wav rows
             # AND code slabs stay on device as views until collect() — no
             # production consumer reads codes per chunk (they serve
@@ -1075,6 +1144,31 @@ class ServingEngine:
             remaining = stream.max_frames - stream.frames
             done = valid < chunk or valid >= remaining
             valid = min(valid, remaining)
+            if self.accum:
+                # audio lives in the device buffer; account frames only and
+                # fetch the slot's row ONCE when the stream finishes
+                if valid > 0:
+                    stream.frames += valid
+                    if stream.ttfa_s is None:
+                        # device-side semantic: first audio EXISTS (not yet
+                        # on host) — batch jobs care about completion, not
+                        # streaming latency
+                        stream.ttfa_s = (
+                            time.perf_counter() - stream.submitted_at
+                        )
+                if done:
+                    row = self._row_gather(self.wav_accum, jnp.int32(slot))
+                    startup = (
+                        self.cfg.code2wav.startup_samples
+                        if self.cfg.codec_arch == "code2wav" else 0
+                    )
+                    wav_np = np.asarray(jax.device_get(row))
+                    stream.wav_chunks = [
+                        wav_np[startup: stream.frames * hop]
+                    ]
+                    stream.done = True
+                    stream.active = False
+                continue
             if valid > 0:
                 stream.codes.append(
                     codes_host[slot][:, :valid] if codes_host is not None

@@ -454,3 +454,60 @@ def test_deferred_wav_survives_slot_recycling(model, monkeypatch):
     for (wav_a, sa), (wav_b, sb) in zip(served, expected):
         assert sa.frames == sb.frames
         np.testing.assert_array_equal(wav_a, wav_b)
+
+
+# -- wav accumulation (batch / non-streaming jobs) ----------------------------
+
+def test_accum_wav_matches_streaming_engine(model):
+    """accumulate_wav keeps audio on device until a stream finishes; the
+    collected waveform must be byte-identical to the default per-chunk
+    streaming engine's under greedy sampling."""
+    prompts = [_prompt(11), _prompt(12), _prompt(13)]
+    ref_engine = ServingEngine(model, max_streams=4, chunk=8, sampling=GREEDY)
+    ref = ref_engine.run(prompts, max_frames=20)
+
+    engine = ServingEngine(
+        model, max_streams=4, chunk=8, sampling=GREEDY,
+        accumulate_wav=True, accum_cap_frames=80,
+    )
+    out = engine.run(prompts, max_frames=20)
+    for i, ((wav, st), (rwav, rst)) in enumerate(zip(out, ref)):
+        assert st.frames == rst.frames
+        np.testing.assert_array_equal(wav, rwav)
+        assert st.codes == []  # codes are not collected in accum mode
+        assert st.ttfa_s is not None
+
+
+def test_accum_wav_slot_reuse_is_clean(model):
+    """A slot reused by a later stream must not leak the previous
+    occupant's buffered audio (continuous batching over the same rows)."""
+    prompts = [_prompt(21), _prompt(22), _prompt(23), _prompt(24),
+               _prompt(25)]
+    ref_engine = ServingEngine(model, max_streams=2, chunk=8,
+                               sampling=GREEDY)
+    ref = ref_engine.run(prompts, max_frames=16)
+    engine = ServingEngine(
+        model, max_streams=2, chunk=8, sampling=GREEDY,
+        accumulate_wav=True, accum_cap_frames=80,
+    )
+    out = engine.run(prompts, max_frames=16)
+    for (wav, st), (rwav, _) in zip(out, ref):
+        np.testing.assert_array_equal(wav, rwav)
+
+
+def test_accum_wav_rejects_streaming_consumers(model):
+    engine = ServingEngine(
+        model, max_streams=2, chunk=8, sampling=GREEDY,
+        accumulate_wav=True, accum_cap_frames=80,
+    )
+    with pytest.raises(ValueError, match="on_chunk"):
+        engine.submit(_prompt(1), max_frames=8, on_chunk=lambda w: None)
+
+
+def test_accum_wav_capacity_guard(model):
+    engine = ServingEngine(
+        model, max_streams=2, chunk=8, sampling=GREEDY,
+        accumulate_wav=True, accum_cap_frames=40,
+    )
+    with pytest.raises(ValueError, match="accum_cap_frames"):
+        engine.submit(_prompt(1), max_frames=39)

@@ -49,7 +49,15 @@ def main() -> None:
     model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
     print(f"[load {time.perf_counter() - t0:.0f}s]", flush=True)
 
-    engine = ServingEngine(model, max_streams=args.streams)
+    # accumulate_wav builds the (small) device wav buffer up front; the
+    # mode itself toggles per run below — the fused decode is identical,
+    # only the per-chunk fetch/scatter differs, so one engine (one set of
+    # HBM caches — CLAUDE.md) measures both paths
+    engine = ServingEngine(
+        model, max_streams=args.streams, accumulate_wav=True,
+        accum_cap_frames=args.frames + 160,
+    )
+    engine.accum = False
     seq = [0]  # evolving prompt seed across every run
 
     def prompts(n, toks=40):
@@ -68,9 +76,11 @@ def main() -> None:
     engine.run(prompts(1), max_frames=engine.chunk * 2)
     engine.run(prompts(args.streams), max_frames=engine.chunk * 2)
 
-    def serve_once(depth: int, async_fetch: bool, defer: bool = False) -> float:
+    def serve_once(depth: int, async_fetch: bool, defer: bool = False,
+                   accum: bool = False) -> float:
         os.environ["QWEN3_TTS_ASYNC_FETCH"] = "1" if async_fetch else "0"
         os.environ["QWEN3_TTS_DEFER_WAV"] = "1" if defer else "0"
+        engine.accum = accum
         t = time.perf_counter()
         results = engine.run(
             prompts(args.streams), max_frames=args.frames,
@@ -79,7 +89,11 @@ def main() -> None:
         wall = time.perf_counter() - t
         audio = sum(len(w) for w, _ in results) / cfg.codec.sample_rate
         os.environ["QWEN3_TTS_DEFER_WAV"] = "0"
+        engine.accum = False
         return audio / wall
+
+    # compile the accum-mode scatter variants once before timing
+    serve_once(2, True, accum=True)
 
     conditions = [
         ("serve d1 sync ", lambda: serve_once(1, False)),
@@ -90,6 +104,9 @@ def main() -> None:
         ("serve d3 async", lambda: serve_once(3, True)),
         ("serve d3 defer", lambda: serve_once(3, True, defer=True)),
         ("serve d2 defer", lambda: serve_once(2, True, defer=True)),
+        ("serve d1 accum", lambda: serve_once(1, True, accum=True)),
+        ("serve d2 accum", lambda: serve_once(2, True, accum=True)),
+        ("serve d3 accum", lambda: serve_once(3, True, accum=True)),
     ]
     scores: dict[str, list[float]] = {name: [] for name, _ in conditions}
     for rep in range(args.reps):

@@ -478,7 +478,12 @@ def _strip_prefix(name: str) -> tuple[str, str]:
     for pref, comp in (
         ("code_predictor.", "cp"),
         ("code2wav.", "codec"),
-        ("speech_tokenizer.", "codec"),
+        # the Base checkpoint's ref-audio -> codes speech tokenizer: its
+        # architecture is not recoverable offline (PARITY.md), so its
+        # tensors route to a dedicated bucket — tolerated with a specific
+        # warning instead of polluting the codec's unmapped list or
+        # failing an otherwise-complete import
+        ("speech_tokenizer.", "spk_enc"),
         ("codec.", "codec"),
         ("token2wav.", "codec"),
     ):
@@ -936,10 +941,21 @@ def import_hf_checkpoint(
     cfg = _config_from_hf(hf_cfg, mode)
     tensors = _apply_rename(path, _collect_safetensors(path))
 
-    by_comp: dict[str, dict[str, np.ndarray]] = {"talker": {}, "codec": {}, "cp": {}}
+    by_comp: dict[str, dict[str, np.ndarray]] = {
+        "talker": {}, "codec": {}, "cp": {}, "spk_enc": {},
+    }
     for name, arr in tensors.items():
         comp, rest = _strip_prefix(name)
         by_comp[comp][rest] = arr
+    if by_comp["spk_enc"]:
+        warnings.warn(
+            f"checkpoint ships {len(by_comp['spk_enc'])} speech_tokenizer "
+            "tensors (the ref-audio encoder for cloning); its architecture "
+            "is not recoverable offline, so cloning uses the synthetic "
+            "feature encoder quantized against the real codec embedding "
+            "tables (PARITY.md). The rest of the checkpoint imports "
+            "normally."
+        )
 
     gs, bits = cfg.quant.group_size, cfg.quant.bits
     unmapped: list[str] = []

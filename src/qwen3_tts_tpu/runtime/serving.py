@@ -118,6 +118,17 @@ class _DeferredCodes:
 
 
 @dataclass
+class _AccumRow:
+    """A finished stream's accumulated audio, still on device (accum mode):
+    gathered out of the shared buffer at finish time (safe against slot
+    reuse), fetched in ONE resolve at collect()."""
+
+    dev: Any                  # [cap] int16 device row (async copy started)
+    startup: int              # code2wav run-in samples to drop
+    n: int                    # frames * hop valid samples
+
+
+@dataclass
 class _PendingPrefill:
     """A submitted stream whose prompt is still being prefilled, slice by
     slice, into a scratch cache."""
@@ -1157,14 +1168,20 @@ class ServingEngine:
                             time.perf_counter() - stream.submitted_at
                         )
                 if done:
+                    # gather the slot's row NOW (a later occupant will
+                    # overwrite the buffer row) but fetch it LAZILY: the
+                    # copy starts async and resolves at collect(), so a
+                    # burst of finishing streams doesn't serialize one
+                    # blocking tunnel round trip each inside the step loop
                     row = self._row_gather(self.wav_accum, jnp.int32(slot))
+                    if hasattr(row, "copy_to_host_async"):
+                        row.copy_to_host_async()
                     startup = (
                         self.cfg.code2wav.startup_samples
                         if self.cfg.codec_arch == "code2wav" else 0
                     )
-                    wav_np = np.asarray(jax.device_get(row))
                     stream.wav_chunks = [
-                        wav_np[startup: stream.frames * hop]
+                        _AccumRow(row, startup, stream.frames * hop)
                     ]
                     stream.done = True
                     stream.active = False
@@ -1259,7 +1276,7 @@ class ServingEngine:
         pending: dict[int, Any] = {}
         for st in self.streams.values():
             for c in st.wav_chunks:
-                if isinstance(c, _DeferredWav):
+                if isinstance(c, (_DeferredWav, _AccumRow)):
                     pending.setdefault(id(c.dev), c.dev)
             for c in st.codes:
                 if isinstance(c, _DeferredCodes):
@@ -1268,12 +1285,16 @@ class ServingEngine:
             return
         keys = list(pending)
         host = dict(zip(keys, jax.device_get([pending[k] for k in keys])))
+
+        def resolve_wav(c):
+            if isinstance(c, _DeferredWav):
+                return host[id(c.dev)][c.slot, : c.n]
+            if isinstance(c, _AccumRow):
+                return host[id(c.dev)][c.startup: c.n]
+            return c
+
         for st in self.streams.values():
-            st.wav_chunks = [
-                host[id(c.dev)][c.slot, : c.n]
-                if isinstance(c, _DeferredWav) else c
-                for c in st.wav_chunks
-            ]
+            st.wav_chunks = [resolve_wav(c) for c in st.wav_chunks]
             st.codes = [
                 host[id(c.dev)][c.slot][:, : c.n]
                 if isinstance(c, _DeferredCodes) else c

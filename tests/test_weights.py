@@ -665,3 +665,26 @@ def test_feedback_gate_needs_tts_ids(temp_dir):
         model = import_hf_checkpoint(path)
     assert model.cfg.talker.feedback == "cb0"
     assert model.cfg.code_predictor.input_layout == "hidden_token"
+
+
+def test_speech_tokenizer_tensors_tolerated(temp_dir):
+    """A Base checkpoint ships the ref-audio speech tokenizer alongside
+    talker/cp/codec. Its architecture is unrecoverable offline (PARITY.md),
+    so those tensors must be tolerated with a specific warning — never
+    failing an otherwise-complete import or polluting the codec's
+    unmapped list."""
+    cfg = configs.tiny("custom", quant=True)
+    rng = np.random.default_rng(2)
+    extra = {
+        "speech_tokenizer.encoder.layers.0.weight":
+            rng.normal(0, 0.05, (8, 8)).astype(np.float32),
+        "speech_tokenizer.quantizer.codebook":
+            rng.normal(0, 0.05, (16, 8)).astype(np.float32),
+    }
+    path = os.path.join(temp_dir, "base_ckpt")
+    _write_mlx_style_checkpoint(path, cfg, full=True, extra_tensors=extra)
+    with pytest.warns(UserWarning, match="speech_tokenizer"):
+        model = import_hf_checkpoint(path)
+    assert model.import_report.synthetic == ()
+    assert not [u for u in model.import_report.unmapped
+                if "speech_tokenizer" in u]

@@ -48,18 +48,30 @@ def main() -> None:
     ap.add_argument("--pipeline", type=int, default=1,
                     help=">1 keeps N speculative steps in flight, so "
                          "cancels race dispatched-but-uncollected payloads")
+    ap.add_argument("--protocol", choices=["cb0", "feedback"], default="cb0",
+                    help="feedback = the published residual-sum decode "
+                         "protocol (trailing text, per-frame cp)")
+    ap.add_argument("--accum", action="store_true",
+                    help="accumulate_wav batch mode (device-resident audio,"
+                         " one fetch per finished stream)")
     args = ap.parse_args()
     from qwen3_tts_tpu.device_lock import require_device_lock
 
     require_device_lock('soak_serving.py')
 
     rng = np.random.default_rng(args.seed)
-    cfg = (configs.tiny_code2wav("custom") if args.codec == "code2wav"
-           else configs.tiny("custom"))
+    if args.protocol == "feedback":
+        assert args.codec == "rvq", "feedback soak uses the tiny rvq config"
+        assert not args.accum, "accum is not wired for the feedback protocol"
+        cfg = configs.tiny_feedback("custom")
+    else:
+        cfg = (configs.tiny_code2wav("custom") if args.codec == "code2wav"
+               else configs.tiny("custom"))
     model = Qwen3TTSModel.synthetic(cfg, seed=5)
     engine = ServingEngine(
         model, max_streams=args.streams,
         sampling=SamplingConfig(temperature=0.9, top_k=20),
+        accumulate_wav=args.accum, accum_cap_frames=220,
     )
     hop = model.cfg.codec.hop
     # code2wav streams drop a fixed startup run-in per utterance

@@ -948,14 +948,24 @@ def import_hf_checkpoint(
         comp, rest = _strip_prefix(name)
         by_comp[comp][rest] = arr
     if by_comp["spk_enc"]:
-        warnings.warn(
-            f"checkpoint ships {len(by_comp['spk_enc'])} speech_tokenizer "
-            "tensors (the ref-audio encoder for cloning); its architecture "
-            "is not recoverable offline, so cloning uses the synthetic "
-            "feature encoder quantized against the real codec embedding "
-            "tables (PARITY.md). The rest of the checkpoint imports "
-            "normally."
-        )
+        if not by_comp["codec"]:
+            # no codec tensors anywhere else: this checkpoint's codes->wav
+            # decoder may live INSIDE the speech-tokenizer module (some
+            # packagings; _config_from_hf reads speech_tokenizer_config for
+            # codec geometry for the same reason). Route the bucket through
+            # the codec import — recognised decoder names map, anything
+            # else fails loudly there instead of silently synthesizing.
+            by_comp["codec"] = by_comp.pop("spk_enc")
+            by_comp["spk_enc"] = {}
+        else:
+            warnings.warn(
+                f"checkpoint ships {len(by_comp['spk_enc'])} "
+                "speech_tokenizer tensors (the ref-audio encoder for "
+                "cloning); its architecture is not recoverable offline, so "
+                "cloning uses the synthetic feature encoder quantized "
+                "against the real codec embedding tables (PARITY.md). The "
+                "rest of the checkpoint imports normally."
+            )
 
     gs, bits = cfg.quant.group_size, cfg.quant.bits
     unmapped: list[str] = []

@@ -292,6 +292,7 @@ def trailing_lookup(trailing: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 def make_decode_chunk_fn_feedback(
     cfg: ModelConfig, chunk: int, sampling: SamplingConfig,
     attn_len: int | None = None,
+    window_split: tuple | None = None,
 ) -> Callable:
     """Published-protocol chunk decode (TalkerConfig.feedback =
     "residual_sum", PARITY.md item 3): each talker step consumes the SUM of
@@ -306,7 +307,13 @@ def make_decode_chunk_fn_feedback(
     depth scan adds ~cp-share latency per frame — the price of the
     published protocol's exact conditioning. Residual codes come out of the
     scan directly; everything downstream (streaming codec, EOS, PCM)
-    matches the cb0 path."""
+    matches the cb0 path.
+
+    ONE builder serves both engines (the serving==single-stream parity
+    invariant then lives in one place): single-stream passes an all-true
+    ``active`` vector; the serving engine passes its slot mask (inactive
+    slots hold position/counters and emit PAD) plus its per-group
+    ``window_split``. pos/n_frames/g/active are [B] vectors in both."""
     from ..models.codec import decode_codes_streaming
     from ..ops.pcm import wav_to_pcm16
 
@@ -319,7 +326,7 @@ def make_decode_chunk_fn_feedback(
     @partial(jax.jit, donate_argnums=(3, 4, 5))
     def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
                      cstate, trailing, pos, pad_len, n_frames, last_token,
-                     res_sum, g, key):
+                     res_sum, g, active, key):
         """trailing: [B, Tb, D]; res_sum: [B, D] feedback sum of the
         previous frame's residual codes; g: [B] trailing rows consumed."""
         cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
@@ -335,7 +342,8 @@ def make_decode_chunk_fn_feedback(
                 + rs + trailing_lookup(trailing, gg)
             )[:, None, :]
             hidden, logits, ck, cv = talker_forward(
-                params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad_len
+                params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad_len,
+                window_split=window_split,
             )
             h = hidden[:, -1, :]
             k, sub = jax.random.split(k)
@@ -344,10 +352,13 @@ def make_decode_chunk_fn_feedback(
                 cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
                 return_feedback=True,
             )
-            # cast to the CARRY's dtype (imported fp32 tables would other-
-            # wise widen the carry mid-scan)
-            carry = (ck, cv, p + 1, cb0[:, None], rs_new.astype(rs.dtype),
-                     gg + 1, k)
+            # inactive slots hold position/counters and emit PAD; the cast
+            # keeps the CARRY's dtype (imported fp32 tables would otherwise
+            # widen it mid-scan)
+            cb0 = jnp.where(active, cb0, t.codec_pad)
+            rs = jnp.where(active[:, None], rs_new.astype(rs.dtype), rs)
+            carry = (ck, cv, jnp.where(active, p + 1, p), cb0[:, None],
+                     rs, jnp.where(active, gg + 1, gg), k)
             return carry, (cb0, res_codes)
 
         (ck, cv, p, tok, res_sum, g, key), (tokens, residuals) = jax.lax.scan(
@@ -368,7 +379,7 @@ def make_decode_chunk_fn_feedback(
         wav_chunk, cstate = decode_codes_streaming(
             codec_params, cfg, codes, cstate, n_frames
         )
-        n_frames = jnp.asarray(n_frames) + chunk
+        n_frames = jnp.where(active, n_frames + chunk, n_frames)
         is_eos = tokens_bc == t.codec_eos
         eos_hit = jnp.any(is_eos, axis=1)
         eos_idx = jnp.argmax(is_eos, axis=1)
@@ -445,6 +456,27 @@ class Generator:
             self._fns[key] = factory(
                 self.cfg, chunk, self.sampling, attn_len=attn_len,
             )
+        return self._fns[key]
+
+    def _seed_feedback_fn(self):
+        """Jitted seed pass for the published protocol: the prefill-sampled
+        frame's residual feedback sum in ONE dispatch (the eager
+        alternative runs the whole depth scan op-by-op — dozens of remote
+        round trips per utterance on a tunneled device)."""
+        key = "seed_fb"
+        if key not in self._fns:
+            cfg = self.cfg
+            cb = cfg.codec.codebook_size
+
+            @jax.jit
+            def seed_fb(cp_params, hidden, tok):
+                _, rs = predict_residuals(
+                    cp_params, cfg, hidden, jnp.clip(tok, 0, cb - 1),
+                    return_feedback=True,
+                )
+                return rs
+
+            self._fns[key] = seed_fb
         return self._fns[key]
 
     def _alloc_cache(self, batch: int = 1):
@@ -584,8 +616,11 @@ class Generator:
         allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
         cap = allowed[-1] if allowed else max_prompt
         Lb = min(bucket_len(L), cap)
-        if L > Lb:  # over-long acoustic context: keep head + tail
-            emb = jnp.concatenate([emb[:n_head], emb[L - (Lb - n_head):]],
+        if L > Lb:  # over-long acoustic context: keep head + tail — the
+            # head is the chatml text rows PLUS any speaker-vector row
+            # prepended before them
+            keep = n_head + (prompt.speaker_vector is not None)
+            emb = jnp.concatenate([emb[:keep], emb[L - (Lb - keep):]],
                                   axis=0)
             L = Lb
         pad = Lb - L
@@ -593,12 +628,21 @@ class Generator:
         padded = jax.lax.dynamic_update_slice(padded, emb, (pad, 0))
 
         # trailing buffer: text rows AFTER the first, then tts_eos, then
-        # tts_pad fill to the static capacity (one compile variant)
+        # tts_pad fill to the static capacity (one compile variant). The
+        # last row must ALWAYS be tts_pad: trailing_lookup clamps past the
+        # bucket by repeating the final row, so text is truncated to Tb-2
+        # rows (eos fits with a pad row after it). A text long enough to
+        # truncate is mis-conditioned regardless (the engine segments long
+        # texts upstream); truncated prompts drop the eos row too — pad
+        # forever beats repeating eos every frame.
         Tb = t.trailing_bucket
-        trail_rows = txt[n_head + 1:][: Tb - 1]
+        all_rows = txt[n_head + 1:]
+        trail_rows = all_rows[: Tb - 2]
         n_trail = int(trail_rows.shape[0])
+        truncated = int(all_rows.shape[0]) > n_trail
         buf = jnp.broadcast_to(pad_e[None, :], (Tb, pad_e.shape[-1]))
-        buf = buf.at[n_trail].set(eos_e)
+        if not truncated:
+            buf = buf.at[n_trail].set(eos_e)
         if n_trail:
             buf = jax.lax.dynamic_update_slice(buf, trail_rows, (0, 0))
         return padded[None, :, :], pad, buf[None, :, :]
@@ -737,13 +781,14 @@ class Generator:
             # seed the published feedback loop: the prefill-sampled frame's
             # residual codes (conditioning-only, like the cb0 seed) provide
             # the first step's residual-embedding sum
-            _, res_sum = predict_residuals(
-                self.cp_params, cfg, hidden_last,
-                jnp.clip(first[:, 0], 0, cfg.codec.codebook_size - 1),
-                return_feedback=True,
+            res_sum = self._seed_feedback_fn()(
+                self.cp_params, hidden_last, first[:, 0]
             )
-            state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
-                     jnp.int32(0), res_sum.astype(dtype),
+            # the unified feedback decode treats pos/frames/g as [B]
+            # vectors (shared builder with the serving engine)
+            state = (cache_k, cache_v, cstate,
+                     jnp.full((1,), Lb, jnp.int32), first, key,
+                     jnp.zeros((1,), jnp.int32), res_sum.astype(dtype),
                      jnp.zeros((1,), jnp.int32))
         else:
             state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
@@ -774,7 +819,8 @@ class Generator:
                 (ck, cv, rg, pos, tok, k, nf, rs, g,
                  n_valid, codes, wav) = decode(
                     self.params, self.cp_params, self.codec_params,
-                    ck, cv, rg, trailing, pos, pad_len, nf, tok, rs, g, k,
+                    ck, cv, rg, trailing, pos, pad_len, nf, tok, rs, g,
+                    jnp.ones((1,), bool), k,
                 )
                 state = (ck, cv, rg, pos, tok, k, nf, rs, g)
             else:

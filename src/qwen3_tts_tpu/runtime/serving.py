@@ -233,17 +233,27 @@ class ServingEngine:
                 )
             )
             hop = self.cfg.codec.hop
+            cap_frames = self.accum_cap_frames
+
             # scatter one step's [B, chunk*hop] PCM into the buffer at each
             # slot's frame offset (one compile per chunk size in the
-            # schedule); the buffer is donated through every step
-            self._accum_write = jax.jit(
-                lambda buf, wav, frames_before: jax.vmap(
-                    lambda row, w, o: jax.lax.dynamic_update_slice(
-                        row, w, (o * hop,)
-                    )
-                )(buf, wav, frames_before),
-                donate_argnums=(0,),
-            )
+            # schedule); the buffer is donated through every step. Rows
+            # whose write would overflow the buffer are dropped: the
+            # device-side frame counter keeps advancing on speculative
+            # steps dispatched past EOS/budget (active only flips at
+            # collect), and a clamped dynamic_update_slice would otherwise
+            # overwrite a finished stream's TAIL audio — this guard makes
+            # ANY pipeline depth safe, not just ones inside the submit
+            # margin.
+            def _write(buf, wav, frames_before):
+                def row_write(row, w, o):
+                    upd = jax.lax.dynamic_update_slice(row, w, (o * hop,))
+                    ok = o + w.shape[0] // hop <= cap_frames
+                    return jnp.where(ok, upd, row)
+
+                return jax.vmap(row_write)(buf, wav, frames_before)
+
+            self._accum_write = jax.jit(_write, donate_argnums=(0,))
         # published feedback protocol (TalkerConfig.feedback="residual_sum",
         # runtime.generate): per-slot residual-embedding sums, trailing-text
         # buffers and consumed-row counters, all device-resident
@@ -510,97 +520,27 @@ class ServingEngine:
 
     def _decode_fn_fb(self, chunk: int, wins: tuple[int, ...]) -> Callable:
         """Feedback-protocol fused serve step (TalkerConfig.feedback =
-        "residual_sum"): mirrors runtime.generate.make_decode_chunk_fn_feedback
-        with per-slot activity masking — the code predictor runs per frame
-        inside the talker scan, and each step's input is the sum of ALL
-        codebook embeddings of the previous frame plus the slot's trailing-
-        text row. Inactive slots hold their res_sum/counter and emit PAD."""
+        "residual_sum"): the SAME builder as the single-stream path
+        (runtime.generate.make_decode_chunk_fn_feedback — the serving ==
+        single-stream parity invariant lives in one function), instantiated
+        with this engine's per-group attention windows; the engine passes
+        its slot activity mask per call."""
         fn_key = ("fb", chunk, wins)
         if fn_key in self._decode_fns:
             return self._decode_fns[fn_key]
-        from ..models.codec import decode_codes_streaming
-        from ..ops.pcm import wav_to_pcm16
-        from .generate import trailing_lookup
+        from .generate import make_decode_chunk_fn_feedback
 
-        cfg = self.cfg
-        t = cfg.talker
-        sampling = self.sampling
-        cb_size = cfg.codec.codebook_size
-        S = cfg.max_seq_len
+        assert self.fps == 1
         A = max(wins)
         group_size = self.B // len(wins)
         split = (
             tuple((group_size, w) for w in wins) if len(wins) > 1 else None
         )
-        assert self.fps == 1
-
-        @partial(jax.jit, donate_argnums=(3, 4, 5))
-        def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
-                         cstate, trail, pos, pad, frames, tok, res_sum,
-                         trail_g, active, key):
-            cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
-            full_k, full_v = cache_k, cache_v
-            if A < S:
-                cache_k = jax.tree.map(lambda c: c[:, :, :A], cache_k)
-                cache_v = jax.tree.map(lambda c: c[:, :, :A], cache_v)
-
-            def step(carry, _):
-                ck, cv, p, tk, rs, gg, k = carry
-                emb = (
-                    jnp.take(params["codec_emb"], tk[:, 0], axis=0)
-                    + rs + trailing_lookup(trail, gg)
-                )[:, None, :]
-                hidden, logits, ck, cv = talker_forward(
-                    params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad,
-                    window_split=split,
-                )
-                h = hidden[:, -1, :]
-                k, sub = jax.random.split(k)
-                cb0 = sample_token(logits[:, -1, :], sub, sampling)
-                res_codes, rs_new = predict_residuals(
-                    cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
-                    return_feedback=True,
-                )
-                cb0 = jnp.where(active, cb0, t.codec_pad)
-                rs = jnp.where(active[:, None], rs_new.astype(rs.dtype), rs)
-                gg = jnp.where(active, gg + 1, gg)
-                p = jnp.where(active, p + 1, p)
-                return (ck, cv, p, cb0[:, None], rs, gg, k), (cb0, res_codes)
-
-            ((ck, cv, p, tk, res_sum, trail_g, key),
-             (tokens, residuals)) = jax.lax.scan(
-                step,
-                (cache_k, cache_v, pos, tok, res_sum, trail_g, key),
-                None, length=chunk,
-            )
-            tokens_bc = jnp.transpose(tokens, (1, 0))          # [B, chunk]
-            codes = jnp.concatenate(
-                [
-                    jnp.clip(tokens_bc, 0, cb_size - 1)[:, :, None],
-                    jnp.transpose(residuals, (1, 0, 2)),
-                ],
-                axis=-1,
-            ).transpose(0, 2, 1)                               # [B, Q, chunk]
-            wav_chunk, cstate = decode_codes_streaming(
-                codec_params, cfg, codes, cstate, frames
-            )
-            frames = jnp.where(active, frames + chunk, frames)
-            is_eos = tokens_bc == t.codec_eos
-            eos_hit = jnp.any(is_eos, axis=1)
-            n_valid = jnp.where(
-                eos_hit, jnp.argmax(is_eos, axis=1), chunk
-            ).astype(jnp.int32)
-            if A < S:
-                upd = lambda f, c: jax.lax.dynamic_update_slice(  # noqa: E731
-                    f, c, (0, 0, 0, 0, 0)
-                )
-                ck = jax.tree.map(upd, full_k, ck)
-                cv = jax.tree.map(upd, full_v, cv)
-            return (ck, cv, cstate, p, tk, key, frames, res_sum, trail_g,
-                    n_valid, codes, wav_to_pcm16(wav_chunk))
-
-        self._decode_fns[fn_key] = decode_chunk
-        return decode_chunk
+        fn = make_decode_chunk_fn_feedback(
+            self.cfg, chunk, self.sampling, attn_len=A, window_split=split,
+        )
+        self._decode_fns[fn_key] = fn
+        return fn
 
     # -- stream lifecycle ---------------------------------------------------
 
@@ -625,10 +565,11 @@ class ServingEngine:
                     "finishes; per-chunk on_chunk consumers need the "
                     "default streaming engine"
                 )
-            # speculative steps can overshoot EOS by ~pipeline-depth chunks
-            # of device-side frame-counter advance; the buffer must cover
-            # the budget plus that margin or the clamped scatter would
-            # corrupt the tail
+            # speculative steps overshoot EOS by ~pipeline-depth chunks of
+            # device-side frame-counter advance; the buffer should cover
+            # the budget plus that margin so overshoot frames still land
+            # (overflowing writes are DROPPED by the scatter guard — safe
+            # at any depth, but a too-small margin wastes the headroom)
             margin = 4 * max(self.chunk_schedule)
             if max_frames + margin > self.accum_cap_frames:
                 raise ValueError(

@@ -121,6 +121,21 @@ def batches_from_pairs(
     examples = [
         encode_example(model, text, wav, rate) for text, wav, rate in pairs
     ]
+    if model.cfg.talker.feedback == "residual_sum":
+        # the published training layout puts 3 head text rows + the first
+        # text token in the prompt (training/loss.py mirrors the decode
+        # layout with a STATIC 3-row head); an example with fewer than 4
+        # real tokens would be trained on a different head than inference
+        # builds — reject it loudly instead of fine-tuning off-distribution
+        short = [i for i, e in enumerate(examples)
+                 if len(e.text_tokens) < 4]
+        if short:
+            raise ValueError(
+                f"feedback='residual_sum' training needs >=4 text tokens "
+                f"per example (3-row chatml head + first text token); "
+                f"examples {short[:8]} are shorter — drop them or extend "
+                "their prompts"
+            )
     examples.sort(key=lambda e: (e.codes.shape[1], len(e.text_tokens)))
     groups = [
         examples[i: i + batch_size]

@@ -71,7 +71,11 @@ def _published_hidden_and_logits(
     ctl = jnp.asarray([t.tts_pad_id, t.tts_bos_id, t.tts_eos_id], jnp.int32)
     ctl_e = text_projection(params, jnp.take(params["text_emb"], ctl, axis=0))
     pad_e, bos_e, eos_e = ctl_e[0], ctl_e[1], ctl_e[2]
-    n_head = min(3, Tt - 1)
+    # static 3-row chatml head: every example must carry >=4 REAL text
+    # tokens or the trained head diverges from the inference layout —
+    # training/data.py rejects shorter examples before batching
+    assert Tt >= 4, f"text bucket too short for the published head ({Tt})"
+    n_head = 3
     D = txt.shape[-1]
 
     def brow(row):                                    # [D] -> [B, 1, D]

@@ -236,8 +236,9 @@ def test_training_layout_matches_decode():
     decode = gen._decode_fn(chunk, None)
     (_, _, _, _, _, _, _, _, _, n_valid, codes, _) = decode(
         m.params, gen.cp_params, gen.codec_params, cache_k, cache_v,
-        cstate, trailing, jnp.int32(Lb), pad_len, jnp.int32(0),
-        seed_tok, res_sum.astype(dtype), jnp.zeros((1,), jnp.int32), key,
+        cstate, trailing, jnp.full((1,), Lb, jnp.int32), pad_len,
+        jnp.zeros((1,), jnp.int32), seed_tok, res_sum.astype(dtype),
+        jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), key,
     )
     valid = int(n_valid[0])
     assert valid >= 2, "tiny model hit EOS immediately; adjust the prompt"
@@ -296,3 +297,34 @@ def test_residual_feedback_sum_matches_tables():
         for d in range(n_res):
             expect[b] += tabs[d, int(codes[b, d])]
     np.testing.assert_allclose(s, expect, rtol=1e-3, atol=1e-3)
+
+
+def test_trailing_overflow_conditions_as_pad():
+    """Text longer than the trailing bucket: the buffer's final rows must
+    be tts_pad (the clamped lookup repeats the LAST row forever — a
+    truncated text must never condition every later frame on tts_eos)."""
+    m = _model()
+    t = m.cfg.talker
+    Tb = t.trailing_bucket
+    long_prompt = PromptSpec(
+        text_tokens=(np.arange(Tb + 20, dtype=np.int32) % 200) + 5,
+        speaker_id=None,
+    )
+    _, _, trail = m.generator.assemble_prompt_full(long_prompt)
+    text_emb = np.asarray(m.params["text_emb"], dtype=np.float32)
+    trail_np = np.asarray(trail[0], dtype=np.float32)
+    pad_row = text_emb[t.tts_pad_id]
+    eos_row = text_emb[t.tts_eos_id]
+    # last row is pad, and eos appears nowhere (text was truncated)
+    np.testing.assert_allclose(trail_np[-1], pad_row, rtol=1e-6)
+    assert not any(
+        np.allclose(trail_np[i], eos_row, rtol=1e-6)
+        for i in range(Tb)
+    )
+    # an untruncated prompt still gets exactly one eos row then pads
+    short = _prompt(10, speaker=None)
+    _, _, trail2 = m.generator.assemble_prompt_full(short)
+    t2 = np.asarray(trail2[0], dtype=np.float32)
+    n_trail = len(short.text_tokens) - 3 - 1
+    np.testing.assert_allclose(t2[n_trail], eos_row, rtol=1e-6)
+    np.testing.assert_allclose(t2[-1], pad_row, rtol=1e-6)

@@ -511,3 +511,21 @@ def test_accum_wav_capacity_guard(model):
     )
     with pytest.raises(ValueError, match="accum_cap_frames"):
         engine.submit(_prompt(1), max_frames=39)
+
+
+def test_accum_wav_deep_pipeline_keeps_tail_intact(model):
+    """Speculative steps dispatched past EOS/budget advance the device
+    frame counter; their buffer writes must be DROPPED when they would
+    overflow (a clamped scatter would overwrite the stream's tail audio).
+    Any pipeline depth must stay byte-identical to the streaming engine."""
+    prompts = [_prompt(31), _prompt(32)]
+    ref_engine = ServingEngine(model, max_streams=2, chunk=8,
+                               sampling=GREEDY)
+    ref = ref_engine.run(prompts, max_frames=24)
+    engine = ServingEngine(
+        model, max_streams=2, chunk=8, sampling=GREEDY,
+        accumulate_wav=True, accum_cap_frames=64,
+    )
+    out = engine.run(prompts, max_frames=24, pipeline_depth=8)
+    for (wav, st), (rwav, _) in zip(out, ref):
+        np.testing.assert_array_equal(wav, rwav)

@@ -179,6 +179,15 @@ class CodePredictorConfig:
     #                    raw, so cp hidden must equal talker hidden).
     input_layout: str = "sum"
     input_proj: bool = True            # apply in_proj to the talker hidden
+    # residual-code sampling during decode. The published generate loop
+    # SAMPLES the depth transformer (cp.generate(do_sample=True, top_k=50,
+    # top_p=0.8) in transformers Qwen3OmniMoeTalker
+    # prepare_inputs_for_generation); top_k=0 + top_p=1.0 = greedy (the
+    # default, and always used when the talker itself samples greedily so
+    # the serving==single-stream greedy-parity invariant holds).
+    top_k: int = 0
+    top_p: float = 1.0
+    temperature: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -1031,6 +1031,13 @@ def import_hf_checkpoint(
                 cfg = dataclasses.replace(
                     cfg,
                     talker=dataclasses.replace(t, feedback="residual_sum"),
+                    # the published loop SAMPLES the residual depths
+                    # (cp.generate(do_sample=True, top_k=50, top_p=0.8));
+                    # applied only when the talker itself samples — greedy
+                    # decode keeps greedy residuals (runtime cp_samples)
+                    code_predictor=dataclasses.replace(
+                        cfg.code_predictor, top_k=50, top_p=0.8
+                    ),
                 )
             else:
                 warnings.warn(

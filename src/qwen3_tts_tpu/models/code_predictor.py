@@ -83,11 +83,19 @@ def predict_residuals(
     talker_hidden: jnp.ndarray,   # [B, D_talker] — B is (batch*frames_in_chunk)
     cb0_tokens: jnp.ndarray,      # [B] sampled codebook-0 ids
     return_feedback: bool = False,
+    key: "jax.Array | None" = None,
 ) -> jnp.ndarray:
-    """Depth-autoregressive greedy prediction of residual codebooks.
+    """Depth-autoregressive prediction of residual codebooks.
 
     Returns codes [B, Q-1] (int32). The whole depth loop is one lax.scan,
     jit-friendly and batched over frames.
+
+    ``key``: when given AND the config asks for it (cp.top_k > 0 or
+    cp.top_p < 1.0), depths are SAMPLED per the published cp.generate
+    arguments (do_sample, top_k=50, top_p=0.8 — transformers
+    Qwen3OmniMoeTalker prepare_inputs_for_generation) with one fold of the
+    key per depth; otherwise greedy argmax (bit-stable, the serving
+    parity mode).
 
     ``return_feedback``: also return the summed input embeddings of the
     predicted codes, Σ_d res_emb[d][code_d] — the residual half of the
@@ -146,12 +154,23 @@ def predict_residuals(
         x, (nk, nv) = jax.lax.scan(body, x, (params["blocks"], ck, cv))
         return rmsnorm(x, params["ln_f"], cp.rms_eps), nk, nv
 
+    stochastic = key is not None and (cp.top_k > 0 or cp.top_p < 1.0)
+    if stochastic:
+        from ..runtime.sampling import SamplingConfig, sample_token
+
+        cp_sampling = SamplingConfig(
+            temperature=cp.temperature, top_k=cp.top_k, top_p=cp.top_p
+        )
+
     def score(h_last, d):
         head = jax.lax.dynamic_index_in_dim(params["heads"], d, axis=0,
                                             keepdims=False)
         logits = jnp.einsum(
             "bd,vd->bv", h_last, head, preferred_element_type=jnp.float32
         )
+        if stochastic:  # one key fold per depth (rows sample independently)
+            return sample_token(logits, jax.random.fold_in(key, d),
+                                cp_sampling)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)       # [B]
 
     def next_input(code, d):

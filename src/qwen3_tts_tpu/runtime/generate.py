@@ -188,6 +188,7 @@ def make_decode_chunk_fn(
     fps = t.frames_per_step
     assert chunk % fps == 0, (chunk, fps)
     n_steps = chunk // fps  # talker weight passes per chunk (MTP)
+    cp_stoch = cp_samples(cfg, sampling)
 
     @partial(jax.jit, donate_argnums=(3, 4, 5))
     def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
@@ -238,7 +239,10 @@ def make_decode_chunk_fn(
         # control tokens (BOS/EOS/PAD >= codebook_size) are clamped for the
         # predictor; the host masks frames at/after EOS anyway.
         flat_cb0 = jnp.clip(tokens_bc.reshape(B * chunk), 0, cb_size - 1)
-        residuals = predict_residuals(cp_params, cfg, flat_h, flat_cb0)
+        if cp_stoch:
+            key, cpk = jax.random.split(key)
+        residuals = predict_residuals(cp_params, cfg, flat_h, flat_cb0,
+                                      key=cpk if cp_stoch else None)
         n_res = residuals.shape[-1]
         codes = jnp.concatenate(
             [
@@ -276,6 +280,18 @@ def make_decode_chunk_fn(
         return ck, cv, cstate, p, tok, key, n_frames, n_valid, codes, wav_pcm
 
     return decode_chunk
+
+
+def cp_samples(cfg: ModelConfig, sampling: SamplingConfig) -> bool:
+    """Whether the code predictor SAMPLES residual codes (the published
+    cp.generate: do_sample, top_k=50, top_p=0.8). Trace-time: requires the
+    config to ask for it AND the talker itself to be sampling — greedy
+    talker decode keeps greedy residuals, so the serving==single-stream
+    greedy-parity invariant stays bit-exact."""
+    cp = cfg.code_predictor
+    return (cp.top_k > 0 or cp.top_p < 1.0) and not (
+        sampling.greedy or sampling.temperature <= 0.0
+    )
 
 
 def trailing_lookup(trailing: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
@@ -322,6 +338,7 @@ def make_decode_chunk_fn_feedback(
     S = cfg.max_seq_len
     A = attn_len or S
     cb_size = cfg.codec.codebook_size
+    cp_stoch = cp_samples(cfg, sampling)
 
     @partial(jax.jit, donate_argnums=(3, 4, 5))
     def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
@@ -348,9 +365,11 @@ def make_decode_chunk_fn_feedback(
             h = hidden[:, -1, :]
             k, sub = jax.random.split(k)
             cb0 = sample_token(logits[:, -1, :], sub, sampling)   # [B]
+            if cp_stoch:
+                k, cpk = jax.random.split(k)
             res_codes, rs_new = predict_residuals(
                 cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
-                return_feedback=True,
+                return_feedback=True, key=cpk if cp_stoch else None,
             )
             # inactive slots hold position/counters and emit PAD; the cast
             # keeps the CARRY's dtype (imported fp32 tables would otherwise
@@ -463,16 +482,17 @@ class Generator:
         frame's residual feedback sum in ONE dispatch (the eager
         alternative runs the whole depth scan op-by-op — dozens of remote
         round trips per utterance on a tunneled device)."""
-        key = "seed_fb"
+        key = ("seed_fb", self.sampling)
         if key not in self._fns:
             cfg = self.cfg
             cb = cfg.codec.codebook_size
+            cp_stoch = cp_samples(cfg, self.sampling)
 
             @jax.jit
-            def seed_fb(cp_params, hidden, tok):
+            def seed_fb(cp_params, hidden, tok, rng):
                 _, rs = predict_residuals(
                     cp_params, cfg, hidden, jnp.clip(tok, 0, cb - 1),
-                    return_feedback=True,
+                    return_feedback=True, key=rng if cp_stoch else None,
                 )
                 return rs
 
@@ -781,8 +801,9 @@ class Generator:
             # seed the published feedback loop: the prefill-sampled frame's
             # residual codes (conditioning-only, like the cb0 seed) provide
             # the first step's residual-embedding sum
+            key, sub = jax.random.split(key)
             res_sum = self._seed_feedback_fn()(
-                self.cp_params, hidden_last, first[:, 0]
+                self.cp_params, hidden_last, first[:, 0], sub
             )
             # the unified feedback decode treats pos/frames/g as [B]
             # vectors (shared builder with the serving engine)

@@ -434,6 +434,9 @@ class ServingEngine:
         )
         fps = self.fps
         n_steps = chunk // fps
+        from .generate import cp_samples
+
+        cp_stoch = cp_samples(cfg, sampling)
 
         @partial(jax.jit, donate_argnums=(3, 4, 5))
         def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
@@ -482,7 +485,10 @@ class ServingEngine:
                 jnp.transpose(hiddens, (1, 0, 2)), fps, axis=1
             ).reshape(B * chunk, D)
             flat_cb0 = jnp.clip(tokens_bc.reshape(B * chunk), 0, cb_size - 1)
-            residuals = predict_residuals(cp_params, cfg, flat_h, flat_cb0)
+            if cp_stoch:
+                key, cpk = jax.random.split(key)
+            residuals = predict_residuals(cp_params, cfg, flat_h, flat_cb0,
+                                          key=cpk if cp_stoch else None)
             n_res = residuals.shape[-1]
             codes = jnp.concatenate(
                 [
@@ -839,6 +845,9 @@ class ServingEngine:
         t = cfg.talker
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
+        from .generate import cp_samples
+
+        cp_stoch = cp_samples(cfg, sampling)
 
         @partial(jax.jit, donate_argnums=(4, 5))
         def activate(params, cp_params, sk, sv, cache_k, cache_v, slot, pad,
@@ -847,9 +856,11 @@ class ServingEngine:
                      key):
             key, sub = jax.random.split(key)
             first = sample_token(last_logits[None], sub, sampling)   # [1]
+            key, cpk = jax.random.split(key)
             _, rs = predict_residuals(
                 cp_params, cfg, last_hidden[None],
                 jnp.clip(first, 0, cb_size - 1), return_feedback=True,
+                key=cpk if cp_stoch else None,
             )
             cache_k = jax.tree.map(
                 lambda c, u: jax.lax.dynamic_update_slice(
@@ -896,6 +907,9 @@ class ServingEngine:
         t = cfg.talker
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
+        from .generate import cp_samples
+
+        cp_stoch = cp_samples(cfg, sampling)
 
         @partial(jax.jit, donate_argnums=(6, 7))
         def prefill_activate(params, cp_params, emb, pads, sk, sv,
@@ -914,9 +928,10 @@ class ServingEngine:
             first = jax.vmap(
                 lambda l, k: sample_token(l[None, :], k, sampling)[0]
             )(logits[:, -1, :], keys)                          # [nb]
+            key, cpk = jax.random.split(key)
             _, rs = predict_residuals(
                 cp_params, cfg, h, jnp.clip(first, 0, cb_size - 1),
-                return_feedback=True,
+                return_feedback=True, key=cpk if cp_stoch else None,
             )
             cache_k = jax.tree.map(
                 lambda c, u: c.at[:, slots, :Lb].set(u), cache_k, sk

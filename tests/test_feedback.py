@@ -328,3 +328,58 @@ def test_trailing_overflow_conditions_as_pad():
     n_trail = len(short.text_tokens) - 3 - 1
     np.testing.assert_allclose(t2[n_trail], eos_row, rtol=1e-6)
     np.testing.assert_allclose(t2[-1], pad_row, rtol=1e-6)
+
+
+# -- residual-code sampling (the published cp.generate arguments) -------------
+
+def test_cp_sampling_respects_key_and_greedy_gate():
+    """With cp top_k/top_p set (the published do_sample/top_k=50/top_p=0.8),
+    predict_residuals samples when given a key (different keys -> different
+    codes somewhere) and stays argmax when the key is None — the greedy
+    serving-parity mode."""
+    m = _model()
+    cfg = dataclasses.replace(
+        m.cfg,
+        code_predictor=dataclasses.replace(
+            m.cfg.code_predictor, top_k=8, top_p=0.9, temperature=1.5
+        ),
+    )
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(0, 1, (6, cfg.talker.hidden)), jnp.float32)
+    cb0 = jnp.asarray(rng.integers(0, cfg.codec.codebook_size, 6), jnp.int32)
+
+    greedy1 = predict_residuals(m.cp_params, cfg, h, cb0)
+    greedy2 = predict_residuals(m.cp_params, cfg, h, cb0, key=None)
+    np.testing.assert_array_equal(np.asarray(greedy1), np.asarray(greedy2))
+
+    s1 = predict_residuals(m.cp_params, cfg, h, cb0,
+                           key=jax.random.PRNGKey(1))
+    s2 = predict_residuals(m.cp_params, cfg, h, cb0,
+                           key=jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2)), (
+        "different keys must produce different sampled residuals"
+    )
+    # codes stay in range
+    for s in (s1, s2):
+        arr = np.asarray(s)
+        assert arr.min() >= 0
+        assert arr.max() < cfg.codec.residual_codebook_size
+
+
+def test_greedy_parity_survives_cp_sampling_config():
+    """A model whose config enables cp sampling must still be bit-exact
+    between serving and single-stream under GREEDY talker sampling (the
+    cp_samples gate)."""
+    cfg = dataclasses.replace(
+        configs.tiny_feedback("custom"),
+        code_predictor=dataclasses.replace(
+            configs.tiny_feedback().code_predictor, top_k=50, top_p=0.8
+        ),
+    )
+    m = Qwen3TTSModel.synthetic(cfg, seed=0)
+    m.generator.sampling = GREEDY
+    p = _prompt(7, speaker=0)
+    single = m.generator.synthesize(p, max_frames=10, seed=0).wav
+    eng = ServingEngine(m, max_streams=2, chunk=5, sampling=GREEDY)
+    (wav, st), = eng.run([p], max_frames=10)
+    np.testing.assert_array_equal(wav, single)

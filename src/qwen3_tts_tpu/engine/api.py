@@ -149,6 +149,9 @@ class Qwen3TTSModel:
     name: str = "qwen3-tts"
     import_report: Any = None         # weights.ImportReport for HF imports
     template: Any = None              # runtime.prompts.PromptTemplate
+    # the checkpoint's intended talker sampling (generation_config.json —
+    # weights.sampling_from_generation_config); None = library defaults
+    sampling: Any = None
     _generator: Any = field(default=None, repr=False)
     _serving: Any = field(default=None, repr=False)
     _enc_fn: Any = field(default=None, repr=False)
@@ -156,6 +159,7 @@ class Qwen3TTSModel:
     @property
     def generator(self):
         from ..runtime.generate import Generator
+        from ..runtime.sampling import SamplingConfig
 
         if self._generator is None:
             self._generator = Generator(
@@ -163,6 +167,7 @@ class Qwen3TTSModel:
                 params=self.params,
                 cp_params=self.cp_params,
                 codec_params=self.codec_params,
+                sampling=self.sampling or SamplingConfig(),
             )
         return self._generator
 
@@ -172,7 +177,9 @@ class Qwen3TTSModel:
         from ..runtime.serving import ServingEngine
 
         if self._serving is None or self._serving.B != max_streams:
-            self._serving = ServingEngine(self, max_streams=max_streams)
+            self._serving = ServingEngine(
+                self, max_streams=max_streams, sampling=self.sampling
+            )
         return self._serving
 
     # -- construction ------------------------------------------------------

@@ -221,6 +221,7 @@ def load_native(path: str, **kwargs):
         tokenizer=load_tokenizer(aux, cfg.talker.vocab_size),
         template=load_prompt_template(aux),
         name=os.path.basename(os.path.normpath(path)),
+        sampling=sampling_from_generation_config(aux),
     )
 
 
@@ -234,6 +235,37 @@ def _read_hf_config(path: str) -> dict:
         with open(p) as f:
             return json.load(f)
     return {}
+
+
+def sampling_from_generation_config(path: str):
+    """The checkpoint's intended TALKER sampling (generation_config.json
+    do_sample/temperature/top_k/top_p), or None when absent/unreadable.
+    Real checkpoints ship the sampling the model was tuned for; running a
+    different temperature than intended audibly changes speech quality, so
+    the loaded model's engines default to these (callers can still pass an
+    explicit SamplingConfig)."""
+    from ..runtime.sampling import SamplingConfig
+
+    p = os.path.join(path, "generation_config.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            gc = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(gc, dict):
+        return None
+    keys = ("do_sample", "temperature", "top_k", "top_p")
+    if not any(k in gc for k in keys):
+        return None  # file present but carries no sampling intent
+    if not gc.get("do_sample", True):
+        return SamplingConfig(greedy=True)
+    return SamplingConfig(
+        temperature=float(gc.get("temperature", 0.9)),
+        top_k=int(gc.get("top_k", 50)),
+        top_p=float(gc.get("top_p", 1.0)),
+    )
 
 
 def _first(d: dict, *keys, default=None):
@@ -1112,6 +1144,7 @@ def import_hf_checkpoint(
         tokenizer=load_tokenizer(path, cfg.talker.vocab_size),
         template=load_prompt_template(path),
         name=os.path.basename(os.path.normpath(path)),
+        sampling=sampling_from_generation_config(path),
     )
     model.import_report = ImportReport(
         assigned=assigned, synthetic=tuple(synthetic), unmapped=unmapped

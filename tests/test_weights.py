@@ -688,3 +688,40 @@ def test_speech_tokenizer_tensors_tolerated(temp_dir):
     assert model.import_report.synthetic == ()
     assert not [u for u in model.import_report.unmapped
                 if "speech_tokenizer" in u]
+
+
+def test_generation_config_sampling_adopted(temp_dir):
+    """generation_config.json carries the checkpoint's intended talker
+    sampling; the loaded model's engines must default to it."""
+    from qwen3_tts_tpu.engine.weights import sampling_from_generation_config
+
+    cfg = configs.tiny("custom", quant=True)
+    path = os.path.join(temp_dir, "gc_ckpt")
+    _write_mlx_style_checkpoint(path, cfg, full=True)
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump({"do_sample": True, "temperature": 0.7, "top_k": 30,
+                   "top_p": 0.85}, f)
+    model = import_hf_checkpoint(path)
+    assert model.sampling is not None
+    assert model.sampling.temperature == 0.7
+    assert model.sampling.top_k == 30
+    assert model.sampling.top_p == 0.85
+    assert model.generator.sampling == model.sampling
+
+    # native cache round trip keeps it (the file lives in the snapshot
+    # root, which load_native reads as the aux dir)
+    native = os.path.join(path, "_tpu_native")
+    save_model(model, native)
+    back = load_model(native)
+    assert back.sampling == model.sampling
+
+    # do_sample: false -> greedy
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump({"do_sample": False}, f)
+    s = sampling_from_generation_config(path)
+    assert s.greedy
+
+    # a file with no sampling intent (e.g. only tts_prompts) -> None
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump({"tts_prompts": {"custom": "{text}"}}, f)
+    assert sampling_from_generation_config(path) is None

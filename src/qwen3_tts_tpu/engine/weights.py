@@ -158,8 +158,14 @@ def save_model(model, path: str) -> None:
     import jax
 
     os.makedirs(path, exist_ok=True)
+    cfg_d = config_to_dict(model.cfg)
+    if getattr(model, "sampling", None) is not None:
+        # persist the adopted talker sampling (generation_config.json
+        # intent) — a native dir exported OUTSIDE the HF snapshot has no
+        # other record of it (config_from_dict ignores unknown keys)
+        cfg_d["sampling"] = dataclasses.asdict(model.sampling)
     with open(os.path.join(path, NATIVE_CONFIG), "w") as f:
-        json.dump(config_to_dict(model.cfg), f, indent=2)
+        json.dump(cfg_d, f, indent=2)
 
     trees = {
         "talker": model.params,
@@ -204,8 +210,11 @@ def load_native(path: str, **kwargs):
 
     from ..runtime.prompts import load_prompt_template
 
+    from ..runtime.sampling import SamplingConfig
+
     with open(os.path.join(path, NATIVE_CONFIG)) as f:
-        cfg = config_from_dict(json.load(f))
+        cfg_d = json.load(f)
+    cfg = config_from_dict(cfg_d)
     # host trees: api.apply_compute_format converts + places on device
     trees = {c: _load_component(path, c) for c in _COMPONENTS}
     # template/tokenizer files live in the snapshot root when this is a
@@ -221,7 +230,11 @@ def load_native(path: str, **kwargs):
         tokenizer=load_tokenizer(aux, cfg.talker.vocab_size),
         template=load_prompt_template(aux),
         name=os.path.basename(os.path.normpath(path)),
-        sampling=sampling_from_generation_config(aux),
+        sampling=(
+            SamplingConfig(**cfg_d["sampling"])
+            if isinstance(cfg_d.get("sampling"), dict)
+            else sampling_from_generation_config(aux)
+        ),
     )
 
 
@@ -259,12 +272,21 @@ def sampling_from_generation_config(path: str):
     keys = ("do_sample", "temperature", "top_k", "top_p")
     if not any(k in gc for k in keys):
         return None  # file present but carries no sampling intent
-    if not gc.get("do_sample", True):
+
+    def _num(name, default, cast):
+        v = gc.get(name)
+        return default if v is None else cast(v)  # HF serializes nulls
+
+    # HF GenerationConfig semantics: do_sample defaults FALSE — a config
+    # carrying only temperature/top_p still decodes greedily under
+    # transformers, and adopting the checkpoint's intent means matching
+    # that, not inventing sampling it never asked for
+    if not _num("do_sample", False, bool):
         return SamplingConfig(greedy=True)
     return SamplingConfig(
-        temperature=float(gc.get("temperature", 0.9)),
-        top_k=int(gc.get("top_k", 50)),
-        top_p=float(gc.get("top_p", 1.0)),
+        temperature=_num("temperature", 0.9, float),
+        top_k=_num("top_k", 50, int),
+        top_p=_num("top_p", 1.0, float),
     )
 
 

@@ -84,18 +84,23 @@ def predict_residuals(
     cb0_tokens: jnp.ndarray,      # [B] sampled codebook-0 ids
     return_feedback: bool = False,
     key: "jax.Array | None" = None,
+    row_keys: "jax.Array | None" = None,
 ) -> jnp.ndarray:
     """Depth-autoregressive prediction of residual codebooks.
 
     Returns codes [B, Q-1] (int32). The whole depth loop is one lax.scan,
     jit-friendly and batched over frames.
 
-    ``key``: when given AND the config asks for it (cp.top_k > 0 or
-    cp.top_p < 1.0), depths are SAMPLED per the published cp.generate
-    arguments (do_sample, top_k=50, top_p=0.8 — transformers
-    Qwen3OmniMoeTalker prepare_inputs_for_generation) with one fold of the
-    key per depth; otherwise greedy argmax (bit-stable, the serving
-    parity mode).
+    ``key``: when given AND the config asks for it (cp.top_k > 0,
+    cp.top_p < 1.0, or cp.temperature != 1.0), depths are SAMPLED per the
+    published cp.generate arguments (do_sample, top_k=50, top_p=0.8 —
+    transformers Qwen3OmniMoeTalker prepare_inputs_for_generation) with
+    one fold of the key per depth; otherwise greedy argmax (bit-stable,
+    the serving parity mode). ``row_keys`` ([B] batch of keys) replaces
+    ``key`` when rows must sample deterministically PER IDENTITY — the
+    batched cold-start prefill folds by slot so its padding rows (slot
+    replicas) draw identical codes and the duplicate-index scatter stays
+    order-independent.
 
     ``return_feedback``: also return the summed input embeddings of the
     predicted codes, Σ_d res_emb[d][code_d] — the residual half of the
@@ -154,7 +159,9 @@ def predict_residuals(
         x, (nk, nv) = jax.lax.scan(body, x, (params["blocks"], ck, cv))
         return rmsnorm(x, params["ln_f"], cp.rms_eps), nk, nv
 
-    stochastic = key is not None and (cp.top_k > 0 or cp.top_p < 1.0)
+    stochastic = (key is not None or row_keys is not None) and (
+        cp.top_k > 0 or cp.top_p < 1.0 or cp.temperature != 1.0
+    )
     if stochastic:
         from ..runtime.sampling import SamplingConfig, sample_token
 
@@ -168,6 +175,11 @@ def predict_residuals(
         logits = jnp.einsum(
             "bd,vd->bv", h_last, head, preferred_element_type=jnp.float32
         )
+        if stochastic and row_keys is not None:
+            kd = jax.vmap(lambda kk: jax.random.fold_in(kk, d))(row_keys)
+            return jax.vmap(
+                lambda l, kk: sample_token(l[None, :], kk, cp_sampling)[0]
+            )(logits, kd)
         if stochastic:  # one key fold per depth (rows sample independently)
             return sample_token(logits, jax.random.fold_in(key, d),
                                 cp_sampling)

@@ -289,9 +289,8 @@ def cp_samples(cfg: ModelConfig, sampling: SamplingConfig) -> bool:
     talker decode keeps greedy residuals, so the serving==single-stream
     greedy-parity invariant stays bit-exact."""
     cp = cfg.code_predictor
-    return (cp.top_k > 0 or cp.top_p < 1.0) and not (
-        sampling.greedy or sampling.temperature <= 0.0
-    )
+    wants = cp.top_k > 0 or cp.top_p < 1.0 or cp.temperature != 1.0
+    return wants and not (sampling.greedy or sampling.temperature <= 0.0)
 
 
 def trailing_lookup(trailing: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:

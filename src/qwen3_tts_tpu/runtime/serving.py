@@ -45,7 +45,7 @@ from ..engine.configs import ModelConfig
 from ..models.code_predictor import predict_residuals
 from ..models.layers import kv_cache_init, kv_env_format, rope_tables
 from ..models.talker import talker_forward
-from .generate import fuse_decode_params
+from .generate import cp_samples, fuse_decode_params
 from .prompts import PromptSpec
 from .sampling import SamplingConfig, sample_token
 
@@ -434,8 +434,6 @@ class ServingEngine:
         )
         fps = self.fps
         n_steps = chunk // fps
-        from .generate import cp_samples
-
         cp_stoch = cp_samples(cfg, sampling)
 
         @partial(jax.jit, donate_argnums=(3, 4, 5))
@@ -845,8 +843,6 @@ class ServingEngine:
         t = cfg.talker
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
-        from .generate import cp_samples
-
         cp_stoch = cp_samples(cfg, sampling)
 
         @partial(jax.jit, donate_argnums=(4, 5))
@@ -856,7 +852,8 @@ class ServingEngine:
                      key):
             key, sub = jax.random.split(key)
             first = sample_token(last_logits[None], sub, sampling)   # [1]
-            key, cpk = jax.random.split(key)
+            if cp_stoch:
+                key, cpk = jax.random.split(key)
             _, rs = predict_residuals(
                 cp_params, cfg, last_hidden[None],
                 jnp.clip(first, 0, cb_size - 1), return_feedback=True,
@@ -907,8 +904,6 @@ class ServingEngine:
         t = cfg.talker
         sampling = self.sampling
         cb_size = cfg.codec.codebook_size
-        from .generate import cp_samples
-
         cp_stoch = cp_samples(cfg, sampling)
 
         @partial(jax.jit, donate_argnums=(6, 7))
@@ -928,10 +923,18 @@ class ServingEngine:
             first = jax.vmap(
                 lambda l, k: sample_token(l[None, :], k, sampling)[0]
             )(logits[:, -1, :], keys)                          # [nb]
-            key, cpk = jax.random.split(key)
+            if cp_stoch:
+                # per-SLOT keys: padding rows replicate entry 0's slot and
+                # must draw identical residual codes, or the duplicate-
+                # index scatter below would write conflicting values
+                key, cpk = jax.random.split(key)
+                row_keys = jax.vmap(
+                    lambda s: jax.random.fold_in(cpk, s)
+                )(slots)
             _, rs = predict_residuals(
                 cp_params, cfg, h, jnp.clip(first, 0, cb_size - 1),
-                return_feedback=True, key=cpk if cp_stoch else None,
+                return_feedback=True,
+                row_keys=row_keys if cp_stoch else None,
             )
             cache_k = jax.tree.map(
                 lambda c, u: c.at[:, slots, :Lb].set(u), cache_k, sk

@@ -383,3 +383,41 @@ def test_greedy_parity_survives_cp_sampling_config():
     eng = ServingEngine(m, max_streams=2, chunk=5, sampling=GREEDY)
     (wav, st), = eng.run([p], max_frames=10)
     np.testing.assert_array_equal(wav, single)
+
+
+# -- the three generate_audio call shapes under the protocol ------------------
+
+def test_generate_audio_call_shapes_feedback(tmp_path):
+    """All three reference call shapes (custom / design / clone) run
+    through the public engine surface on a feedback-protocol model —
+    including the extrapolated acoustic-context rows in the published
+    dual-stream prompt (cloning)."""
+    import os
+
+    from qwen3_tts_tpu.audio import write_wav
+    from qwen3_tts_tpu.engine import generate_audio
+
+    m = _model()
+
+    d1 = str(tmp_path / "custom")
+    generate_audio(model=m, text="Hello there.", voice="ryan",
+                   instruct="Normal tone", output_path=d1, max_frames=8)
+    assert os.path.exists(os.path.join(d1, "audio_000.wav"))
+
+    d2 = str(tmp_path / "design")
+    generate_audio(model=m, text="Design this.",
+                   instruct="A deep warm narrator voice",
+                   output_path=d2, max_frames=8)
+    assert os.path.exists(os.path.join(d2, "audio_000.wav"))
+
+    base = Qwen3TTSModel.synthetic(configs.tiny_feedback("base"), seed=1)
+    base.generator.sampling = GREEDY
+    ref = str(tmp_path / "ref.wav")
+    t = np.arange(24_000) / 24_000.0
+    write_wav(ref, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+              24_000)
+    d3 = str(tmp_path / "clone")
+    generate_audio(model=base, text="Cloned speech.", ref_audio=ref,
+                   ref_text="reference transcript", output_path=d3,
+                   max_frames=8)
+    assert os.path.exists(os.path.join(d3, "audio_000.wav"))

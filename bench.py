@@ -182,7 +182,13 @@ def main() -> None:
     # (PERF.md).
     # QWEN3_TTS_BENCH_CODEC=code2wav swaps in the REAL decoder family at
     # flagship geometry (models/code2wav.py) to measure its true cost.
-    if os.environ.get("QWEN3_TTS_BENCH_CODEC", "rvq") == "code2wav":
+    # QWEN3_TTS_BENCH_PROTOCOL=feedback runs the published decode protocol
+    # (residual-sum feedback, cp-in-loop at talker width, fps=1) — the
+    # honest cost model for a REAL imported checkpoint.
+    protocol = os.environ.get("QWEN3_TTS_BENCH_PROTOCOL", "cb0")
+    if protocol == "feedback":
+        cfg = configs.flagship_feedback("custom")
+    elif os.environ.get("QWEN3_TTS_BENCH_CODEC", "rvq") == "code2wav":
         cfg = configs.flagship_code2wav("custom", frames_per_step=2)
     else:
         cfg = configs.flagship("custom", frames_per_step=2)
@@ -235,8 +241,12 @@ def main() -> None:
                     "load_s": round(load_s, 1),
                     "compile_s": round(compile_s, 1),
                     "serving_8stream": serving,
-                    "config": "flagship-1.7B, MTP frames_per_step=2, "
-                    f"codec={cfg.codec_arch}, "
+                    "config": (
+                        "flagship-1.7B, published residual_sum protocol "
+                        "(cp-in-loop), " if protocol == "feedback" else
+                        "flagship-1.7B, MTP frames_per_step=2, "
+                    )
+                    + f"codec={cfg.codec_arch}, "
                     f"adaptive chunks {gen.chunk_schedule}",
                 },
             }

@@ -417,6 +417,40 @@ def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:
     )
 
 
+def flagship_feedback(mode: str = "custom") -> ModelConfig:
+    """Flagship-shaped model running the published decode protocol — the
+    honest cost model for a REAL imported checkpoint: residual-sum
+    feedback + trailing text (the code predictor runs per frame inside
+    the talker scan), two-position cp layout at talker width (the
+    hidden_token layout feeds the hidden in raw, so cp.hidden == 2048),
+    cp sampling per the published arguments. Synthetic ids stand in for
+    the checkpoint's tts/think markers (same arithmetic/shapes).
+    QWEN3_TTS_BENCH_PROTOCOL=feedback benchmarks it."""
+    base = flagship(mode)
+    return replace(
+        base,
+        talker=replace(
+            base.talker,
+            feedback="residual_sum",
+            tts_pad_id=151_000,
+            tts_bos_id=151_001,
+            tts_eos_id=151_002,
+            codec_nothink=2_045,
+            codec_think_bos=2_046,
+            codec_think_eos=2_047,
+        ),
+        code_predictor=replace(
+            base.code_predictor,
+            hidden=base.talker.hidden,
+            input_layout="hidden_token",
+            input_proj=False,
+            qk_norm=False,
+            top_k=50,
+            top_p=0.8,
+        ),
+    )
+
+
 def tiny_feedback(mode: str = "custom") -> ModelConfig:
     """Tiny config running the published decode protocol end-to-end on CPU:
     residual-sum talker feedback + trailing-text conditioning + the

@@ -523,3 +523,24 @@ def test_openai_speech_saved_voice_on_clone_model(clone_served):
         urllib.request.urlopen(urllib.request.Request(
             base + "/v1/voices/oai_ref", method="DELETE"), timeout=60
         ).close()
+
+
+def test_service_serves_feedback_protocol_model():
+    """The daemon's driver loop over a published-protocol model: submit
+    through TTSService, get a finished WAV back (the engine runs the
+    residual-sum feedback serve step underneath)."""
+    # seed 5: seed 3's tiny random weights greedy-EOS at frame 0
+    model = Qwen3TTSModel.synthetic(configs.tiny_feedback("custom"), seed=5)
+    service = TTSService(model, max_streams=2, sampling=GREEDY).start()
+    service.engine.chunk = 4
+    try:
+        voice = sorted(model.cfg.speakers)[0]
+        job = service.submit(text="daemon over the published protocol",
+                             voice=voice, max_frames=8)
+        kind, payload = job.out.get(timeout=600)
+        while kind == "chunk":
+            kind, payload = job.out.get(timeout=600)
+        assert kind == "done", payload
+        assert job.frames > 0
+    finally:
+        service.stop()

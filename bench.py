@@ -183,11 +183,14 @@ def main() -> None:
     # QWEN3_TTS_BENCH_CODEC=code2wav swaps in the REAL decoder family at
     # flagship geometry (models/code2wav.py) to measure its true cost.
     # QWEN3_TTS_BENCH_PROTOCOL=feedback runs the published decode protocol
-    # (residual-sum feedback, cp-in-loop at talker width, fps=1) — the
-    # honest cost model for a REAL imported checkpoint.
+    # (residual-sum feedback, cp-in-loop at talker width; fps=1 = a raw
+    # imported checkpoint, QWEN3_TTS_BENCH_FPS=2 = the protocol after the
+    # documented MTP fine-tune) — the honest cost model for REAL
+    # checkpoints.
     protocol = os.environ.get("QWEN3_TTS_BENCH_PROTOCOL", "cb0")
     if protocol == "feedback":
-        cfg = configs.flagship_feedback("custom")
+        fb_fps = int(os.environ.get("QWEN3_TTS_BENCH_FPS", "1"))
+        cfg = configs.flagship_feedback("custom", frames_per_step=fb_fps)
     elif os.environ.get("QWEN3_TTS_BENCH_CODEC", "rvq") == "code2wav":
         cfg = configs.flagship_code2wav("custom", frames_per_step=2)
     else:
@@ -243,7 +246,8 @@ def main() -> None:
                     "serving_8stream": serving,
                     "config": (
                         "flagship-1.7B, published residual_sum protocol "
-                        "(cp-in-loop), " if protocol == "feedback" else
+                        f"(cp-in-loop, fps={cfg.talker.frames_per_step}), "
+                        if protocol == "feedback" else
                         "flagship-1.7B, MTP frames_per_step=2, "
                     )
                     + f"codec={cfg.codec_arch}, "

@@ -74,9 +74,13 @@ class TalkerConfig:
     #                    predictor's depth-d input table) PLUS a per-step
     #                    trailing-text hidden — the talker re-reads the
     #                    text one token per frame, then a tts_pad
-    #                    embedding once the text runs out. Requires
-    #                    frames_per_step == 1 (real checkpoints carry no
-    #                    MTP heads) and the three tts_* ids below.
+    #                    embedding once the text runs out. Requires the
+    #                    three tts_* ids below. Composes with
+    #                    frames_per_step > 1 (the MTP fine-tune path for
+    #                    real 1-frame checkpoints: each weight pass emits
+    #                    n frames, each with its own residual feedback and
+    #                    trailing-text row — runtime/generate.py
+    #                    make_decode_chunk_fn_feedback).
     feedback: str = "cb0"
     # TEXT-vocab control ids for the trailing-text protocol (the published
     # top-level config's tts_{pad,bos,eos}_token_id). Embedded through
@@ -123,13 +127,6 @@ class TalkerConfig:
         if self.feedback not in ("cb0", "residual_sum"):
             raise ValueError(f"unknown feedback protocol: {self.feedback!r}")
         if self.feedback == "residual_sum":
-            if self.frames_per_step != 1:
-                raise ValueError(
-                    "feedback='residual_sum' (the published 1-frame decode "
-                    "loop) is incompatible with frames_per_step="
-                    f"{self.frames_per_step}; MTP is an architectural "
-                    "extension of the cb0 protocol"
-                )
             tts = (self.tts_pad_id, self.tts_bos_id, self.tts_eos_id)
             if any(i is None for i in tts):
                 raise ValueError(
@@ -417,7 +414,9 @@ def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:
     )
 
 
-def flagship_feedback(mode: str = "custom") -> ModelConfig:
+def flagship_feedback(
+    mode: str = "custom", *, frames_per_step: int = 1
+) -> ModelConfig:
     """Flagship-shaped model running the published decode protocol — the
     honest cost model for a REAL imported checkpoint: residual-sum
     feedback + trailing text (the code predictor runs per frame inside
@@ -425,8 +424,11 @@ def flagship_feedback(mode: str = "custom") -> ModelConfig:
     hidden_token layout feeds the hidden in raw, so cp.hidden == 2048),
     cp sampling per the published arguments. Synthetic ids stand in for
     the checkpoint's tts/think markers (same arithmetic/shapes).
-    QWEN3_TTS_BENCH_PROTOCOL=feedback benchmarks it."""
-    base = flagship(mode)
+    QWEN3_TTS_BENCH_PROTOCOL=feedback benchmarks it; ``frames_per_step>1``
+    models the protocol AFTER the documented MTP fine-tune (PERF.md: the
+    talker weight passes per frame shrink by n, the per-frame cp cost
+    stays — QWEN3_TTS_BENCH_FPS picks it up in bench.py)."""
+    base = flagship(mode, frames_per_step=frames_per_step)
     return replace(
         base,
         talker=replace(
@@ -451,12 +453,17 @@ def flagship_feedback(mode: str = "custom") -> ModelConfig:
     )
 
 
-def tiny_feedback(mode: str = "custom") -> ModelConfig:
+def tiny_feedback(
+    mode: str = "custom", *, frames_per_step: int = 1
+) -> ModelConfig:
     """Tiny config running the published decode protocol end-to-end on CPU:
     residual-sum talker feedback + trailing-text conditioning + the
     two-position (hidden_token) code-predictor layout — the conditioning
-    stack a real imported checkpoint uses (PARITY.md)."""
+    stack a real imported checkpoint uses (PARITY.md). ``frames_per_step>1``
+    adds the MTP heads on top (the post-fine-tune protocol shape)."""
     base = tiny(mode)
+    if frames_per_step != 1:
+        base = with_frames_per_step(base, frames_per_step)
     return replace(
         base,
         talker=replace(

@@ -1078,7 +1078,9 @@ def import_hf_checkpoint(
         if (
             cfg.code_predictor.input_layout == "hidden_token"
             and t.codec_prompt_head
-            and t.frames_per_step == 1
+            # fps > 1 composes (the post-MTP-fine-tune protocol shape):
+            # the evidence gate is about the CONDITIONING layout, which is
+            # the same whether frames come one or n per weight pass
         ):
             tts = (t.tts_pad_id, t.tts_bos_id, t.tts_eos_id)
             if all(i is not None for i in tts):

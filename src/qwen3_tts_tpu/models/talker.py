@@ -264,6 +264,22 @@ def embed_codec_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params["codec_emb"], tokens, axis=0)
 
 
+def merge_step_embs(
+    params: Params, t: TalkerConfig, embs: jnp.ndarray
+) -> jnp.ndarray:
+    """Merge one step's ``frames_per_step`` frame EMBEDDINGS [B, n, D] into
+    the talker's next input embedding [B, D]. Under the residual_sum
+    feedback protocol each frame embedding is the full published feedback
+    vector (cb0 + residual sum + trailing-text row), so the merged input is
+    the protocol-faithful MTP generalization. n == 1 passes the single
+    embedding through (bit-identical to the single-frame path)."""
+    if t.frames_per_step == 1:
+        return embs[:, 0]
+    B = embs.shape[0]
+    flat = embs.reshape(B, t.frames_per_step * t.hidden)
+    return linear(flat, params["mtp"]["merge"])
+
+
 def merge_step_tokens(
     params: Params, t: TalkerConfig, tokens: jnp.ndarray
 ) -> jnp.ndarray:
@@ -272,10 +288,24 @@ def merge_step_tokens(
     codec-token embedding (bit-identical to the single-frame path)."""
     if t.frames_per_step == 1:
         return jnp.take(params["codec_emb"], tokens[:, 0], axis=0)
-    B = tokens.shape[0]
-    embs = jnp.take(params["codec_emb"], tokens, axis=0)     # [B, n, D]
-    flat = embs.reshape(B, t.frames_per_step * t.hidden)
-    return linear(flat, params["mtp"]["merge"])
+    return merge_step_embs(
+        params, t, jnp.take(params["codec_emb"], tokens, axis=0)
+    )
+
+
+def mtp_hidden_emb(
+    params: Params, t: TalkerConfig, hidden: jnp.ndarray, prev_emb: jnp.ndarray
+) -> jnp.ndarray:
+    """Next-frame hidden from (chain hidden [B, D], previous frame's INPUT
+    embedding [B, D]) — the MTP block. The cb0 protocol conditions on the
+    plain codec-token embedding (mtp_hidden); the residual_sum protocol
+    passes the frame's full feedback embedding (cb0 + residual sum)."""
+    mtp = params["mtp"]
+    x = hidden + prev_emb.astype(hidden.dtype)
+    h = rmsnorm(x, mtp["ln"], t.rms_eps)
+    gate = linear(h, mtp["mlp"]["gate"])
+    up = linear(h, mtp["mlp"]["up"])
+    return x + linear(jax.nn.silu(gate) * up, mtp["mlp"]["down"])
 
 
 def mtp_hidden(
@@ -283,14 +313,22 @@ def mtp_hidden(
 ) -> jnp.ndarray:
     """Next-frame hidden from (step hidden [B, D], previous frame's token
     [B]) — the MTP block, applied recurrently for frames 1..n-1 of a step."""
-    mtp = params["mtp"]
-    x = hidden + jnp.take(params["codec_emb"], prev_tok, axis=0).astype(
-        hidden.dtype
+    return mtp_hidden_emb(
+        params, t, hidden, jnp.take(params["codec_emb"], prev_tok, axis=0)
     )
-    h = rmsnorm(x, mtp["ln"], t.rms_eps)
-    gate = linear(h, mtp["mlp"]["gate"])
-    up = linear(h, mtp["mlp"]["up"])
-    return x + linear(jax.nn.silu(gate) * up, mtp["mlp"]["down"])
+
+
+def mtp_logits_emb(
+    params: Params, t: TalkerConfig, hidden: jnp.ndarray, prev_emb: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(logits [B, codec_vocab], next hidden [B, D]) for one MTP frame
+    conditioned on the previous frame's input EMBEDDING, scored by the
+    shared codec head (the residual_sum-protocol MTP chain)."""
+    h = mtp_hidden_emb(params, t, hidden, prev_emb)
+    logits = linear(
+        rmsnorm(h, params["ln_f"], t.rms_eps), params["head"]
+    ).astype(jnp.float32)
+    return logits, h
 
 
 def mtp_logits(
@@ -298,11 +336,9 @@ def mtp_logits(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(logits [B, codec_vocab], next hidden [B, D]) for one MTP frame,
     scored by the shared codec head."""
-    h = mtp_hidden(params, t, hidden, prev_tok)
-    logits = linear(
-        rmsnorm(h, params["ln_f"], t.rms_eps), params["head"]
-    ).astype(jnp.float32)
-    return logits, h
+    return mtp_logits_emb(
+        params, t, hidden, jnp.take(params["codec_emb"], prev_tok, axis=0)
+    )
 
 
 def embed_text_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:

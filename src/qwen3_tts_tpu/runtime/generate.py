@@ -293,6 +293,73 @@ def cp_samples(cfg: ModelConfig, sampling: SamplingConfig) -> bool:
     return wants and not (sampling.greedy or sampling.temperature <= 0.0)
 
 
+def seed_feedback_frames(
+    params, cp_params, cfg: ModelConfig, sampling: SamplingConfig,
+    hidden, logits, key, *, row_keys_from=None,
+):
+    """Sample the seed step's ``frames_per_step`` frames under the published
+    protocol (feedback="residual_sum"): frame 0 from the prefill logits,
+    frames 1..n-1 through the embedding-conditioned MTP chain
+    (models.talker.mtp_logits_emb — each conditioned on the previous
+    frame's cb0-plus-residual-sum feedback embedding), with the code
+    predictor run per frame so its feedback sum conditions the next frame
+    and the first decode step. hidden [B, D], logits [B, V] ->
+    (tok [B, n], rs [B, n, D], res [B, n, Q-1], key). n == 1 reduces to
+    the published single-frame seed (one sample + one predictor pass).
+
+    ``row_keys_from``: optional [B] slot-id array — per-row folded sampling
+    keys so replicated padding rows draw identical samples (the batched
+    cold-start prefill requirement, serving._prefill_batch_fn_fb).
+    """
+    from ..models.talker import mtp_logits_emb
+
+    t = cfg.talker
+    cb = cfg.codec.codebook_size
+    fps = t.frames_per_step
+    cp_stoch = cp_samples(cfg, sampling)
+
+    def draw(lg, k):
+        if row_keys_from is None:
+            return sample_token(lg, k, sampling)
+        keys = jax.vmap(lambda s: jax.random.fold_in(k, s))(row_keys_from)
+        return jax.vmap(
+            lambda l, kk: sample_token(l[None, :], kk, sampling)[0]
+        )(lg, keys)
+
+    def cp_kwargs(k):
+        if not cp_stoch:
+            return {}
+        if row_keys_from is None:
+            return {"key": k}
+        return {"row_keys": jax.vmap(
+            lambda s: jax.random.fold_in(k, s)
+        )(row_keys_from)}
+
+    toks, rss, ress = [], [], []
+    h = hidden
+    key, sub = jax.random.split(key)
+    cb0 = draw(logits, sub)
+    for j in range(fps):
+        key, cpk = jax.random.split(key)
+        res, rs = predict_residuals(
+            cp_params, cfg, h, jnp.clip(cb0, 0, cb - 1),
+            return_feedback=True, **cp_kwargs(cpk),
+        )
+        toks.append(cb0)
+        rss.append(rs.astype(hidden.dtype))
+        ress.append(res)
+        if j + 1 < fps:
+            cond = (
+                jnp.take(params["codec_emb"], cb0, axis=0).astype(hidden.dtype)
+                + rss[-1]
+            )
+            lg, h = mtp_logits_emb(params, t, h, cond)
+            key, sub = jax.random.split(key)
+            cb0 = draw(lg, sub)
+    return (jnp.stack(toks, axis=1), jnp.stack(rss, axis=1),
+            jnp.stack(ress, axis=1), key)
+
+
 def trailing_lookup(trailing: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """Row ``g`` of each stream's trailing-text buffer ([B, Tb, D], [B] ->
     [B, D]). The buffer's tail rows are tts_pad embeddings (see
@@ -324,16 +391,29 @@ def make_decode_chunk_fn_feedback(
     scan directly; everything downstream (streaming codec, EOS, PCM)
     matches the cb0 path.
 
+    ``frames_per_step > 1`` (the MTP fine-tune path, PERF.md): each talker
+    weight pass emits fps frames — frame 0 from the main head, frames
+    1..fps-1 through the embedding-conditioned MTP chain
+    (models.talker.mtp_logits_emb, conditioned on the previous frame's
+    full feedback embedding) — each frame keeping its own per-frame code
+    predictor pass, residual feedback sum and trailing-text row. The next
+    pass consumes a learned MERGE of the fps frames' feedback embeddings
+    and advances ONE cache position, so talker weight/KV bytes per frame
+    shrink by fps while the protocol's per-frame conditioning is intact.
+
     ONE builder serves both engines (the serving==single-stream parity
     invariant then lives in one place): single-stream passes an all-true
     ``active`` vector; the serving engine passes its slot mask (inactive
     slots hold position/counters and emit PAD) plus its per-group
     ``window_split``. pos/n_frames/g/active are [B] vectors in both."""
     from ..models.codec import decode_codes_streaming
+    from ..models.talker import merge_step_embs, mtp_logits_emb
     from ..ops.pcm import wav_to_pcm16
 
     t = cfg.talker
-    assert t.frames_per_step == 1, "residual_sum feedback is 1-frame"
+    fps = t.frames_per_step
+    assert chunk % fps == 0, (chunk, fps)
+    n_steps = chunk // fps
     S = cfg.max_seq_len
     A = attn_len or S
     cb_size = cfg.codec.codebook_size
@@ -343,8 +423,9 @@ def make_decode_chunk_fn_feedback(
     def decode_chunk(params, cp_params, codec_params, cache_k, cache_v,
                      cstate, trailing, pos, pad_len, n_frames, last_token,
                      res_sum, g, active, key):
-        """trailing: [B, Tb, D]; res_sum: [B, D] feedback sum of the
-        previous frame's residual codes; g: [B] trailing rows consumed."""
+        """trailing: [B, Tb, D]; last_token: [B, fps]; res_sum: [B, fps, D]
+        per-frame feedback sums of the previous step's residual codes;
+        g: [B] trailing rows consumed."""
         cos_t, sin_t = rope_tables(S, t.head_dim, t.rope_theta)
         full_k, full_v = cache_k, cache_v
         if A < S:
@@ -353,10 +434,17 @@ def make_decode_chunk_fn_feedback(
 
         def step(carry, _):
             ck, cv, p, tok, rs, gg, k = carry
-            emb = (
-                jnp.take(params["codec_emb"], tok[:, 0], axis=0)
-                + rs + trailing_lookup(trailing, gg)
-            )[:, None, :]
+            # previous step's fps frames: full published feedback embedding
+            # per frame (cb0 + residual sum + its own trailing-text row),
+            # merged into ONE talker input (identity at fps == 1)
+            prev = jnp.take(params["codec_emb"], tok, axis=0).astype(
+                rs.dtype
+            ) + rs                                            # [B, fps, D]
+            trail_rows = jnp.stack(
+                [trailing_lookup(trailing, gg + j) for j in range(fps)],
+                axis=1,
+            )                                                 # [B, fps, D]
+            emb = merge_step_embs(params, t, prev + trail_rows)[:, None, :]
             hidden, logits, ck, cv = talker_forward(
                 params, t, emb, ck, cv, p, cos_t, sin_t, pad_len=pad_len,
                 window_split=window_split,
@@ -364,35 +452,53 @@ def make_decode_chunk_fn_feedback(
             h = hidden[:, -1, :]
             k, sub = jax.random.split(k)
             cb0 = sample_token(logits[:, -1, :], sub, sampling)   # [B]
-            if cp_stoch:
-                k, cpk = jax.random.split(k)
-            res_codes, rs_new = predict_residuals(
-                cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
-                return_feedback=True, key=cpk if cp_stoch else None,
-            )
+            cb0s, res_list, rs_list = [], [], []
+            for j in range(fps):
+                if cp_stoch:
+                    k, cpk = jax.random.split(k)
+                res_codes, rs_new = predict_residuals(
+                    cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
+                    return_feedback=True, key=cpk if cp_stoch else None,
+                )
+                cb0s.append(cb0)
+                res_list.append(res_codes)
+                rs_list.append(rs_new.astype(rs.dtype))
+                if j + 1 < fps:   # MTP chain: next frame from the same pass
+                    cond = jnp.take(
+                        params["codec_emb"], cb0, axis=0
+                    ).astype(rs.dtype) + rs_list[-1]
+                    lg, h = mtp_logits_emb(params, t, h, cond)
+                    k, sub = jax.random.split(k)
+                    cb0 = sample_token(lg, sub, sampling)
+            frame_toks = jnp.stack(cb0s, axis=1)              # [B, fps]
+            frame_res = jnp.stack(res_list, axis=1)           # [B, fps, Q-1]
+            rs_stack = jnp.stack(rs_list, axis=1)             # [B, fps, D]
             # inactive slots hold position/counters and emit PAD; the cast
             # keeps the CARRY's dtype (imported fp32 tables would otherwise
             # widen it mid-scan)
-            cb0 = jnp.where(active, cb0, t.codec_pad)
-            rs = jnp.where(active[:, None], rs_new.astype(rs.dtype), rs)
-            carry = (ck, cv, jnp.where(active, p + 1, p), cb0[:, None],
-                     rs, jnp.where(active, gg + 1, gg), k)
-            return carry, (cb0, res_codes)
+            frame_toks = jnp.where(active[:, None], frame_toks, t.codec_pad)
+            rs = jnp.where(active[:, None, None], rs_stack, rs)
+            carry = (ck, cv, jnp.where(active, p + 1, p), frame_toks,
+                     rs, jnp.where(active, gg + fps, gg), k)
+            return carry, (frame_toks, frame_res)
 
         (ck, cv, p, tok, res_sum, g, key), (tokens, residuals) = jax.lax.scan(
             step,
             (cache_k, cache_v, pos, last_token, res_sum, g, key),
-            None, length=chunk,
+            None, length=n_steps,
         )
-        tokens_bc = jnp.transpose(tokens, (1, 0))               # [B, chunk]
+        # tokens: [steps, B, fps] -> [B, chunk]; residuals likewise
+        tokens_bc = jnp.transpose(tokens, (1, 0, 2)).reshape(-1, chunk)
         flat_cb0 = jnp.clip(tokens_bc, 0, cb_size - 1)
         codes = jnp.concatenate(
             [
                 flat_cb0[:, :, None],
-                jnp.transpose(residuals, (1, 0, 2)),            # [B, chunk, Q-1]
+                jnp.transpose(residuals, (1, 0, 2, 3)).reshape(
+                    tokens_bc.shape[0], chunk, -1
+                ),                                          # [B, chunk, Q-1]
             ],
             axis=-1,
-        ).transpose(0, 2, 1)                                    # [B, Q, chunk]
+        ).transpose(0, 2, 1)                                # [B, Q, chunk]
 
         wav_chunk, cstate = decode_codes_streaming(
             codec_params, cfg, codes, cstate, n_frames
@@ -477,23 +583,22 @@ class Generator:
         return self._fns[key]
 
     def _seed_feedback_fn(self):
-        """Jitted seed pass for the published protocol: the prefill-sampled
-        frame's residual feedback sum in ONE dispatch (the eager
-        alternative runs the whole depth scan op-by-op — dozens of remote
-        round trips per utterance on a tunneled device)."""
+        """Jitted seed pass for the published protocol: sample the seed
+        step's fps frames AND their residual feedback sums in ONE dispatch
+        (the eager alternative runs the whole depth scan op-by-op — dozens
+        of remote round trips per utterance on a tunneled device). Returns
+        (tok [B, fps], rs [B, fps, D])."""
         key = ("seed_fb", self.sampling)
         if key not in self._fns:
             cfg = self.cfg
-            cb = cfg.codec.codebook_size
-            cp_stoch = cp_samples(cfg, self.sampling)
+            sampling = self.sampling
 
             @jax.jit
-            def seed_fb(cp_params, hidden, tok, rng):
-                _, rs = predict_residuals(
-                    cp_params, cfg, hidden, jnp.clip(tok, 0, cb - 1),
-                    return_feedback=True, key=rng if cp_stoch else None,
+            def seed_fb(params, cp_params, hidden, logits, rng):
+                tok, rs, _, _ = seed_feedback_frames(
+                    params, cp_params, cfg, sampling, hidden, logits, rng
                 )
-                return rs
+                return tok, rs
 
             self._fns[key] = seed_fb
         return self._fns[key]
@@ -790,20 +895,18 @@ class Generator:
         )
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
-        first = self._seed_tokens(hidden_last, logits, sub)   # [1, fps]
 
         from ..models.codec import init_codec_stream_state
 
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         cstate = init_codec_stream_state(cfg, 1, dtype=dtype)
         if feedback:
-            # seed the published feedback loop: the prefill-sampled frame's
-            # residual codes (conditioning-only, like the cb0 seed) provide
-            # the first step's residual-embedding sum
-            key, sub = jax.random.split(key)
-            res_sum = self._seed_feedback_fn()(
-                self.cp_params, hidden_last, first[:, 0], sub
-            )
+            # seed the published feedback loop: the prefill-sampled step's
+            # fps frames (conditioning-only, like the cb0 seed) and their
+            # per-frame residual-embedding sums, one fused dispatch
+            first, res_sum = self._seed_feedback_fn()(
+                self.params, self.cp_params, hidden_last, logits, sub
+            )                                # [1, fps], [1, fps, D]
             # the unified feedback decode treats pos/frames/g as [B]
             # vectors (shared builder with the serving engine)
             state = (cache_k, cache_v, cstate,
@@ -811,6 +914,7 @@ class Generator:
                      jnp.zeros((1,), jnp.int32), res_sum.astype(dtype),
                      jnp.zeros((1,), jnp.int32))
         else:
+            first = self._seed_tokens(hidden_last, logits, sub)  # [1, fps]
             state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
                      jnp.int32(0))
         wav_pieces: list[np.ndarray] = []  # final-quality chunk outputs

@@ -259,7 +259,9 @@ class ServingEngine:
         # buffers and consumed-row counters, all device-resident
         self.feedback = t.feedback == "residual_sum"
         if self.feedback:
-            self.res_sum = jnp.zeros((self.B, t.hidden), dtype)
+            # per-frame residual feedback sums of each slot's previous step
+            # ([B, fps, D] — fps == 1 for real 1-frame checkpoints)
+            self.res_sum = jnp.zeros((self.B, self.fps, t.hidden), dtype)
             self.trail = jnp.zeros(
                 (self.B, t.trailing_bucket, t.hidden), dtype
             )
@@ -534,7 +536,6 @@ class ServingEngine:
             return self._decode_fns[fn_key]
         from .generate import make_decode_chunk_fn_feedback
 
-        assert self.fps == 1
         A = max(wins)
         group_size = self.B // len(wins)
         split = (
@@ -842,8 +843,7 @@ class ServingEngine:
         cfg = self.cfg
         t = cfg.talker
         sampling = self.sampling
-        cb_size = cfg.codec.codebook_size
-        cp_stoch = cp_samples(cfg, sampling)
+        from .generate import seed_feedback_frames
 
         @partial(jax.jit, donate_argnums=(4, 5))
         def activate(params, cp_params, sk, sv, cache_k, cache_v, slot, pad,
@@ -851,14 +851,12 @@ class ServingEngine:
                      tok_v, frames_v, active_v, conv, res_v, trail_v, g_v,
                      key):
             key, sub = jax.random.split(key)
-            first = sample_token(last_logits[None], sub, sampling)   # [1]
-            if cp_stoch:
-                key, cpk = jax.random.split(key)
-            _, rs = predict_residuals(
-                cp_params, cfg, last_hidden[None],
-                jnp.clip(first, 0, cb_size - 1), return_feedback=True,
-                key=cpk if cp_stoch else None,
-            )
+            # published seed: fps frames + their per-frame residual
+            # feedback sums (runtime.generate.seed_feedback_frames)
+            first, rs, _, _ = seed_feedback_frames(
+                params, cp_params, cfg, sampling,
+                last_hidden[None], last_logits[None], sub,
+            )                                    # [1, fps], [1, fps, D]
             cache_k = jax.tree.map(
                 lambda c, u: jax.lax.dynamic_update_slice(
                     c, u, (0, slot, 0, 0, 0)
@@ -874,13 +872,15 @@ class ServingEngine:
             onehot = jnp.arange(tok_v.shape[0]) == slot
             pos_v = jnp.where(onehot, Lb, pos_v)
             pad_v = jnp.where(onehot, pad, pad_v)
-            tok_v = jnp.where(onehot[:, None], first[:, None], tok_v)
+            tok_v = jnp.where(onehot[:, None], first, tok_v)
             frames_v = jnp.where(onehot, 0, frames_v)
             active_v = jnp.where(onehot, True, active_v)
             conv = jax.tree.map(
                 lambda a: jnp.where(onehot[:, None, None], 0.0, a), conv
             )
-            res_v = jnp.where(onehot[:, None], rs.astype(res_v.dtype), res_v)
+            res_v = jnp.where(
+                onehot[:, None, None], rs.astype(res_v.dtype), res_v
+            )
             trail_v = jax.lax.dynamic_update_slice(
                 trail_v, trailing.astype(trail_v.dtype), (slot, 0, 0)
             )
@@ -903,8 +903,7 @@ class ServingEngine:
         cfg = self.cfg
         t = cfg.talker
         sampling = self.sampling
-        cb_size = cfg.codec.codebook_size
-        cp_stoch = cp_samples(cfg, sampling)
+        from .generate import seed_feedback_frames
 
         @partial(jax.jit, donate_argnums=(6, 7))
         def prefill_activate(params, cp_params, emb, pads, sk, sv,
@@ -917,25 +916,16 @@ class ServingEngine:
                 params, t, emb, sk, sv, jnp.int32(0), cos_t, sin_t,
                 pad_len=pads, head_last_only=True,
             )
-            h = hidden[:, -1, :]
             key, sub = jax.random.split(key)
-            keys = jax.vmap(lambda s: jax.random.fold_in(sub, s))(slots)
-            first = jax.vmap(
-                lambda l, k: sample_token(l[None, :], k, sampling)[0]
-            )(logits[:, -1, :], keys)                          # [nb]
-            if cp_stoch:
-                # per-SLOT keys: padding rows replicate entry 0's slot and
-                # must draw identical residual codes, or the duplicate-
-                # index scatter below would write conflicting values
-                key, cpk = jax.random.split(key)
-                row_keys = jax.vmap(
-                    lambda s: jax.random.fold_in(cpk, s)
-                )(slots)
-            _, rs = predict_residuals(
-                cp_params, cfg, h, jnp.clip(first, 0, cb_size - 1),
-                return_feedback=True,
-                row_keys=row_keys if cp_stoch else None,
-            )
+            # per-SLOT folded keys (row_keys_from): padding rows replicate
+            # entry 0's slot and must sample identical frames/residuals, or
+            # the duplicate-index scatters below would write conflicting
+            # values
+            first, rs, _, _ = seed_feedback_frames(
+                params, cp_params, cfg, sampling,
+                hidden[:, -1, :], logits[:, -1, :], sub,
+                row_keys_from=slots,
+            )                                  # [nb, fps], [nb, fps, D]
             cache_k = jax.tree.map(
                 lambda c, u: c.at[:, slots, :Lb].set(u), cache_k, sk
             )
@@ -944,7 +934,7 @@ class ServingEngine:
             )
             pos_v = pos_v.at[slots].set(Lb)
             pad_v = pad_v.at[slots].set(pads)
-            tok_v = tok_v.at[slots].set(first[:, None])
+            tok_v = tok_v.at[slots].set(first)
             frames_v = frames_v.at[slots].set(0)
             active_v = active_v.at[slots].set(True)
             conv = jax.tree.map(lambda a: a.at[slots].set(0.0), conv)

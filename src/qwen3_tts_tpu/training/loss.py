@@ -52,18 +52,31 @@ def _published_hidden_and_logits(
     where trail(g) is the projected text row n_head+1+g, then tts_eos, then
     tts_pad (the talker re-reads the text one token per frame). Residual
     sums are teacher-forced from ground-truth codes; decode uses the code
-    predictor's own output (standard teacher forcing)."""
+    predictor's own output (standard teacher forcing).
+
+    ``frames_per_step > 1`` mirrors the MTP decode chain
+    (runtime.generate.make_decode_chunk_fn_feedback): each step's talker
+    input is the learned MERGE of its fps frames' full feedback embeddings;
+    frame 0 of a step scores through the main head, frames 1..fps-1 through
+    the embedding-conditioned MTP chain (teacher-forced on the previous
+    frame's cb0 + residual-sum embedding, WITHOUT the trailing row — the
+    trailing rows condition only the talker inputs, exactly as in decode).
+    Returned hiddens interleave [step hidden, chain hiddens], matching
+    which hidden conditions each frame's code-predictor pass in decode."""
     from ..models.code_predictor import residual_feedback_sum
     from ..models.talker import text_projection
 
     t = cfg.talker
+    fps = t.frames_per_step
     text = batch["text_tokens"]                       # [B, Tt] right-padded
     text_mask = batch["text_mask"]
     codes = batch["codes"]                            # [B, Q, Tf]
     codes0 = codes[:, 0, :]
     B, Tt = text.shape
     Tf = codes0.shape[1]
-    assert t.frames_per_step == 1
+    assert Tf % fps == 0, (
+        f"frames {Tf} must be a multiple of frames_per_step {fps}"
+    )
 
     txt = text_projection(
         params, jnp.take(params["text_emb"], text, axis=0)
@@ -99,30 +112,43 @@ def _published_hidden_and_logits(
         txt[:, n_head:n_head + 1] + codec_emb[t.codec_bos][None, None, :]
     )
 
-    # trailing-text rows for frames 0..Tf-2 (the input consuming frame g's
+    # trailing-text rows for frames 0..Tf-1 (the input consuming frame g's
     # codes adds trail(g), mirroring the decode loop's carried counter)
     n_real = jnp.sum(text_mask.astype(jnp.int32), axis=1)    # [B]
-    idx = n_head + 1 + jnp.arange(Tf - 1)                    # [Tf-1]
+    idx = n_head + 1 + jnp.arange(Tf)                        # [Tf]
     gathered = jnp.take_along_axis(
         txt, jnp.clip(idx, 0, Tt - 1)[None, :, None], axis=1
-    )                                                        # [B, Tf-1, D]
+    )                                                        # [B, Tf, D]
     real = (idx[None, :] < n_real[:, None])[..., None]
     at_eos = (idx[None, :] == n_real[:, None])[..., None]
     trail = jnp.where(
         real, gathered, jnp.where(at_eos, eos_e, pad_e)
     )
 
-    cb0_in = jnp.take(codec_emb, codes0[:, :-1], axis=0)     # [B, Tf-1, D]
-    res2d = jnp.transpose(codes[:, 1:, :-1], (0, 2, 1)).reshape(
-        B * (Tf - 1), -1
-    )
-    res_sum = residual_feedback_sum(cp_params, res2d).reshape(
-        B, Tf - 1, D
-    )
-    frame_in = (cb0_in + res_sum.astype(txt.dtype) + trail).astype(txt.dtype)
+    # per-frame published feedback embedding: cb0 + teacher-forced residual
+    # sum (e_partial, the MTP-chain conditioning) + its trailing-text row
+    cb0_in = jnp.take(codec_emb, codes0, axis=0)             # [B, Tf, D]
+    res2d = jnp.transpose(codes[:, 1:, :], (0, 2, 1)).reshape(B * Tf, -1)
+    res_sum = residual_feedback_sum(cp_params, res2d).reshape(B, Tf, D)
+    e_partial = (cb0_in + res_sum.astype(txt.dtype)).astype(txt.dtype)
+    e_full = (e_partial + trail).astype(txt.dtype)
+
+    K = Tf // fps                                            # talker steps
+    if fps == 1:
+        frame_in = e_full[:, :-1]
+    else:
+        # MTP: one MERGED input per step of fps frames (the decode scan's
+        # merge_step_embs over the full feedback embeddings)
+        from ..models.talker import merge_step_embs
+
+        grouped = e_full.reshape(B, K, fps, D)
+        merged = jax.vmap(
+            lambda e: merge_step_embs(params, t, e), in_axes=1, out_axes=1
+        )(grouped)                                           # [B, K, D]
+        frame_in = merged[:, :-1].astype(txt.dtype)
 
     x = jnp.concatenate(parts + [frame_in], axis=1)
-    P = x.shape[1] - (Tf - 1)                                # prompt length
+    P = x.shape[1] - (K - 1)                                 # prompt length
     shift = jnp.zeros((B,), jnp.int32)                       # no left pad
 
     S = x.shape[1]
@@ -140,8 +166,31 @@ def _published_hidden_and_logits(
         y = stack_fn(params["blocks"], x, shift)
         hidden = rmsnorm(y, params["ln_f"], t.rms_eps)
         logits = linear(hidden, params["head"]).astype(jnp.float32)
-    # the codec_bos row sits at P-1; its output predicts frame 0
-    return hidden[:, P - 1:, :], logits[:, P - 1:, :]
+    # the codec_bos row sits at P-1; its output predicts step 0
+    step_hidden = hidden[:, P - 1:, :]                       # [B, K, D]
+    step_logits = logits[:, P - 1:, :]
+    if fps == 1:
+        return step_hidden, step_logits
+
+    # teacher-forced MTP chain (mirrors the decode scan): frame j of a step
+    # scores through the shared head from the chain hidden conditioned on
+    # frame j-1's e_partial; the chain hidden ALSO conditions frame j's
+    # code-predictor pass in decode, so it is what we return for frame j
+    from ..models.talker import mtp_logits_emb
+
+    flat_h = step_hidden.reshape(B * K, D)
+    ep = e_partial.reshape(B, K, fps, D)
+    per_frame_logits = [step_logits]
+    per_frame_hidden = [step_hidden]
+    h = flat_h
+    for j in range(1, fps):
+        cond = ep[:, :, j - 1].reshape(B * K, D).astype(h.dtype)
+        lg, h = mtp_logits_emb(params, t, h, cond)
+        per_frame_logits.append(lg.reshape(B, K, -1))
+        per_frame_hidden.append(h.reshape(B, K, D))
+    logits_frames = jnp.stack(per_frame_logits, axis=2).reshape(B, Tf, -1)
+    hidden_frames = jnp.stack(per_frame_hidden, axis=2).reshape(B, Tf, D)
+    return hidden_frames, logits_frames
 
 
 def _talker_hidden_and_logits(

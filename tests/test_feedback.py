@@ -50,11 +50,12 @@ def _prompt(n: int = 8, speaker: int | None = 1) -> PromptSpec:
 
 # -- config validation -------------------------------------------------------
 
-def test_feedback_requires_fps1():
-    with pytest.raises(ValueError, match="frames_per_step"):
-        dataclasses.replace(
-            configs.tiny_feedback().talker, frames_per_step=2
-        )
+def test_feedback_composes_with_mtp():
+    # frames_per_step > 1 under the published protocol is the documented
+    # MTP fine-tune path (PERF.md) — the config must accept it
+    cfg = configs.tiny_feedback("custom", frames_per_step=2)
+    assert cfg.talker.feedback == "residual_sum"
+    assert cfg.talker.frames_per_step == 2
 
 
 def test_feedback_requires_tts_ids():
@@ -237,7 +238,8 @@ def test_training_layout_matches_decode():
     (_, _, _, _, _, _, _, _, _, n_valid, codes, _) = decode(
         m.params, gen.cp_params, gen.codec_params, cache_k, cache_v,
         cstate, trailing, jnp.full((1,), Lb, jnp.int32), pad_len,
-        jnp.zeros((1,), jnp.int32), seed_tok, res_sum.astype(dtype),
+        jnp.zeros((1,), jnp.int32), seed_tok,
+        res_sum.astype(dtype)[:, None, :],      # [B, fps=1, D]
         jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), key,
     )
     valid = int(n_valid[0])
@@ -383,6 +385,126 @@ def test_greedy_parity_survives_cp_sampling_config():
     eng = ServingEngine(m, max_streams=2, chunk=5, sampling=GREEDY)
     (wav, st), = eng.run([p], max_frames=10)
     np.testing.assert_array_equal(wav, single)
+
+
+# -- MTP under the published protocol (frames_per_step > 1) -------------------
+
+def _model_fps2(seed: int = 0) -> Qwen3TTSModel:
+    cfg = configs.tiny_feedback("custom", frames_per_step=2)
+    m = Qwen3TTSModel.synthetic(cfg, seed=seed)
+    m.generator.sampling = GREEDY
+    return m
+
+
+def test_feedback_mtp_decode_end_to_end():
+    m = _model_fps2()
+    res = m.generator.synthesize(_prompt(), max_frames=12, seed=3)
+    assert res.frames > 0
+    assert res.wav.dtype == np.int16
+    assert len(res.wav) == res.frames * m.cfg.codec.hop
+
+
+def test_feedback_mtp_serving_matches_single_stream():
+    """The CLAUDE.md greedy-parity invariant must hold for the MTP chain
+    under the published protocol too (shared chunk builder)."""
+    m = _model_fps2()
+    prompts = [_prompt(6 + i, speaker=i % 2) for i in range(3)]
+    singles = [
+        m.generator.synthesize(p, max_frames=12, seed=0).wav for p in prompts
+    ]
+    eng = ServingEngine(m, max_streams=4, chunk=4, sampling=GREEDY)
+    outs = eng.run(prompts, max_frames=12)
+    for i, (wav, st) in enumerate(outs):
+        np.testing.assert_array_equal(wav, singles[i])
+
+
+def test_feedback_mtp_join_under_load_matches():
+    m = _model_fps2()
+    p0, p1 = _prompt(6, 0), _prompt(9, 1)
+    s0 = m.generator.synthesize(p0, max_frames=16, seed=0).wav
+    s1 = m.generator.synthesize(p1, max_frames=8, seed=0).wav
+    eng = ServingEngine(m, max_streams=4, chunk=4, sampling=GREEDY)
+    id0 = eng.submit(p0, max_frames=16)
+    for _ in range(2):
+        eng.step()
+    id1 = eng.submit(p1, max_frames=8)
+    for _ in range(40):
+        eng.step()
+        if eng.streams[id0].done and eng.streams[id1].done:
+            break
+    w0, _ = eng.collect(id0)
+    w1, _ = eng.collect(id1)
+    np.testing.assert_array_equal(w0, s0)
+    np.testing.assert_array_equal(w1, s1)
+
+
+def test_feedback_mtp_training_layout_matches_decode():
+    """fps=2 train/decode parity: teacher-forcing the greedily decoded
+    codes through the published MTP training layout must reproduce the
+    decoded token stream via argmax (both the main-head frames and the
+    MTP-chain frames)."""
+    from qwen3_tts_tpu.models.codec import init_codec_stream_state
+    from qwen3_tts_tpu.runtime.generate import seed_feedback_frames
+    from qwen3_tts_tpu.training.loss import _published_hidden_and_logits
+
+    m = _model_fps2()
+    cfg = m.cfg
+    gen = m.generator
+    prompt = _prompt(8, speaker=1)
+    chunk = 8
+    fps = cfg.talker.frames_per_step
+
+    emb, pad, trailing = gen.assemble_prompt_full(prompt)
+    Lb = emb.shape[1]
+    cache_k, cache_v = gen._alloc_cache()
+    pad_len = jnp.int32(pad)
+    hidden_last, logits, cache_k, cache_v = gen._prefill_fn()(
+        m.params, emb, pad_len, cache_k, cache_v
+    )
+    key = jax.random.PRNGKey(0)
+    seed_tok, res_sum, seed_res, _ = seed_feedback_frames(
+        m.params, gen.cp_params, cfg, GREEDY, hidden_last, logits, key
+    )                     # [1, fps], [1, fps, D], [1, fps, Q-1]
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    cstate = init_codec_stream_state(cfg, 1, dtype=dtype)
+    decode = gen._decode_fn(chunk, None)
+    (_, _, _, _, _, _, _, _, _, n_valid, codes, _) = decode(
+        m.params, gen.cp_params, gen.codec_params, cache_k, cache_v,
+        cstate, trailing, jnp.full((1,), Lb, jnp.int32), pad_len,
+        jnp.zeros((1,), jnp.int32), seed_tok, res_sum.astype(dtype),
+        jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), key,
+    )
+    valid = int(n_valid[0])
+    assert valid >= 2, "tiny model hit EOS immediately; adjust the prompt"
+
+    cb = cfg.codec.codebook_size
+    seed_frames = jnp.concatenate(
+        [jnp.clip(seed_tok, 0, cb - 1)[:, None, :],       # [1, 1, fps]
+         jnp.transpose(seed_res, (0, 2, 1))], axis=1
+    )                                                     # [1, Q, fps]
+    # keep a whole number of MTP steps of decoded frames
+    keep = (valid // fps) * fps
+    assert keep >= fps
+    full_codes = jnp.concatenate(
+        [seed_frames, codes[:, :, :keep]], axis=2
+    )                                                     # [1, Q, fps+keep]
+
+    toks = prompt.text_tokens
+    batch = {
+        "text_tokens": jnp.asarray(toks)[None, :],
+        "text_mask": jnp.ones((1, len(toks)), bool),
+        "codes": full_codes,
+        "frame_mask": jnp.ones((1, full_codes.shape[2]), bool),
+        "speaker_id": jnp.asarray([1], jnp.int32),
+    }
+    _, tf_logits = _published_hidden_and_logits(
+        m.params, gen.cp_params, cfg, batch
+    )
+    pred = np.asarray(jnp.argmax(tf_logits[0], axis=-1))
+    got = np.asarray(full_codes[0, 0, :])
+    ok = int(np.cumprod(got < cb - 1).sum())   # unambiguous prefix length
+    assert ok >= fps + 1, f"too few comparable frames ({ok}); reseed"
+    np.testing.assert_array_equal(pred[:ok], got[:ok])
 
 
 # -- the three generate_audio call shapes under the protocol ------------------

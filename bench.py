@@ -185,12 +185,16 @@ def main() -> None:
     # QWEN3_TTS_BENCH_PROTOCOL=feedback runs the published decode protocol
     # (residual-sum feedback, cp-in-loop at talker width; fps=1 = a raw
     # imported checkpoint, QWEN3_TTS_BENCH_FPS=2 = the protocol after the
-    # documented MTP fine-tune) — the honest cost model for REAL
+    # documented MTP fine-tune, QWEN3_TTS_BENCH_DEPTH_GROUP=k additionally
+    # groups the cp depth passes) — the honest cost model for REAL
     # checkpoints.
     protocol = os.environ.get("QWEN3_TTS_BENCH_PROTOCOL", "cb0")
     if protocol == "feedback":
         fb_fps = int(os.environ.get("QWEN3_TTS_BENCH_FPS", "1"))
-        cfg = configs.flagship_feedback("custom", frames_per_step=fb_fps)
+        fb_dg = int(os.environ.get("QWEN3_TTS_BENCH_DEPTH_GROUP", "1"))
+        cfg = configs.flagship_feedback(
+            "custom", frames_per_step=fb_fps, depth_group=fb_dg
+        )
     elif os.environ.get("QWEN3_TTS_BENCH_CODEC", "rvq") == "code2wav":
         cfg = configs.flagship_code2wav("custom", frames_per_step=2)
     else:
@@ -246,7 +250,8 @@ def main() -> None:
                     "serving_8stream": serving,
                     "config": (
                         "flagship-1.7B, published residual_sum protocol "
-                        f"(cp-in-loop, fps={cfg.talker.frames_per_step}), "
+                        f"(cp-in-loop, fps={cfg.talker.frames_per_step}, "
+                        f"depth_group={cfg.code_predictor.depth_group}), "
                         if protocol == "feedback" else
                         "flagship-1.7B, MTP frames_per_step=2, "
                     )

@@ -185,6 +185,18 @@ class CodePredictorConfig:
     top_k: int = 0
     top_p: float = 1.0
     temperature: float = 1.0
+    # Grouped depth prediction: each depth pass scores ``depth_group``
+    # consecutive residual codebooks from the same hidden (their heads all
+    # read position p), and the next pass's input is the SUM of the
+    # group's code embeddings — cutting the depth transformer's sequential
+    # weight passes (and so its HBM weight streaming, the cp cost that
+    # dominates the published feedback protocol, PERF.md) by the group
+    # factor. Like talker MTP this is an architectural extension of the
+    # published 1-per-pass layout — but it adds NO new parameters (the
+    # same per-depth heads and embedding tables are re-indexed), so
+    # enabling it on an imported checkpoint is config + fine-tune only.
+    # (num_codebooks - 1) must divide evenly into groups.
+    depth_group: int = 1
 
 
 @dataclass(frozen=True)
@@ -265,6 +277,13 @@ class ModelConfig:
                     f"widths must match: cp.hidden={self.code_predictor.hidden}"
                     f" vs talker.hidden={self.talker.hidden}"
                 )
+        k = self.code_predictor.depth_group
+        n_res = self.codec.num_codebooks - 1
+        if k < 1 or n_res % k != 0:
+            raise ValueError(
+                f"depth_group={k} must divide the residual codebook count "
+                f"({n_res}) evenly"
+            )
 
     @property
     def frames_per_second(self) -> float:
@@ -415,7 +434,7 @@ def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:
 
 
 def flagship_feedback(
-    mode: str = "custom", *, frames_per_step: int = 1
+    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1
 ) -> ModelConfig:
     """Flagship-shaped model running the published decode protocol — the
     honest cost model for a REAL imported checkpoint: residual-sum
@@ -427,7 +446,10 @@ def flagship_feedback(
     QWEN3_TTS_BENCH_PROTOCOL=feedback benchmarks it; ``frames_per_step>1``
     models the protocol AFTER the documented MTP fine-tune (PERF.md: the
     talker weight passes per frame shrink by n, the per-frame cp cost
-    stays — QWEN3_TTS_BENCH_FPS picks it up in bench.py)."""
+    stays — QWEN3_TTS_BENCH_FPS picks it up in bench.py);
+    ``depth_group>1`` additionally groups the code predictor's depth
+    passes (CodePredictorConfig.depth_group — QWEN3_TTS_BENCH_DEPTH_GROUP
+    in bench.py), shrinking the per-frame cp cost itself."""
     base = flagship(mode, frames_per_step=frames_per_step)
     return replace(
         base,
@@ -449,18 +471,20 @@ def flagship_feedback(
             qk_norm=False,
             top_k=50,
             top_p=0.8,
+            depth_group=depth_group,
         ),
     )
 
 
 def tiny_feedback(
-    mode: str = "custom", *, frames_per_step: int = 1
+    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1
 ) -> ModelConfig:
     """Tiny config running the published decode protocol end-to-end on CPU:
     residual-sum talker feedback + trailing-text conditioning + the
     two-position (hidden_token) code-predictor layout — the conditioning
     stack a real imported checkpoint uses (PARITY.md). ``frames_per_step>1``
-    adds the MTP heads on top (the post-fine-tune protocol shape)."""
+    adds the MTP heads on top (the post-fine-tune protocol shape);
+    ``depth_group>1`` groups the cp depth passes (same extension family)."""
     base = tiny(mode)
     if frames_per_step != 1:
         base = with_frames_per_step(base, frames_per_step)
@@ -483,6 +507,7 @@ def tiny_feedback(
             input_layout="hidden_token",
             input_proj=False,
             qk_norm=False,
+            depth_group=depth_group,
         ),
     )
 

@@ -114,11 +114,17 @@ def predict_residuals(
     n_res = cc.num_codebooks - 1
     B = talker_hidden.shape[0]
     hidden_token = cp.input_layout == "hidden_token"
+    # Grouped depth prediction (CodePredictorConfig.depth_group): each
+    # sequence position scores ``k`` consecutive residual heads and the
+    # next position's input is the SUM of the group's code embeddings —
+    # k == 1 is exactly the published one-code-per-pass layout.
+    k = cp.depth_group
+    n_groups = n_res // k
     # "sum": position 0 = (in_proj(hidden) + cb0 emb), positions 1.. =
-    # residual embeddings. "hidden_token" (the published layout,
+    # residual-group embedding sums. "hidden_token" (the published layout,
     # PARITY.md): positions 0-1 = [hidden, cb0 emb], positions 2.. =
-    # residuals; head d scores position d+1.
-    depth_len = n_res + (2 if hidden_token else 1)
+    # residual groups; position p+1's heads score group p.
+    depth_len = n_groups + (2 if hidden_token else 1)
 
     from ..ops.linear import linear
 
@@ -169,60 +175,82 @@ def predict_residuals(
             temperature=cp.temperature, top_k=cp.top_k, top_p=cp.top_p
         )
 
-    def score(h_last, d):
-        head = jax.lax.dynamic_index_in_dim(params["heads"], d, axis=0,
-                                            keepdims=False)
-        logits = jnp.einsum(
-            "bd,vd->bv", h_last, head, preferred_element_type=jnp.float32
+    def score_group(h_last, g):
+        """Sample/argmax group ``g``'s ``k`` residual codes from one
+        hidden ([B, H], traced group index -> [B, k] int32). RNG folds by
+        ABSOLUTE depth index, so k == 1 reproduces the ungrouped stream
+        bit-for-bit."""
+        heads = jax.lax.dynamic_slice(
+            params["heads"], (g * k, 0, 0),
+            (k, cc.residual_codebook_size, params["heads"].shape[2]),
         )
-        if stochastic and row_keys is not None:
-            kd = jax.vmap(lambda kk: jax.random.fold_in(kk, d))(row_keys)
-            return jax.vmap(
-                lambda l, kk: sample_token(l[None, :], kk, cp_sampling)[0]
-            )(logits, kd)
-        if stochastic:  # one key fold per depth (rows sample independently)
-            return sample_token(logits, jax.random.fold_in(key, d),
-                                cp_sampling)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)       # [B]
+        logits = jnp.einsum(
+            "bd,kvd->bkv", h_last, heads, preferred_element_type=jnp.float32
+        )
+        cols = []
+        for j in range(k):
+            lg = logits[:, j, :]
+            d = g * k + j
+            if stochastic and row_keys is not None:
+                kd = jax.vmap(lambda kk: jax.random.fold_in(kk, d))(row_keys)
+                cols.append(jax.vmap(
+                    lambda l, kk: sample_token(l[None, :], kk, cp_sampling)[0]
+                )(lg, kd))
+            elif stochastic:  # one fold per depth (rows independent)
+                cols.append(sample_token(lg, jax.random.fold_in(key, d),
+                                         cp_sampling))
+            else:
+                cols.append(jnp.argmax(lg, axis=-1).astype(jnp.int32))
+        return jnp.stack(cols, axis=1)                          # [B, k]
 
-    def next_input(code, d):
-        emb_tab = jax.lax.dynamic_index_in_dim(params["res_emb"], d, axis=0,
-                                               keepdims=False)
-        return jnp.take(emb_tab, code, axis=0)[:, None, :].astype(x0.dtype)
+    def next_input(codes_g, g):
+        """Summed embedding of group ``g``'s codes ([B, k] -> [B, 1, H])."""
+        tabs = jax.lax.dynamic_slice(
+            params["res_emb"], (g * k, 0, 0),
+            (k,) + params["res_emb"].shape[1:],
+        )
+        embs = jax.vmap(
+            lambda tab, c: jnp.take(tab, c, axis=0), in_axes=(0, 1)
+        )(tabs, codes_g)                                        # [k, B, H]
+        return jnp.sum(embs, axis=0)[:, None, :].astype(x0.dtype)
 
-    def finish(codes_depth_first: jnp.ndarray):
-        codes = jnp.transpose(codes_depth_first, (1, 0))       # [B, Q-1]
+    def finish(codes_group_first: jnp.ndarray):
+        # [n_groups, B, k] -> [B, Q-1]
+        codes = jnp.transpose(codes_group_first, (1, 0, 2)).reshape(B, n_res)
         if not return_feedback:
             return codes
         return codes, residual_feedback_sum(params, codes)
 
     if hidden_token:
-        # two-position prefill scores depth 0; the scan continues with
+        # two-position prefill scores group 0; the scan continues with
         # single-token steps at positions 2.. (scan carries need one
         # static shape, so the T=2 seed runs outside it)
         h, ck, cv = run_blocks(x0, cache_k, cache_v, jnp.int32(0))
-        code0 = score(h[:, -1, :], jnp.int32(0))
+        grp0 = score_group(h[:, -1, :], jnp.int32(0))
 
-        def depth_step(carry, d):
+        if n_groups == 1:
+            return finish(grp0[None])
+
+        def depth_step(carry, g):
             x_in, ck, cv = carry
-            h, ck, cv = run_blocks(x_in, ck, cv, d + 1)
-            code = score(h[:, -1, :], d)
-            return (next_input(code, d), ck, cv), code
+            h, ck, cv = run_blocks(x_in, ck, cv, g + 1)
+            codes_g = score_group(h[:, -1, :], g)
+            return (next_input(codes_g, g), ck, cv), codes_g
 
         (_, _, _), rest = jax.lax.scan(
-            depth_step, (next_input(code0, 0), ck, cv),
-            jnp.arange(1, n_res),
+            depth_step, (next_input(grp0, 0), ck, cv),
+            jnp.arange(1, n_groups),
         )
-        return finish(jnp.concatenate([code0[None], rest], axis=0))
+        return finish(jnp.concatenate([grp0[None], rest], axis=0))
 
-    def depth_step(carry, d):
+    def depth_step(carry, g):
         x_in, ck, cv = carry
-        h, ck, cv = run_blocks(x_in, ck, cv, d)
-        code = score(h[:, -1, :], d)
-        return (next_input(code, d), ck, cv), code
+        h, ck, cv = run_blocks(x_in, ck, cv, g)
+        codes_g = score_group(h[:, -1, :], g)
+        return (next_input(codes_g, g), ck, cv), codes_g
 
     (_, _, _), codes = jax.lax.scan(
-        depth_step, (x0, cache_k, cache_v), jnp.arange(n_res)
+        depth_step, (x0, cache_k, cache_v), jnp.arange(n_groups)
     )
     return finish(codes)
 

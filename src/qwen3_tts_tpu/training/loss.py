@@ -352,14 +352,19 @@ def code_predictor_teacher_logits(
     talker_hidden [N, D_talker] (N = B*T_f flattened frames),
     codes [N, Q] ground truth. Returns logits [N, Q-1, V_res]: the depth
     step d predicts codes[:, d+1] given hidden, cb0 and residuals < d+1.
+    ``depth_group=k`` teacher-forces the grouped layout (k heads score
+    each position; the next position's input is the SUM of the previous
+    group's ground-truth embeddings) — k == 1 is the published layout.
     """
     cp = cfg.code_predictor
     cc = cfg.codec
     n_res = cc.num_codebooks - 1
+    k = cp.depth_group
+    n_groups = n_res // k
     N = talker_hidden.shape[0]
     hidden_token = cp.input_layout == "hidden_token"
 
-    cos_t, sin_t = rope_tables(n_res + 2, cp.head_dim, cp.rope_theta)
+    cos_t, sin_t = rope_tables(n_groups + 2, cp.head_dim, cp.rope_theta)
 
     hid = talker_hidden[:, None, :]
     if cp.input_proj:
@@ -367,15 +372,20 @@ def code_predictor_teacher_logits(
     cb0 = jnp.take(cp_params["cb0_emb"], codes[:, 0], axis=0)[:, None, :]
     if hidden_token:
         # published layout (PARITY.md): [hidden, cb0] as two positions;
-        # head d scores position d+1
+        # position p+1's heads score group p
         tf_in = [hid, cb0.astype(hid.dtype)]
     else:
         tf_in = [hid + cb0]
-    # teacher inputs for depth d>=1: embedding of ground-truth residual d-1
-    for d in range(n_res - 1):
-        emb = jnp.take(cp_params["res_emb"][d], codes[:, d + 1], axis=0)
+    # teacher inputs for group g>=1: summed embeddings of group g-1's
+    # ground-truth residuals (matches decode's next_input)
+    for g in range(n_groups - 1):
+        emb = sum(
+            jnp.take(cp_params["res_emb"][g * k + j],
+                     codes[:, 1 + g * k + j], axis=0)
+            for j in range(k)
+        )
         tf_in.append(emb[:, None, :].astype(hid.dtype))
-    x = jnp.concatenate(tf_in, axis=1)        # [N, n_res (+1 if 2-pos), H]
+    x = jnp.concatenate(tf_in, axis=1)      # [N, n_groups (+1 if 2-pos), H]
 
     dtype = x.dtype
     T_depth = x.shape[1]
@@ -396,12 +406,13 @@ def code_predictor_teacher_logits(
     x, _ = jax.lax.scan(body, x, (cp_params["blocks"], cache_k, cache_v))
     h = rmsnorm(x, cp_params["ln_f"], cp.rms_eps)      # [N, T_depth, H]
     if hidden_token:
-        h = h[:, 1:, :]  # head d scores position d+1 (the decode layout)
-    # head d scores depth slot d
+        h = h[:, 1:, :]  # group g scores position g+1 (the decode layout)
+    # position g's k heads score depth slots g*k .. g*k+k-1
+    V = cp_params["heads"].shape[1]
+    heads = cp_params["heads"].reshape(n_groups, k, V, -1)
     logits = jnp.einsum(
-        "ndh,dvh->ndv", h, cp_params["heads"],
-        preferred_element_type=jnp.float32,
-    )
+        "ngh,gkvh->ngkv", h, heads, preferred_element_type=jnp.float32,
+    ).reshape(N, n_res, V)
     return logits
 
 

@@ -69,6 +69,49 @@ def load_pairs(data_dir: str) -> list[tuple[str, np.ndarray, int]]:
     return pairs
 
 
+def apply_decode_extensions(model, *, fps: int = 0, depth_group: int = 0,
+                            seed: int = 0):
+    """Enable the decode fine-tune extension pair on a loaded model.
+
+    Real checkpoints decode one frame per talker pass and one residual
+    codebook per code-predictor pass; the two measured recovery levers
+    (PERF.md: 8.5× → 19.1× single-stream on the published protocol) are
+    architectural extensions that the training stack teacher-forces:
+
+    - ``fps > 1``: multi-token prediction. Grafts fresh MTP heads
+      (models.talker.add_mtp_params) when the tree lacks them — train
+      before serving, the heads are random until then.
+    - ``depth_group > 1``: grouped depth prediction. Config-only (the
+      published per-depth heads/tables are re-indexed, no new
+      parameters) — still fine-tune before serving, the layout changes.
+
+    Returns a rebuilt model (fresh jit caches); raises ValueError for
+    invalid geometry (e.g. depth_group not dividing the residual count).
+    """
+    import dataclasses as _dc
+
+    from .engine.configs import with_frames_per_step
+
+    cfg, params = model.cfg, model.params
+    if fps > 1:
+        cfg = with_frames_per_step(cfg, fps)
+        if "mtp" not in params:
+            from .models.talker import add_mtp_params
+
+            params = add_mtp_params(params, cfg, seed=seed)
+    if depth_group > 1:
+        cfg = _dc.replace(
+            cfg,
+            code_predictor=_dc.replace(
+                cfg.code_predictor, depth_group=depth_group
+            ),
+        )
+    return _dc.replace(
+        model, cfg=cfg, params=params,
+        _generator=None, _serving=None, _enc_fn=None,
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     import argparse
 
@@ -96,6 +139,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sequence-parallel", action="store_true",
                     help="shard the residual stream along T over tp between "
                     "talker blocks (needs tp > 1; full fine-tune only)")
+    ap.add_argument("--mtp-fps", type=int, default=0, metavar="N",
+                    help="enable multi-token prediction at N frames per "
+                    "talker pass before training (grafts fresh MTP heads "
+                    "onto checkpoints that lack them — the single-stream "
+                    "decode lever, PERF.md); the exported model decodes "
+                    "at fps=N")
+    ap.add_argument("--depth-group", type=int, default=0, metavar="K",
+                    help="enable grouped depth prediction (K residual "
+                    "codebooks per code-predictor pass) before training — "
+                    "no new parameters, config + fine-tune only; cuts the "
+                    "published protocol's cp-in-loop cost K-fold (PERF.md)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default=None,
                     help="orbax checkpoint directory (enables save/resume)")
@@ -142,6 +196,15 @@ def main(argv: list[str] | None = None) -> int:
         model = Qwen3TTSModel.synthetic(configs.tiny(args.mode))
     else:
         model = load_model(args.model)
+    if args.mtp_fps > 1 or args.depth_group > 1:
+        try:
+            model = apply_decode_extensions(
+                model, fps=args.mtp_fps, depth_group=args.depth_group,
+                seed=args.seed,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     cfg = model.cfg
     if cfg.quant.enabled:
         print("error: fine-tuning needs an unquantized base "

@@ -178,3 +178,39 @@ def test_empty_data_dir_errors(tmp_path, capsys):
     ])
     assert rc == 1
     assert "no usable" in capsys.readouterr().err
+
+
+def test_decode_extension_flags_train_and_export(data_dir, tmp_path, capsys):
+    """--mtp-fps / --depth-group: the measured real-checkpoint recovery
+    path (PERF.md 8.5x -> 19.1x) must be executable end-to-end — graft,
+    train, export, and the export decodes at the extended geometry."""
+    export = str(tmp_path / "tuned_ext")
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--lr", "1e-3",
+        "--mtp-fps", "2", "--depth-group", "3", "--export", export,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exported"] == export
+
+    from qwen3_tts_tpu.engine.api import generate_audio, load_model
+
+    model = load_model(export)
+    assert model.cfg.talker.frames_per_step == 2
+    assert model.cfg.code_predictor.depth_group == 3
+    assert "mtp" in model.params
+    outdir = str(tmp_path / "gen_ext")
+    generate_audio(model=model, text="extended decode", voice="ryan",
+                   output_path=outdir, max_frames=8)
+    assert os.path.exists(os.path.join(outdir, "audio_000.wav"))
+
+
+def test_depth_group_flag_rejects_bad_divisor(data_dir, capsys):
+    # tiny codec has 3 residual codebooks; 2 does not divide 3
+    rc = finetune.main([
+        "--model", "synthetic-tiny", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--depth-group", "2",
+    ])
+    assert rc == 1
+    assert "depth_group" in capsys.readouterr().err

@@ -279,3 +279,43 @@ def test_train_step_sharded_feedback_protocol():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_serving_matches_unsharded_grouped_mtp_protocol():
+    """The full post-fine-tune fast path (feedback protocol + MTP fps=2 +
+    depth_group=3) under tensor parallelism: the grouped cp's
+    dynamic-sliced heads/tables and the MTP chain must serve identical
+    greedy codes sharded and unsharded."""
+    import dataclasses
+
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+    from qwen3_tts_tpu.runtime.serving import ServingEngine
+
+    base = configs.tiny_feedback("custom", frames_per_step=2, depth_group=3)
+    cfg = dataclasses.replace(base, quant=dataclasses.replace(
+        base.quant, enabled=False))
+    greedy = SamplingConfig(greedy=True)
+    prompts = [
+        PromptSpec(text_tokens=np.arange(6, dtype=np.int32) + 4,
+                   speaker_id=1),
+        PromptSpec(text_tokens=(np.arange(9) * 3 % 50).astype(np.int32),
+                   speaker_id=0),
+    ]
+
+    model1 = Qwen3TTSModel.synthetic(cfg, seed=7)
+    e1 = ServingEngine(model1, max_streams=2, chunk=8, sampling=greedy)
+    r1 = e1.run(prompts, max_frames=10)
+
+    model2 = Qwen3TTSModel.synthetic(cfg, seed=7)
+    mesh = build_mesh(MeshPlan(dp=1, tp=2), jax.devices()[:2])
+    shard_model(model2, mesh)
+    e2 = ServingEngine(model2, max_streams=2, chunk=8, sampling=greedy)
+    r2 = e2.run(prompts, max_frames=10)
+
+    for (w1, s1), (w2, s2) in zip(r1, r2):
+        np.testing.assert_array_equal(
+            np.concatenate(s1.codes, axis=1),
+            np.concatenate(s2.codes, axis=1),
+        )
+        np.testing.assert_array_equal(w1, w2)

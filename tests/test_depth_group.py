@@ -207,3 +207,33 @@ def test_grouped_cp_loss_runs():
     }
     loss = code_predictor_loss(m.params, m.generator.cp_params, cfg, batch)
     assert np.isfinite(float(loss))
+
+
+def test_grouped_row_keys_duplicate_rows_sample_identically():
+    """Batched cold-start prefill replicates slot 0 into padding rows and
+    scatters by slot id — duplicate (hidden, cb0, slot) rows MUST draw
+    identical residual codes under grouped stochastic sampling or the
+    duplicate-index scatter becomes order-dependent."""
+    from qwen3_tts_tpu.models.code_predictor import init_code_predictor
+
+    cfg = configs.tiny_feedback("custom", depth_group=3)
+    cfg = dataclasses.replace(
+        cfg,
+        code_predictor=dataclasses.replace(
+            cfg.code_predictor, top_k=5, top_p=0.9
+        ),
+    )
+    cp_params = jax.tree.map(jnp.asarray, init_code_predictor(cfg, seed=3))
+    rng = np.random.default_rng(4)
+    row = rng.normal(0, 1, (1, cfg.talker.hidden)).astype(np.float32)
+    hidden = jnp.asarray(np.repeat(row, 4, axis=0))
+    cb0 = jnp.full((4,), 7, jnp.int32)
+    base = jax.random.PRNGKey(11)
+    row_keys = jax.vmap(lambda s: jax.random.fold_in(base, s))(
+        jnp.zeros((4,), jnp.int32)   # all rows replicate slot 0
+    )
+    codes = np.asarray(predict_residuals(
+        cp_params, cfg, hidden, cb0, row_keys=row_keys
+    ))
+    for i in range(1, 4):
+        np.testing.assert_array_equal(codes[0], codes[i])

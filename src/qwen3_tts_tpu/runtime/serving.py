@@ -219,11 +219,6 @@ class ServingEngine:
         # default per-chunk path.
         self.accum = bool(accumulate_wav)
         if self.accum:
-            if t.feedback == "residual_sum":
-                raise NotImplementedError(
-                    "accumulate_wav with the residual_sum feedback protocol"
-                    " is not wired yet; run the default per-chunk path"
-                )
             self.accum_cap_frames = int(accum_cap_frames)
             cap = self.accum_cap_frames * self.cfg.codec.hop
             self.wav_accum = jnp.zeros((self.B, cap), jnp.int16)
@@ -1015,6 +1010,7 @@ class ServingEngine:
                 if slot // group_size == g
             ]
             wins.append(attn_bucket((max(gpos) if gpos else 0) + steps, S))
+        frames_before = self.frames_dev  # accum-mode scatter offsets
         if self.feedback:
             (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
              self.key, self.frames_dev, self.res_sum, self.trail_g,
@@ -1025,7 +1021,6 @@ class ServingEngine:
                 self.res_sum, self.trail_g, self.active_mask, self.key,
             )
         else:
-            frames_before = self.frames_dev  # accum-mode scatter offsets
             (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
              self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
                 chunk, tuple(wins)
@@ -1034,14 +1029,15 @@ class ServingEngine:
                 self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
                 self.frames_dev, self.tok, self.active_mask, self.key,
             )
-            if self.accum:
-                # audio stays on device: scatter this step's PCM into the
-                # per-slot buffer; the per-chunk host fetch shrinks to the
-                # [B] n_valid vector (codes are not collected in this mode)
-                self.wav_accum = self._accum_write(
-                    self.wav_accum, wav, frames_before
-                )
-                codes = wav = None
+        if self.accum:
+            # audio stays on device: scatter this step's PCM into the
+            # per-slot buffer; the per-chunk host fetch shrinks to the
+            # [B] n_valid vector (codes are not collected in this mode).
+            # Protocol-agnostic: both decode fns return [B, chunk*hop] PCM.
+            self.wav_accum = self._accum_write(
+                self.wav_accum, wav, frames_before
+            )
+            codes = wav = None
         for slot, _ in active:
             self._host_pos[slot] += steps
             self._host_frames[slot] += chunk

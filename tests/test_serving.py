@@ -513,6 +513,30 @@ def test_accum_wav_capacity_guard(model):
         engine.submit(_prompt(1), max_frames=39)
 
 
+def test_accum_wav_matches_streaming_feedback_protocol():
+    """accumulate_wav under the published residual_sum feedback protocol —
+    the configuration batch jobs hit on REAL checkpoints (VERDICT r2 #5).
+    The device-side scatter is protocol-agnostic (the fb decode fn returns
+    per-chunk PCM like the cb0 one); collected audio must stay
+    byte-identical to the streaming engine's under greedy sampling."""
+    fb_model = Qwen3TTSModel.synthetic(configs.tiny_feedback("custom"),
+                                       seed=5)
+    prompts = [_prompt(41), _prompt(42), _prompt(43)]
+    ref_engine = ServingEngine(fb_model, max_streams=2, chunk=8,
+                               sampling=GREEDY)
+    ref = ref_engine.run(prompts, max_frames=16)  # 3 streams recycle slots
+
+    engine = ServingEngine(
+        fb_model, max_streams=2, chunk=8, sampling=GREEDY,
+        accumulate_wav=True, accum_cap_frames=80,
+    )
+    out = engine.run(prompts, max_frames=16, pipeline_depth=3)
+    for (wav, st), (rwav, rst) in zip(out, ref):
+        assert st.frames == rst.frames
+        np.testing.assert_array_equal(wav, rwav)
+        assert st.codes == []  # codes are not collected in accum mode
+
+
 def test_accum_wav_deep_pipeline_keeps_tail_intact(model):
     """Speculative steps dispatched past EOS/budget advance the device
     frame counter; their buffer writes must be DROPPED when they would

@@ -152,9 +152,18 @@ class Qwen3TTSModel:
     # the checkpoint's intended talker sampling (generation_config.json —
     # weights.sampling_from_generation_config); None = library defaults
     sampling: Any = None
+    # real speech tokenizer (ref-audio -> codec codes, cloning): mapped
+    # Mimi-family params + config when the checkpoint's layout was
+    # recognised (models/speech_tokenizer.py); None = synthetic encoder
+    st_params: Any = None
+    st_cfg: Any = None
+    # unrecognised speech_tokenizer.* tensors, preserved verbatim so the
+    # native cache keeps them for a future mapper (weights.save_model)
+    st_raw: Any = field(default=None, repr=False)
     _generator: Any = field(default=None, repr=False)
     _serving: Any = field(default=None, repr=False)
     _enc_fn: Any = field(default=None, repr=False)
+    _st_fn: Any = field(default=None, repr=False)
 
     @property
     def generator(self):
@@ -237,11 +246,39 @@ class Qwen3TTSModel:
 
     # -- cloning frontend --------------------------------------------------
 
-    def encode_reference(self, wav: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def encode_reference(self, wav: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
         """Reference waveform (24 kHz mono float32) -> (codes [Q, T_ref],
-        speaker vector [D_talker]) via the codec encoder (jitted)."""
+        speaker vector [D_talker] or None) via the checkpoint's real speech
+        tokenizer when one was imported (models/speech_tokenizer.py), else
+        the synthetic codec encoder. The real path returns no speaker
+        vector: the published protocol conditions cloning on the reference
+        CODES (+ ref text) alone — the vector row is the synthetic
+        encoder's own conditioning channel."""
         import jax
         import jax.numpy as jnp
+
+        if self.st_params is not None:
+            from ..models.speech_tokenizer import st_encode, st_frames
+
+            st_cfg = self.st_cfg
+            hop = st_cfg.hop
+            n = len(wav)
+            T = st_frames(st_cfg, n)
+            # pad to a frame bucket: one remote compile per bucket, not
+            # per clip length (CLAUDE.md); all convs are causal, so
+            # trailing zeros cannot change any WHOLE frame's codes (a
+            # final partial frame may shift marginally vs an exact-length
+            # encode — tests/test_speech_tokenizer.py pins the semantics)
+            Tb = next((b for b in (64, 128, 256, 512, 1024, 2048)
+                       if T <= b), -(-T // 2048) * 2048)
+            padded = np.zeros(Tb * hop, dtype=np.float32)
+            padded[:n] = wav
+            if self._st_fn is None:
+                self._st_fn = jax.jit(
+                    lambda p, w: st_encode(p, st_cfg, w)
+                )
+            codes = self._st_fn(self.st_params, jnp.asarray(padded)[None])
+            return np.asarray(codes[0])[:, :T], None
 
         from ..models.codec import encode_waveform, rvq_quantize, speaker_embedding
 

@@ -70,6 +70,11 @@ class ImportReport:
     assigned: dict[str, int]           # component -> tensors mapped
     synthetic: tuple[str, ...]         # components that fell back to init
     unmapped: list[str]                # checkpoint tensor names not consumed
+    # speech_tokenizer.* audit: {"tensors": N, "mapped": N,
+    # "family": "mimi"|"unknown", "preserved": bool, "names": [...]} —
+    # recorded even when the layout is unrecognised, so the conversion
+    # keeps enough to act on later (VERDICT r2 #4)
+    speech_tokenizer: dict | None = None
 
 
 # --------------------------------------------------------------------------
@@ -164,6 +169,8 @@ def save_model(model, path: str) -> None:
         # intent) — a native dir exported OUTSIDE the HF snapshot has no
         # other record of it (config_from_dict ignores unknown keys)
         cfg_d["sampling"] = dataclasses.asdict(model.sampling)
+    if getattr(model, "st_cfg", None) is not None:
+        cfg_d["speech_tokenizer"] = dataclasses.asdict(model.st_cfg)
     with open(os.path.join(path, NATIVE_CONFIG), "w") as f:
         json.dump(cfg_d, f, indent=2)
 
@@ -172,6 +179,15 @@ def save_model(model, path: str) -> None:
         "code_predictor": model.cp_params,
         "codec": model.codec_params,
     }
+    if getattr(model, "st_params", None) is not None:
+        trees["speech_tokenizer"] = model.st_params
+    if getattr(model, "st_raw", None):
+        # unrecognised speech_tokenizer tensors, verbatim: a future mapper
+        # can act on the cached conversion instead of needing the snapshot
+        from safetensors.numpy import save_file as _sf
+
+        _sf({k: np.ascontiguousarray(v) for k, v in model.st_raw.items()},
+            os.path.join(path, "speech_tokenizer_raw.safetensors"))
     for comp, tree in trees.items():
         host = jax.tree.map(np.asarray, tree)
         flat = flatten_tree(host)
@@ -217,6 +233,24 @@ def load_native(path: str, **kwargs):
     cfg = config_from_dict(cfg_d)
     # host trees: api.apply_compute_format converts + places on device
     trees = {c: _load_component(path, c) for c in _COMPONENTS}
+    st_params = st_cfg = st_raw = None
+    if isinstance(cfg_d.get("speech_tokenizer"), dict) and os.path.exists(
+        os.path.join(path, "speech_tokenizer.safetensors")
+    ):
+        from ..models.speech_tokenizer import SpeechTokenizerConfig
+
+        d = cfg_d["speech_tokenizer"]
+        fields = {f.name for f in dataclasses.fields(SpeechTokenizerConfig)}
+        st_cfg = SpeechTokenizerConfig(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in d.items() if k in fields
+        })
+        st_params = _load_component(path, "speech_tokenizer")
+    raw_p = os.path.join(path, "speech_tokenizer_raw.safetensors")
+    if os.path.exists(raw_p):
+        from safetensors.numpy import load_file as _lf
+
+        st_raw = _lf(raw_p)
     # template/tokenizer files live in the snapshot root when this is a
     # _tpu_native cache dir inside one — prefer the parent in that case
     aux = os.path.dirname(os.path.normpath(path)) if (
@@ -235,6 +269,9 @@ def load_native(path: str, **kwargs):
             if isinstance(cfg_d.get("sampling"), dict)
             else sampling_from_generation_config(aux)
         ),
+        st_params=st_params,
+        st_cfg=st_cfg,
+        st_raw=st_raw,
     )
 
 
@@ -1011,19 +1048,75 @@ def import_hf_checkpoint(
             # else fails loudly there instead of silently synthesizing.
             by_comp["codec"] = by_comp.pop("spk_enc")
             by_comp["spk_enc"] = {}
-        else:
-            warnings.warn(
-                f"checkpoint ships {len(by_comp['spk_enc'])} "
-                "speech_tokenizer tensors (the ref-audio encoder for "
-                "cloning); its architecture is not recoverable offline, so "
-                "cloning uses the synthetic feature encoder quantized "
-                "against the real codec embedding tables (PARITY.md). The "
-                "rest of the checkpoint imports normally."
-            )
 
     gs, bits = cfg.quant.group_size, cfg.quant.bits
     unmapped: list[str] = []
     assigned: dict[str, int] = {}
+
+    # speech_tokenizer.* (the ref-audio encoder for cloning): map the
+    # Mimi-family layout (models/speech_tokenizer.py); anything else is
+    # PRESERVED in the native cache + reported — never silently dropped
+    st_params = st_cfg = st_raw = None
+    st_report: dict | None = None
+    if by_comp["spk_enc"]:
+        st_tensors = by_comp["spk_enc"]
+        st_report = {
+            "tensors": len(st_tensors), "mapped": 0,
+            "family": "unknown", "preserved": False,
+            "names": sorted(st_tensors)[:12],
+        }
+        from ..models.speech_tokenizer import (
+            import_speech_tokenizer,
+            st_config_from_tensors,
+        )
+
+        try:
+            st_cfg = st_config_from_tensors(
+                st_tensors, hf_cfg.get("speech_tokenizer_config") or {}
+            )
+        except ValueError as e:
+            st_raw = dict(st_tensors)
+            st_report["preserved"] = True
+            warnings.warn(
+                f"checkpoint ships {len(st_tensors)} speech_tokenizer "
+                f"tensors in an unrecognised layout ({e}); cloning uses "
+                "the synthetic feature encoder (PARITY.md) and the raw "
+                "tensors are preserved in the native conversion for a "
+                "future mapper. The rest of the checkpoint imports "
+                "normally."
+            )
+        else:
+            if (st_cfg.num_quantizers != cfg.codec.num_codebooks
+                    or st_cfg.codebook_size != cfg.codec.codebook_size):
+                warnings.warn(
+                    "speech_tokenizer maps as a Mimi-family encoder but "
+                    f"its code space (Q={st_cfg.num_quantizers}, "
+                    f"size={st_cfg.codebook_size}) does not match the "
+                    f"codec (Q={cfg.codec.num_codebooks}, "
+                    f"size={cfg.codec.codebook_size}); preserving raw "
+                    "tensors, cloning stays on the synthetic encoder"
+                )
+                st_raw, st_cfg = dict(st_tensors), None
+                st_report["family"] = "mimi"
+                st_report["preserved"] = True
+            else:
+                st_unmapped: list[str] = []
+                st_params, st_n = import_speech_tokenizer(
+                    st_tensors, st_cfg, st_unmapped
+                )
+                unmapped.extend(st_unmapped)
+                st_report.update(family="mimi", mapped=st_n)
+                assigned["speech_tokenizer"] = st_n
+                if st_n == 0:
+                    st_params, st_cfg = None, None
+                    st_raw = dict(st_tensors)
+                    st_report["preserved"] = True
+                    warnings.warn(
+                        "speech_tokenizer tensors matched the Mimi layout "
+                        "by name but none fit the derived geometry; "
+                        "preserving raw tensors, cloning stays on the "
+                        "synthetic encoder"
+                    )
 
     talker = init_talker(cfg, seed=kwargs.get("seed", 0))
     # the text_projection ResizeMLP (when shipped) is pulled out FIRST so
@@ -1169,9 +1262,13 @@ def import_hf_checkpoint(
         template=load_prompt_template(path),
         name=os.path.basename(os.path.normpath(path)),
         sampling=sampling_from_generation_config(path),
+        st_params=st_params,
+        st_cfg=st_cfg,
+        st_raw=st_raw,
     )
     model.import_report = ImportReport(
-        assigned=assigned, synthetic=tuple(synthetic), unmapped=unmapped
+        assigned=assigned, synthetic=tuple(synthetic), unmapped=unmapped,
+        speech_tokenizer=st_report,
     )
     return model
 

@@ -75,6 +75,11 @@ class ImportReport:
     # recorded even when the layout is unrecognised, so the conversion
     # keeps enough to act on later (VERDICT r2 #4)
     speech_tokenizer: dict | None = None
+    # prompt-template audit: {"source": "file"|"chat_template"|"synthetic",
+    # "samples": {mode: rendered str}} — what the engine will actually
+    # condition the talker on, surfaced so first contact with real weights
+    # can eyeball the render instead of debugging garbage audio
+    prompt_template: dict | None = None
 
 
 # --------------------------------------------------------------------------
@@ -1252,6 +1257,16 @@ def import_hf_checkpoint(
 
     from ..runtime.prompts import load_prompt_template
 
+    template = load_prompt_template(path)
+    tpl_report: dict = {"source": template.source, "samples": {}}
+    for m, kw in (("custom", {"instruct": "Speak warmly.", "speed": 1.0}),
+                  ("design", {"instruct": "A deep calm narrator."}),
+                  ("base", {"ref_text": "Reference transcript."})):
+        try:
+            tpl_report["samples"][m] = template.render(m, "Sample text.", **kw)
+        except Exception as e:  # a broken template must not kill the import
+            tpl_report["samples"][m] = f"<render failed: {e}>"
+
     # host trees: api.apply_compute_format converts + places on device
     model = Qwen3TTSModel(
         cfg=cfg,
@@ -1259,7 +1274,7 @@ def import_hf_checkpoint(
         cp_params=cp_params,
         codec_params=codec_params,
         tokenizer=load_tokenizer(path, cfg.talker.vocab_size),
-        template=load_prompt_template(path),
+        template=template,
         name=os.path.basename(os.path.normpath(path)),
         sampling=sampling_from_generation_config(path),
         st_params=st_params,
@@ -1268,7 +1283,7 @@ def import_hf_checkpoint(
     )
     model.import_report = ImportReport(
         assigned=assigned, synthetic=tuple(synthetic), unmapped=unmapped,
-        speech_tokenizer=st_report,
+        speech_tokenizer=st_report, prompt_template=tpl_report,
     )
     return model
 

@@ -162,14 +162,105 @@ def longform_bench(chars: int = 2400) -> None:
     )
 
 
-def main() -> None:
+def _single_stream_metrics(model, *, reps: int = 3,
+                           target_frames: int = 240) -> dict:
+    """Warm up every compile variant, then measure single-stream RTF/TTFA
+    (~20 s of audio per rep at 12 Hz)."""
     import numpy as np
 
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+    cfg = model.cfg
+    gen = model.generator
+    t0 = time.perf_counter()
+    prompt = PromptSpec(
+        text_tokens=np.arange(48, dtype=np.int32) % cfg.talker.vocab_size,
+        speaker_id=0,
+    )
+    # Warmup: compiles prefill + every decode-chunk variant in the schedule.
+    gen.synthesize(
+        prompt, max_frames=sum(gen.chunk_schedule) + gen.chunk_schedule[-1],
+        seed=0,
+    )
+    compile_s = time.perf_counter() - t0
+
+    results = []
+    for rep in range(reps):
+        r = gen.synthesize(prompt, max_frames=target_frames, seed=rep + 1)
+        results.append(r)
+    best = max(results, key=lambda r: r.rtf)
+    return {
+        "rtf": round(best.rtf, 3),
+        "ttfa_s_p50": round(
+            float(np.median([r.ttfa_s for r in results])), 4
+        ),
+        "frames": best.frames,
+        "audio_s": round(best.audio_s, 3),
+        "wall_s": round(best.wall_s, 3),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def _free_model(*objs) -> None:
+    """Drop device buffers before building the next benchmark config —
+    two flagship-sized models resident at once risk the HBM
+    over-subscription wedge (CLAUDE.md)."""
+    import gc
+
+    for obj in objs:
+        for attr in ("_generator", "_serving"):
+            if hasattr(obj, attr):
+                setattr(obj, attr, None)
+    del objs
+    gc.collect()
+
+
+def _real_checkpoint_metrics(config_fn=None, *, n_streams: int | None = None,
+                             reps: int = 2, target_frames: int = 240) -> dict:
+    """The configuration REAL checkpoints actually run (VERDICT r2 #1):
+    published residual-sum feedback protocol (cp-in-loop at talker width)
+    + the real code2wav decoder family, measured at fps=1/dg=1 (a raw
+    import) and at the documented recovery shape fps=2 + depth_group=5
+    (after the MTP/depth-group fine-tune — finetune.py). Each config
+    reports single-stream RTF/TTFA and the 8-stream aggregate.
+    ``config_fn(mode, frames_per_step=, depth_group=)`` is injectable so
+    tests run the same audit on tiny geometry (test_bench.py)."""
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+
+    if config_fn is None:
+        config_fn = configs.flagship_feedback_code2wav
+    out: dict = {}
+    for label, fps, dg in (
+        ("raw_import_fps1", 1, 1),
+        ("recovered_fps2_dg5", 2, 5),
+    ):
+        cfg = config_fn("custom", frames_per_step=fps, depth_group=dg)
+        t0 = time.perf_counter()
+        model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+        load_s = time.perf_counter() - t0
+        ss = _single_stream_metrics(model, reps=reps,
+                                    target_frames=target_frames)
+        serving = _serving_metrics(
+            model, n_streams if n_streams is not None else BASELINE_STREAMS
+        )
+        out[label] = {
+            "fps": fps,
+            "depth_group": dg,
+            "load_s": round(load_s, 1),
+            **ss,
+            "vs_baseline": round(ss["rtf"] / BASELINE_RTF, 3),
+            "serving_8stream": serving,
+        }
+        _free_model(model)
+    return out
+
+
+def main() -> None:
     import jax
 
     from qwen3_tts_tpu.engine import configs, enable_compilation_cache
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel
-    from qwen3_tts_tpu.runtime.prompts import PromptSpec
 
     enable_compilation_cache()
 
@@ -180,14 +271,13 @@ def main() -> None:
     # serializes against the batch. One model serves both metrics here, so
     # the headline stays fps=2; single-stream-only deployments can flip it
     # (PERF.md).
-    # QWEN3_TTS_BENCH_CODEC=code2wav swaps in the REAL decoder family at
-    # flagship geometry (models/code2wav.py) to measure its true cost.
-    # QWEN3_TTS_BENCH_PROTOCOL=feedback runs the published decode protocol
-    # (residual-sum feedback, cp-in-loop at talker width; fps=1 = a raw
-    # imported checkpoint, QWEN3_TTS_BENCH_FPS=2 = the protocol after the
-    # documented MTP fine-tune, QWEN3_TTS_BENCH_DEPTH_GROUP=k additionally
-    # groups the cp depth passes) — the honest cost model for REAL
-    # checkpoints.
+    # Codec default is the REAL code2wav decoder family since round 3
+    # (VERDICT r2 #9; QWEN3_TTS_BENCH_CODEC=rvq restores the legacy
+    # synthetic codec for round-over-round comparison — PERF.md notes the
+    # measured delta). QWEN3_TTS_BENCH_PROTOCOL=feedback swaps the
+    # HEADLINE to the published decode protocol (fps/dg via
+    # QWEN3_TTS_BENCH_FPS / QWEN3_TTS_BENCH_DEPTH_GROUP); the default run
+    # ALSO measures that protocol in the real_checkpoint block below.
     protocol = os.environ.get("QWEN3_TTS_BENCH_PROTOCOL", "cb0")
     if protocol == "feedback":
         fb_fps = int(os.environ.get("QWEN3_TTS_BENCH_FPS", "1"))
@@ -195,59 +285,44 @@ def main() -> None:
         cfg = configs.flagship_feedback(
             "custom", frames_per_step=fb_fps, depth_group=fb_dg
         )
-    elif os.environ.get("QWEN3_TTS_BENCH_CODEC", "rvq") == "code2wav":
-        cfg = configs.flagship_code2wav("custom", frames_per_step=2)
-    else:
+    elif os.environ.get("QWEN3_TTS_BENCH_CODEC", "code2wav") == "rvq":
         cfg = configs.flagship("custom", frames_per_step=2)
+    else:
+        cfg = configs.flagship_code2wav("custom", frames_per_step=2)
     model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
     gen = model.generator
     load_s = time.perf_counter() - t0
 
-    prompt = PromptSpec(
-        text_tokens=np.arange(48, dtype=np.int32) % cfg.talker.vocab_size,
-        speaker_id=0,
-    )
-
-    # Warmup: compiles prefill + every decode-chunk variant in the schedule.
-    warm = gen.synthesize(
-        prompt, max_frames=sum(gen.chunk_schedule) + gen.chunk_schedule[-1],
-        seed=0,
-    )
-    compile_s = time.perf_counter() - t0 - load_s
-
-    # Timed run: ~20 s of audio (240 frames at 12 Hz), EOS disabled by
-    # synthetic weights rarely hitting the EOS id within the budget.
-    target_frames = 240
-    results = []
-    for rep in range(3):
-        r = gen.synthesize(prompt, max_frames=target_frames, seed=rep + 1)
-        results.append(r)
-    best = max(results, key=lambda r: r.rtf)
-
-    ttfa = float(np.median([r.ttfa_s for r in results]))
-    rtf = best.rtf
+    ss = _single_stream_metrics(model)
+    rtf = ss.pop("rtf")
 
     # multi-stream aggregate in the SAME driver-captured line (BASELINE.md
     # config 5: "8 concurrent voices, continuous decode on one v5e chip")
     serving = _serving_metrics(model, BASELINE_STREAMS)
+    chunk_schedule = gen.chunk_schedule
+    _free_model(model)
+    del model, gen
+
+    # the honest real-checkpoint audit rides every default bench run
+    # (QWEN3_TTS_BENCH_REAL=0 skips it for quick headline-only captures)
+    real = None
+    if os.environ.get("QWEN3_TTS_BENCH_REAL", "1") not in ("0", ""):
+        real = _real_checkpoint_metrics()
 
     print(
         json.dumps(
             {
                 "metric": "rtf_single_stream",
-                "value": round(rtf, 3),
+                "value": rtf,
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / BASELINE_RTF, 3),
                 "detail": {
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
-                    "frames": best.frames,
-                    "audio_s": round(best.audio_s, 3),
-                    "wall_s": round(best.wall_s, 3),
-                    "ttfa_s_p50": round(ttfa, 4),
+                    **ss,
                     "load_s": round(load_s, 1),
-                    "compile_s": round(compile_s, 1),
                     "serving_8stream": serving,
+                    "real_checkpoint": real,
                     "config": (
                         "flagship-1.7B, published residual_sum protocol "
                         f"(cp-in-loop, fps={cfg.talker.frames_per_step}, "
@@ -256,7 +331,7 @@ def main() -> None:
                         "flagship-1.7B, MTP frames_per_step=2, "
                     )
                     + f"codec={cfg.codec_arch}, "
-                    f"adaptive chunks {gen.chunk_schedule}",
+                    f"adaptive chunks {chunk_schedule}",
                 },
             }
         )

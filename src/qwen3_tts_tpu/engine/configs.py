@@ -476,6 +476,33 @@ def flagship_feedback(
     )
 
 
+def flagship_feedback_code2wav(
+    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1
+) -> ModelConfig:
+    """THE real-checkpoint cost model: the published decode protocol
+    (residual-sum feedback, cp-in-loop at talker width — flagship_feedback)
+    driving the REAL code2wav decoder family at 12 Hz geometry
+    (flagship_code2wav). bench.py's ``real_checkpoint`` block measures this
+    at fps=1/dg=1 (a raw import) and at the documented recovery shape
+    (fps=2 + depth_group=5 after the MTP/depth-group fine-tune —
+    PERF.md's measured ladder)."""
+    from ..models.code2wav import Code2WavConfig
+
+    base = flagship_feedback(
+        mode, frames_per_step=frames_per_step, depth_group=depth_group
+    )
+    return with_code2wav(
+        base,
+        Code2WavConfig(
+            codebook_size=base.codec.codebook_size,
+            num_quantizers=base.codec.num_codebooks,
+            upsample_rates=(10, 5, 5, 4),
+            upsampling_ratios=(2,),
+            sample_rate=base.codec.sample_rate,
+        ),
+    )
+
+
 def tiny_feedback(
     mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1
 ) -> ModelConfig:

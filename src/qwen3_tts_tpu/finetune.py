@@ -159,6 +159,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--export", default=None,
                     help="write the tuned model (native format) here; "
                     "LoRA deltas are merged exactly before export")
+    ap.add_argument("--eval-quality", action="store_true",
+                    help="post-train decode-quality eval (quality.py): "
+                    "synthesize held texts at the trained decode shape "
+                    "(--mtp-fps/--depth-group) AND the fps=1/dg=1 baseline "
+                    "of the same tuned weights, ASR both, report the WER "
+                    "delta in the summary BEFORE native export; a delta "
+                    "past --eval-max-wer-delta exports with a loud warning "
+                    "and exits non-zero")
+    ap.add_argument("--eval-max-wer-delta", type=float, default=0.02)
+    ap.add_argument("--eval-texts", type=int, default=4,
+                    help="how many training transcripts to evaluate on")
     args = ap.parse_args(argv)
 
     # CPU escape hatch before any device work (sitecustomize preloads the
@@ -352,17 +363,65 @@ def main(argv: list[str] | None = None) -> int:
         "final_loss": losses[-1] if losses else None,
         "wall_seconds": round(time.perf_counter() - t0, 1),
     }
+    # the train step donates its inputs, so the live tuned trees are the
+    # only copy — hand them to the model before eval/export
+    model.params = final_params
+    model.cp_params = final_cp
+
+    gate_ok = True
+    if args.eval_quality:
+        from . import transcription
+        from .quality import compare_decode_configs
+
+        transcribe = (
+            transcription.transcribe_wav
+            if transcription.asr_available() else None
+        )
+        fps = max(1, args.mtp_fps or cfg.talker.frames_per_step)
+        dg = max(1, args.depth_group or cfg.code_predictor.depth_group)
+        texts = [t for t, _, _ in pairs[: args.eval_texts]]
+        voice = "ryan" if args.mode == "custom" else None
+        rep = compare_decode_configs(
+            model,
+            {"trained_shape": {"fps": fps, "dg": dg}},
+            texts,
+            transcribe,
+            voice=voice,
+        )
+        v = rep["variants"]["trained_shape"]
+        summary["quality"] = {
+            "decode_shape": {"fps": fps, "depth_group": dg},
+            "median_wer_delta": v["median_wer_delta"],
+            "median_identical_frac": v["median_identical_frac"],
+            "asr": transcribe is not None,
+            "texts": len(texts),
+        }
+        if v["median_wer_delta"] is None:
+            warnings.warn(
+                "quality eval ran without an ASR provider: WER delta "
+                "unmeasured (register one or install a local Whisper "
+                "checkpoint — transcription.py)"
+            )
+        elif v["median_wer_delta"] > args.eval_max_wer_delta:
+            gate_ok = False
+            warnings.warn(
+                f"quality gate FAILED: decoding at fps={fps}/dg={dg} costs "
+                f"{v['median_wer_delta']:+.4f} median WER vs the fps=1/dg=1 "
+                f"baseline of the same weights (budget "
+                f"{args.eval_max_wer_delta}); exporting anyway — do not "
+                "serve this shape without listening checks"
+            )
+        summary["quality"]["pass"] = (
+            None if v["median_wer_delta"] is None else gate_ok
+        )
+
     if args.export:
         from .engine.weights import save_model
 
-        # the train step donates its inputs, so the live tuned trees are
-        # the only copy — export them
-        model.params = final_params
-        model.cp_params = final_cp
         save_model(model, args.export)
         summary["exported"] = args.export
     print(json.dumps(summary))
-    return 0
+    return 0 if gate_ok else 3
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from .mesh import PP_AXIS
+from .mesh import DP_AXIS, PP_AXIS, TP_AXIS
 
 Params = dict[str, Any]
 
@@ -49,6 +49,7 @@ def pipeline_stack(
     *,
     microbatches: int,
     remat: bool = True,
+    out_constraint: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Run ``blocks`` ([L, ...] stacked pytree) over ``x`` as a ``pp``-staged
     pipeline; returns the stack output [B, T, D] (replicated over pp).
@@ -140,9 +141,15 @@ def pipeline_stack(
         # sidesteps an XLA-CPU AllReducePromotion crash on bf16 all-reduce
         # under partial-manual shard_map (exact: one stage is nonzero, so
         # the sum adds zeros and the downcast returns the original values).
-        return jax.lax.psum(outputs.astype(bdt), PP_AXIS).astype(
+        out = jax.lax.psum(outputs.astype(bdt), PP_AXIS).astype(
             outputs.dtype
         )
+        # align the auto-axes (dp/tp) sharding of the manual-region output
+        # with what the consumer wants (e.g. the SP sequence sharding):
+        # without this, GSPMD may pick a mismatched boundary layout and
+        # fall back to "[SPMD] Involuntary full rematerialization" —
+        # replicate-then-repartition — at the shard_map exit
+        return out if out_constraint is None else out_constraint(out)
 
     y = jax.shard_map(
         per_stage,
@@ -203,9 +210,21 @@ def talker_stack_fn(
             y, _ = jax.lax.scan(layer, x_mb, (blk_local, cache_k, cache_v))
             return y
 
+        out_constraint = None
+        if act_constraint is not None:
+            # the SP run's consumers read the stack output sequence-sharded
+            # over tp; name that layout on the 4-D [M, mb, T, D] boundary
+            # tensor (batch -> dp rides the leading microbatch dim) so the
+            # shard_map exit reshards cheaply instead of replicating
+            def out_constraint(y4):
+                return jax.lax.with_sharding_constraint(
+                    y4, jax.P(DP_AXIS, None, TP_AXIS, None)
+                )
+
         return pipeline_stack(
             mesh, body, blocks, x_emb, pad_len,
             microbatches=microbatches, remat=remat,
+            out_constraint=out_constraint,
         )
 
     return stack

@@ -3,7 +3,9 @@
 QWEN3_TTS_KV=int8 perturbs K/V rows by ~0.4% relative; greedy token
 streams can diverge late in an utterance, so the flag stays off by default
 until this gate passes on a real checkpoint. The gate synthesizes the same
-texts under both cache formats and scores them two ways:
+texts under both cache formats and scores them two ways (shared harness:
+``qwen3_tts_tpu.quality`` — ``tools/decode_quality.py`` generalizes this
+to the fps/depth-group decode extensions):
 
 - **ASR round-trip WER** against the input text (any registered
   transcription provider — the JAX Whisper by default): catches audible
@@ -26,86 +28,45 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
-import numpy as np
-
-_DEFAULT_TEXTS = [
-    "The quick brown fox jumps over the lazy dog.",
-    "TPU inference keeps every decode shape static and bucketed.",
-    "She sells sea shells by the sea shore on a bright summer morning.",
-    "Quantized caches halve the attention window bandwidth.",
-]
-
-
-def wer(ref: str, hyp: str) -> float:
-    """Word error rate via Levenshtein distance over whitespace tokens."""
-    r = ref.lower().split()
-    h = hyp.lower().split()
-    if not r:
-        return 0.0 if not h else 1.0
-    d = np.arange(len(h) + 1, dtype=np.int32)
-    for i, rw in enumerate(r, 1):
-        prev_diag = d[0]
-        d[0] = i
-        for j, hw in enumerate(h, 1):
-            cur = min(
-                d[j] + 1,                       # deletion
-                d[j - 1] + 1,                   # insertion
-                prev_diag + (rw != hw),         # substitution
-            )
-            prev_diag = d[j]
-            d[j] = cur
-    return float(d[-1]) / len(r)
-
-
-def divergence_frac(a: np.ndarray, b: np.ndarray) -> float:
-    """Fraction of the shorter waveform that is bit-identical before the
-    first mismatch (1.0 = fully identical over the overlap)."""
-    n = min(len(a), len(b))
-    if n == 0:
-        return 1.0
-    neq = np.nonzero(a[:n] != b[:n])[0]
-    return 1.0 if neq.size == 0 else float(neq[0]) / n
+from qwen3_tts_tpu.quality import (  # noqa: E402  (re-exported: tests use them)
+    compare_decode_configs,
+    divergence_frac,
+    wer,
+    DEFAULT_TEXTS as _DEFAULT_TEXTS,
+)
 
 
 def run_gate(model, texts, transcribe, voice="ryan", max_frames=None) -> dict:
     """Synthesize each text dense and int8, ASR both, return the score
-    table. ``transcribe(wav_path) -> str | None``."""
-    from qwen3_tts_tpu.engine.api import generate_audio
-
-    rows = []
-    for text in texts:
-        out = {}
-        for fmt in ("dense", "int8"):
-            os.environ["QWEN3_TTS_KV"] = fmt
-            d = tempfile.mkdtemp(prefix=f"kvq_{fmt}_")
-            generate_audio(
-                model=model, text=text, voice=voice, output_path=d,
-                max_frames=max_frames,
-            )
-            path = os.path.join(d, "audio_000.wav")
-            import wave
-
-            with wave.open(path) as w:
-                pcm = np.frombuffer(
-                    w.readframes(w.getnframes()), np.int16
-                )
-            hyp = transcribe(path) or ""
-            out[fmt] = {"wav": pcm, "wer": wer(text, hyp), "hyp": hyp}
-        rows.append({
-            "text": text,
-            "wer_dense": out["dense"]["wer"],
-            "wer_int8": out["int8"]["wer"],
-            "identical_frac": divergence_frac(
-                out["dense"]["wav"], out["int8"]["wav"]
-            ),
-        })
-    os.environ.pop("QWEN3_TTS_KV", None)
-    deltas = [r["wer_int8"] - r["wer_dense"] for r in rows]
-    return {"rows": rows, "median_wer_delta": float(np.median(deltas))}
+    table (kv_quality_check's round-2 report shape, backed by the shared
+    harness). ``transcribe(wav_path) -> str | None``."""
+    report = compare_decode_configs(
+        model,
+        {"int8": {"kv": "int8"}},
+        texts,
+        transcribe,
+        voice=voice,
+        max_frames=max_frames,
+        # dense baseline at the model's OWN decode shape: the kv gate
+        # isolates the cache format, not the fps/dg protocol
+        baseline={"fps": model.cfg.talker.frames_per_step,
+                  "dg": model.cfg.code_predictor.depth_group,
+                  "kv": "dense"},
+    )
+    v = report["variants"]["int8"]
+    rows = [
+        {
+            "text": r["text"],
+            "wer_dense": r["wer_baseline"],
+            "wer_int8": r["wer_variant"],
+            "identical_frac": r["identical_frac"],
+        }
+        for r in v["rows"]
+    ]
+    return {"rows": rows, "median_wer_delta": v["median_wer_delta"]}
 
 
 def main() -> None:

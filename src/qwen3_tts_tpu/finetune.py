@@ -392,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
         summary["quality"] = {
             "decode_shape": {"fps": fps, "depth_group": dg},
             "median_wer_delta": v["median_wer_delta"],
+            "median_mel_dist": v["median_mel_dist"],
             "median_identical_frac": v["median_identical_frac"],
             "asr": transcribe is not None,
             "texts": len(texts),

@@ -11,6 +11,12 @@ score
 
 - **ASR round-trip WER delta** (variant - baseline) against the input
   text: catches audible degradation, robust to benign token divergence;
+- **DTW log-mel spectral distance** (variant vs baseline waveform): an
+  objective proxy that needs no ASR — protocol-changing variants produce
+  different-length audio, so frames are DTW-aligned before the per-frame
+  log-mel L2 is averaged (the mel-cepstral-distortion recipe on mel bands
+  instead of cepstra). 0 = identical; this is the measurable metric in
+  ASR-less environments (no network, no Whisper weights);
 - **waveform identical-prefix fraction** for variants that SHOULD be
   bit-identical under greedy decode (kv=int8 vs dense); protocol-changing
   variants (fps/dg) produce different token streams by construction, so
@@ -74,6 +80,77 @@ def divergence_frac(a: np.ndarray, b: np.ndarray) -> float:
     return 1.0 if neq.size == 0 else float(neq[0]) / n
 
 
+def log_mel(pcm: np.ndarray, sr: int, *, n_mels: int = 40,
+            n_fft: int = 512, hop: int | None = None) -> np.ndarray:
+    """[N] int16/float PCM -> [T, n_mels] log10 mel power spectrogram
+    (hann window, HTK mel scale over 0..sr/2). Self-contained numpy — the
+    Whisper frontend (models/whisper.py) is pinned to 16 kHz / 30 s pads,
+    while quality metrics need the waveform's own rate and length."""
+    x = np.asarray(pcm, np.float32)
+    if pcm.dtype == np.int16:
+        x = x / 32768.0
+    hop = hop or n_fft // 2
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    starts = np.arange(0, len(x) - n_fft + 1, hop)
+    frames = x[starts[:, None] + np.arange(n_fft)] * np.hanning(n_fft)
+    power = np.abs(np.fft.rfft(frames, axis=-1)) ** 2  # [T, F]
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    mel_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2), n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    slopes = hz_pts[None, :] - freqs[:, None]  # [F, n_mels+2]
+    lower = -slopes[:, :n_mels] / np.maximum(hz_pts[1:-1] - hz_pts[:-2],
+                                             1e-6)
+    upper = slopes[:, 2:] / np.maximum(hz_pts[2:] - hz_pts[1:-1], 1e-6)
+    bank = np.maximum(0.0, np.minimum(lower, upper))  # [F, n_mels]
+    return np.log10(np.maximum(power @ bank, 1e-10)).astype(np.float32)
+
+
+def _dtw_mean_cost(cost: np.ndarray) -> float:
+    """Classic DTW (steps right/down/diagonal) over a [Ta, Tb] local-cost
+    matrix, vectorized over anti-diagonals; returns the optimal path cost
+    normalized by (Ta + Tb)."""
+    ta, tb = cost.shape
+    dist = np.full((ta, tb), np.inf, np.float64)
+    dist[0, 0] = cost[0, 0]
+    for k in range(1, ta + tb - 1):
+        i = np.arange(max(0, k - tb + 1), min(ta - 1, k) + 1)
+        j = k - i
+        im, jm = np.maximum(i - 1, 0), np.maximum(j - 1, 0)
+        up = np.where(i > 0, dist[im, j], np.inf)
+        left = np.where(j > 0, dist[i, jm], np.inf)
+        diag = np.where((i > 0) & (j > 0), dist[im, jm], np.inf)
+        dist[i, j] = cost[i, j] + np.minimum(np.minimum(up, left), diag)
+    return float(dist[-1, -1] / (ta + tb))
+
+
+def mel_dtw_dist(a: np.ndarray, b: np.ndarray, sr: int,
+                 *, max_frames: int = 900) -> float:
+    """DTW-aligned mean log-mel L2 between two waveforms, in dB-like units
+    (10 x log10-mel Euclidean distance per aligned frame pair). Length
+    differences are absorbed by the alignment; identical audio -> ~0
+    (the pairwise-L2 expansion trick leaves float-epsilon residue, so
+    exact zero is not guaranteed — compare against a ~0.1 dB floor).
+    Long clips are strided down to <= ``max_frames`` mel frames per side
+    to bound the O(Ta*Tb) alignment."""
+    ma, mb = log_mel(a, sr), log_mel(b, sr)
+    stride = max(1, (max(len(ma), len(mb)) + max_frames - 1) // max_frames)
+    ma, mb = ma[::stride], mb[::stride]
+    if len(ma) == 0 or len(mb) == 0:
+        return 0.0 if len(ma) == len(mb) else float("inf")
+    # pairwise L2 via the expansion trick
+    sq = (
+        (ma ** 2).sum(-1)[:, None] + (mb ** 2).sum(-1)[None, :]
+        - 2.0 * (ma @ mb.T)
+    )
+    cost = np.sqrt(np.maximum(sq, 0.0))
+    return 10.0 * _dtw_mean_cost(cost)
+
+
 def parse_variant(spec: str) -> dict[str, Any]:
     """``"fps=2+dg=5"`` / ``"kv=int8"`` / ``"fps=3"`` -> option dict.
     Keys: fps (int), dg (int), kv ("int8"|"dense")."""
@@ -111,6 +188,12 @@ def variant_model(model, opts: dict[str, Any]):
     from .engine.api import Qwen3TTSModel
 
     cfg = model.cfg
+    if opts.get("fps", 1) > 1 and "mtp" not in model.params:
+        raise ValueError(
+            f"variant fps={opts['fps']} needs the MTP chain parameters, but "
+            f"model {model.name!r} was not trained with them (decode at "
+            "fps=1, or graft+train the heads first: finetune.py --mtp-fps N)"
+        )
     if "fps" in opts:
         cfg = dataclasses.replace(
             cfg, talker=dataclasses.replace(
@@ -180,10 +263,12 @@ def compare_decode_configs(
                              "protocol_changing": bool}}}
 
     ``median_wer_delta`` is None when no transcriber is available (the
-    waveform metric is still reported). ``protocol_changing`` marks
-    variants whose token stream legitimately differs from the baseline's
-    (fps/dg) — identical_frac is informational there, a gate only for
-    pure-numerics variants (kv)."""
+    waveform metrics — ``mel_dist`` and ``identical_frac`` — are still
+    reported). ``protocol_changing`` marks variants whose token stream
+    legitimately differs from the baseline's (fps/dg) — identical_frac is
+    informational there, a gate only for pure-numerics variants (kv);
+    ``median_mel_dist`` is the ASR-free fidelity number (DTW log-mel
+    distance, 0 = identical audio)."""
     base_opts = dict(baseline or {"fps": 1, "dg": 1})
     base_model = variant_model(model, base_opts)
     base_rows = []
@@ -213,6 +298,9 @@ def compare_decode_configs(
                     wer(text, hyp) if hyp is not None else None
                 ),
                 "identical_frac": divergence_frac(base["pcm"], pcm),
+                "mel_dist": mel_dtw_dist(
+                    base["pcm"], pcm, model.cfg.codec.sample_rate
+                ),
             })
         deltas = [
             r["wer_variant"] - r["wer_baseline"] for r in rows
@@ -226,6 +314,9 @@ def compare_decode_configs(
             ),
             "median_identical_frac": float(np.median(
                 [r["identical_frac"] for r in rows]
+            )),
+            "median_mel_dist": float(np.median(
+                [r["mel_dist"] for r in rows]
             )),
             "protocol_changing": bool(
                 opts.get("fps", base_opts.get("fps", 1))

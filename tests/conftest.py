@@ -26,6 +26,28 @@ try:
 except Exception:
     pass  # fall back to XLA_FLAGS if this jax version lacks the option
 
+# Persistent compilation cache: the suite is compile-bound (hundreds of
+# tiny-config jits, many identical across files and across runs). Sharing
+# one on-disk cache across xdist workers AND across pytest invocations cuts
+# the wall-clock dramatically after the first run. The cache key includes
+# XLA flags/backend, so the 8-device-CPU entries never collide with TPU
+# runs. Opt out with QWEN3_TTS_TEST_JAX_CACHE=0 (e.g. to measure cold
+# compiles).
+_cache_dir = os.environ.get(
+    "QWEN3_TTS_TEST_JAX_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+if _cache_dir != "0":
+    os.makedirs(_cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # default min-compile-time is 1s: most tiny-config compiles here
+        # are 0.1-1s but there are hundreds of them — cache everything.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without the persistent cache — run uncached
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
 import pytest  # noqa: E402

@@ -41,6 +41,41 @@ def test_parse_variant():
         quality.parse_variant("kv=fp8")
 
 
+def test_mel_dtw_dist_properties():
+    """The ASR-free fidelity metric: 0 for identical audio, small for a
+    time-stretch of the same content (DTW absorbs length), large for
+    spectrally different content."""
+    sr = 24000
+    t = np.arange(int(0.5 * sr)) / sr
+    sine = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    # pairwise-L2 expansion leaves float-epsilon residue on the diagonal,
+    # so "identical" is near-zero, not exactly zero
+    assert quality.mel_dtw_dist(sine, sine, sr) < 0.1
+    # same tone, 25% longer: DTW aligns, distance stays near zero
+    t2 = np.arange(int(0.625 * sr)) / sr
+    stretched = (np.sin(2 * np.pi * 440 * t2) * 20000).astype(np.int16)
+    d_stretch = quality.mel_dtw_dist(sine, stretched, sr)
+    # a different timbre entirely (white noise) is far away
+    rng = np.random.default_rng(0)
+    noise = (rng.normal(0, 0.3, len(sine)) * 20000).astype(np.int16)
+    d_noise = quality.mel_dtw_dist(sine, noise, sr)
+    assert d_stretch < d_noise / 3
+    assert d_noise > 1.0
+    # stride cap keeps long inputs bounded and finite
+    long_a = np.tile(sine, 40)  # 20 s
+    assert np.isfinite(quality.mel_dtw_dist(long_a, long_a[: len(long_a) // 2], sr))
+
+
+def test_variant_fps_without_mtp_raises():
+    """Asking for an fps>1 variant on a model without the MTP chain must
+    fail loudly (not KeyError deep in the talker)."""
+    m = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=0)
+    with pytest.raises(ValueError, match="MTP chain"):
+        quality.variant_model(m, {"fps": 2})
+    # fps=1 and dg variants need no extension params
+    assert quality.variant_model(m, {"fps": 1}).params is m.params
+
+
 def test_variant_model_shares_weights(model):
     vm = quality.variant_model(model, {"fps": 1, "dg": 1})
     assert vm.params is model.params          # a view, not a copy
@@ -77,9 +112,10 @@ def test_compare_decode_configs_report_shape(model):
     assert fps2["median_wer_delta"] == 0.0
     for v in rep["variants"].values():
         assert 0.0 <= v["median_identical_frac"] <= 1.0
+        assert np.isfinite(v["median_mel_dist"]) and v["median_mel_dist"] >= 0
         for r in v["rows"]:
             assert set(r) == {"text", "wer_baseline", "wer_variant",
-                              "identical_frac"}
+                              "identical_frac", "mel_dist"}
     assert "QWEN3_TTS_KV" not in os.environ
 
     assert quality.gate_passes(rep, 0.02)
@@ -110,6 +146,7 @@ def test_kv_dense_baseline_is_bit_identical(model):
     # same shape as the baseline (fps=2 default on this model)... the
     # variant's fps defaults to the model's own (2), matching the baseline
     assert v["median_identical_frac"] == 1.0
+    assert v["median_mel_dist"] < 0.1        # identical audio -> ~0 dB
 
 
 def test_finetune_eval_quality_summary(tmp_path, capsys, monkeypatch):

@@ -54,6 +54,10 @@ def main() -> None:
 
     require_device_lock("decode_quality.py")
 
+    from qwen3_tts_tpu.engine import enable_compilation_cache
+
+    enable_compilation_cache()  # variants recompile per decode shape
+
     from qwen3_tts_tpu import transcription
     from qwen3_tts_tpu.engine.api import load_model
     from qwen3_tts_tpu.quality import (
@@ -93,6 +97,7 @@ def main() -> None:
         d = v["median_wer_delta"]
         print(f"{name:>16}: WER delta "
               f"{'unmeasured' if d is None else f'{d:+.4f}'} | "
+              f"mel dist {v['median_mel_dist']:.2f} dB | "
               f"identical {v['median_identical_frac']:.2%}"
               f"{' (protocol-changing)' if v['protocol_changing'] else ''}")
     if args.json:
@@ -101,7 +106,7 @@ def main() -> None:
             "variants": {
                 n: {k: v[k] for k in
                     ("opts", "median_wer_delta", "median_identical_frac",
-                     "protocol_changing")}
+                     "median_mel_dist", "protocol_changing")}
                 for n, v in report["variants"].items()
             },
         }

@@ -69,7 +69,19 @@ def linear(x: jnp.ndarray, params: dict) -> jnp.ndarray:
     next to the base weight streaming. Inference deployments merge the
     delta into the base weight instead (training.lora.merge_lora), so this
     branch is trace-time only — absent adapters cost nothing."""
-    if is_quantized(params):
+    from .grouped_qmv import is_grouped
+
+    if is_grouped(params):
+        from . import use_pallas
+        from .grouped_qmv import (
+            quantized_matmul_grouped,
+            quantized_matmul_grouped_xla,
+        )
+
+        fn = (quantized_matmul_grouped if use_pallas()
+              else quantized_matmul_grouped_xla)
+        out = fn(x, params["qg"], params["sg"], params["bg"])
+    elif is_quantized(params):
         out = quantized_matmul(x, params["q"], params["scale"], params["bias"])
     else:
         out = _dense_matmul(x, jnp.asarray(params["w"], dtype=x.dtype))

@@ -112,6 +112,29 @@ def fuse_decode_params(cp_params: Any, codec_params: Any) -> tuple[Any, Any]:
     return cp_params, codec_params
 
 
+def group_quantized(*trees):
+    """int8-resident decode: relayout every quantized linear into the
+    grouped format for ops/grouped_qmv (policy: QWEN3_TTS_INT8_LAYOUT,
+    default grouped on TPU). Runs AFTER fuse_decode_params so fused qkv /
+    gate_up projections get grouped too. Identity on bf16-compute trees
+    (no quantized dicts left after apply_compute_format) and under the
+    row-major policy; the owning model keeps the canonical row-major trees
+    for training/export/sharded plans."""
+    from ..ops.grouped_qmv import grouped_layout, pack_grouped_tree
+
+    def _multi_device(tree) -> bool:
+        for leaf in jax.tree.leaves(tree):
+            s = getattr(leaf, "sharding", None)
+            if s is not None and len(s.device_set) > 1:
+                return True
+        return False
+
+    if not grouped_layout() or any(_multi_device(t) for t in trees):
+        return trees if len(trees) > 1 else trees[0]
+    out = tuple(pack_grouped_tree(t) for t in trees)
+    return out if len(out) > 1 else out[0]
+
+
 def align_chunk_schedule(schedule, fps: int) -> tuple:
     """Round each chunk size UP to a multiple of ``frames_per_step`` (a
     chunk is a whole number of MTP weight passes). Divisible schedules —
@@ -549,6 +572,9 @@ class Generator:
         # trees stay on the owning model for training/export
         self.cp_params, self.codec_params = fuse_decode_params(
             self.cp_params, self.codec_params
+        )
+        self.params, self.cp_params, self.codec_params = group_quantized(
+            self.params, self.cp_params, self.codec_params
         )
         # chunk sizes must be whole MTP steps; round up so the default
         # (8, 16, 32) works for ANY frames_per_step (fps=3 -> 9, 18, 33)

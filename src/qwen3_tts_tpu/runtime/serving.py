@@ -45,7 +45,7 @@ from ..engine.configs import ModelConfig
 from ..models.code_predictor import predict_residuals
 from ..models.layers import kv_cache_init, kv_env_format, rope_tables
 from ..models.talker import talker_forward
-from .generate import cp_samples, fuse_decode_params
+from .generate import cp_samples, fuse_decode_params, group_quantized
 from .prompts import PromptSpec
 from .sampling import SamplingConfig, sample_token
 
@@ -168,6 +168,9 @@ class ServingEngine:
         # model.* keeps the canonical split trees for training/export
         self.cp_params, self.codec_params = fuse_decode_params(
             model.cp_params, model.codec_params
+        )
+        self.params, self.cp_params, self.codec_params = group_quantized(
+            model.params, self.cp_params, self.codec_params
         )
         self.B = max_streams
         # adaptive chunk schedule (mirrors runtime.generate): dispatches use
@@ -684,7 +687,7 @@ class ServingEngine:
             fn = self._prefill_slice_fn(C, pp.Lb)
             emb_slice = jax.lax.dynamic_slice_in_dim(pp.emb, pp.pos, C, axis=1)
             pp.sk, pp.sv, pp.last_logits, pp.last_hidden = fn(
-                self.model.params, emb_slice, jnp.int32(pp.pad),
+                self.params, emb_slice, jnp.int32(pp.pad),
                 pp.sk, pp.sv, jnp.int32(pp.pos),
             )
             pp.pos += C
@@ -745,7 +748,7 @@ class ServingEngine:
                  self.frames_dev, self.active_mask, conv, self.res_sum,
                  self.trail, self.trail_g, self.key) = (
                     self._prefill_batch_fn_fb(Lb, nb)(
-                        self.model.params, self.cp_params, emb, pads, sk, sv,
+                        self.params, self.cp_params, emb, pads, sk, sv,
                         self.cache_k, self.cache_v, trail_bufs, slots,
                         self.pos, self.pad, self.tok, self.frames_dev,
                         self.active_mask, self.cstate["conv"],
@@ -756,7 +759,7 @@ class ServingEngine:
                 (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
                  self.frames_dev, self.active_mask, conv, self.key) = (
                     self._prefill_batch_fn(Lb, nb)(
-                        self.model.params, emb, pads, sk, sv,
+                        self.params, emb, pads, sk, sv,
                         self.cache_k, self.cache_v, slots,
                         self.pos, self.pad, self.tok, self.frames_dev,
                         self.active_mask, self.cstate["conv"], self.key,
@@ -956,7 +959,7 @@ class ServingEngine:
              self.frames_dev, self.active_mask, conv, self.res_sum,
              self.trail, self.trail_g, self.key) = (
                 self._activate_fn_fb(pp.Lb)(
-                    self.model.params, self.cp_params, pp.sk, pp.sv,
+                    self.params, self.cp_params, pp.sk, pp.sv,
                     self.cache_k, self.cache_v,
                     jnp.int32(slot), jnp.int32(pp.pad),
                     pp.last_logits, pp.last_hidden, pp.trailing,
@@ -969,7 +972,7 @@ class ServingEngine:
             (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
              self.frames_dev, self.active_mask, conv, self.key) = (
                 self._activate_fn(pp.Lb)(
-                    self.model.params, pp.sk, pp.sv, self.cache_k,
+                    self.params, pp.sk, pp.sv, self.cache_k,
                     self.cache_v, jnp.int32(slot), jnp.int32(pp.pad),
                     pp.last_logits, pp.last_hidden,
                     self.pos, self.pad, self.tok, self.frames_dev,
@@ -1015,7 +1018,7 @@ class ServingEngine:
             (self.cache_k, self.cache_v, self.cstate, self.pos, self.tok,
              self.key, self.frames_dev, self.res_sum, self.trail_g,
              n_valid, codes, wav) = self._decode_fn_fb(chunk, tuple(wins))(
-                self.model.params, self.cp_params, self.codec_params,
+                self.params, self.cp_params, self.codec_params,
                 self.cache_k, self.cache_v, self.cstate, self.trail,
                 self.pos, self.pad, self.frames_dev, self.tok,
                 self.res_sum, self.trail_g, self.active_mask, self.key,
@@ -1025,7 +1028,7 @@ class ServingEngine:
              self.key, self.frames_dev, n_valid, codes, wav) = self._decode_fn(
                 chunk, tuple(wins)
             )(
-                self.model.params, self.cp_params, self.codec_params,
+                self.params, self.cp_params, self.codec_params,
                 self.cache_k, self.cache_v, self.cstate, self.pos, self.pad,
                 self.frames_dev, self.tok, self.active_mask, self.key,
             )

@@ -39,6 +39,11 @@ _cache_dir = os.environ.get(
 )
 if _cache_dir != "0":
     os.makedirs(_cache_dir, exist_ok=True)
+    # XLA:CPU AOT cache loads LOG(ERROR) a benign machine-feature complaint
+    # (the compile side records pseudo-features like +prefer-no-scatter that
+    # the host probe never reports) — one paragraph PER LOAD. Same machine,
+    # same binary: silence C++ logging for test runs.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         # default min-compile-time is 1s: most tiny-config compiles here

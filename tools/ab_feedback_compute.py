@@ -40,7 +40,9 @@ def main() -> None:
     ap.add_argument("--fps", type=int, default=1)
     ap.add_argument("--dg", type=int, default=1)
     ap.add_argument("--arms", nargs="+",
-                    default=["bf16", "int8_pallas", "int8_xla"])
+                    default=["bf16", "int8_pallas", "int8_xla"],
+                    help="bf16 | int8_pallas | int8_xla | int8_grouped "
+                    "(grouped layout + ops/grouped_qmv kernel)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (harness smoke test, no TPU)")
     args = ap.parse_args()
@@ -76,7 +78,11 @@ def main() -> None:
         return configs.with_quant(cfg, True) if not cfg.quant.enabled else cfg
 
     # one model per FORMAT (env read by apply_compute_format at load);
-    # the two int8 arms share the tree and differ only at trace time
+    # the int8 arms share one row-major tree and differ at trace time —
+    # except int8_grouped, whose generator packs a grouped COPY of the
+    # tree at construction (ops/grouped_qmv layout). Arm tuples are
+    # (model, QWEN3_TTS_PALLAS, QWEN3_TTS_INT8_LAYOUT) — the layout env
+    # matters at generator CONSTRUCTION, the pallas env at trace time.
     arms: dict[str, tuple] = {}
     want_bf16 = "bf16" in args.arms
     want_int8 = any(a.startswith("int8") for a in args.arms)
@@ -85,7 +91,7 @@ def main() -> None:
         t0 = time.perf_counter()
         m = Qwen3TTSModel.synthetic(build_cfg(quant=True), seed=0, fast=True)
         print(f"[bf16 load {time.perf_counter() - t0:.0f}s]", flush=True)
-        arms["bf16"] = (m, "auto")
+        arms["bf16"] = (m, "auto", "rowmajor")
     if want_int8:
         os.environ["QWEN3_TTS_COMPUTE"] = "int8"
         t0 = time.perf_counter()
@@ -95,10 +101,17 @@ def main() -> None:
         import dataclasses as _dc
 
         if "int8_pallas" in args.arms:
-            arms["int8_pallas"] = (base, "always" if not args.tiny else "auto")
+            arms["int8_pallas"] = (base,
+                                   "always" if not args.tiny else "auto",
+                                   "rowmajor")
         if "int8_xla" in args.arms:
             view = _dc.replace(base)  # fresh engine caches, shared tree
-            arms["int8_xla"] = (view, "never")
+            arms["int8_xla"] = (view, "never", "rowmajor")
+        if "int8_grouped" in args.arms:
+            gview = _dc.replace(base)
+            arms["int8_grouped"] = (gview,
+                                    "always" if not args.tiny else "auto",
+                                    "grouped")
     os.environ.pop("QWEN3_TTS_COMPUTE", None)
 
     seq = [0]

@@ -125,17 +125,21 @@ def main() -> None:
             speaker_id=seq[0] % 4,
         )
 
-    # warmup compiles per arm, tracing under the arm's Pallas mode
-    for name, (m, pallas) in arms.items():
+    # warmup compiles per arm, tracing under the arm's Pallas mode; the
+    # layout env must be set BEFORE first .generator access (the generator
+    # packs the grouped tree at construction)
+    for name, (m, pallas, layout) in arms.items():
         os.environ["QWEN3_TTS_PALLAS"] = pallas
+        os.environ["QWEN3_TTS_INT8_LAYOUT"] = layout
         t0 = time.perf_counter()
-        m.generator.synthesize(prompt(), max_frames=64, seed=0)
+        m.generator.synthesize(prompt(), max_frames=args.frames, seed=0)
         print(f"[{name} warm {time.perf_counter() - t0:.0f}s]", flush=True)
 
     scores: dict[str, list] = {name: [] for name in arms}
     for rep in range(args.reps):
-        for name, (m, pallas) in arms.items():
+        for name, (m, pallas, layout) in arms.items():
             os.environ["QWEN3_TTS_PALLAS"] = pallas
+            os.environ["QWEN3_TTS_INT8_LAYOUT"] = layout
             r = m.generator.synthesize(
                 prompt(), max_frames=args.frames, seed=seq[0]
             )
@@ -143,6 +147,7 @@ def main() -> None:
             print(f"rep{rep} {name:>12}: {r.rtf:5.2f}x  "
                   f"ttfa {r.ttfa_s * 1e3:5.0f} ms", flush=True)
     os.environ.pop("QWEN3_TTS_PALLAS", None)
+    os.environ.pop("QWEN3_TTS_INT8_LAYOUT", None)
 
     print(f"\nfeedback fps={args.fps} dg={args.dg} single-stream "
           "(median over reps):")

@@ -119,7 +119,9 @@ def main(argv: list[str] | None = None) -> int:
         description="qwen3-tts-tpu fine-tuning (full or LoRA)"
     )
     ap.add_argument("--model", default="synthetic-tiny",
-                    help="checkpoint path, or 'synthetic'/'synthetic-tiny'")
+                    help="checkpoint path, or 'synthetic'/'synthetic-tiny'/"
+                    "'synthetic-tiny-feedback' (the published-protocol "
+                    "tiny — the shape real imported checkpoints run)")
     ap.add_argument("--mode", default="custom",
                     choices=["custom", "design", "base"])
     ap.add_argument("--data", required=True,
@@ -205,6 +207,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.model == "synthetic-tiny":
         model = Qwen3TTSModel.synthetic(configs.tiny(args.mode))
+    elif args.model == "synthetic-tiny-feedback":
+        # the published decode protocol (residual-sum feedback, cp-in-loop)
+        # at tiny size: the offline stand-in for quality-gating the
+        # --mtp-fps/--depth-group recovery on the shape real checkpoints run
+        model = Qwen3TTSModel.synthetic(configs.tiny_feedback(args.mode))
     else:
         model = load_model(args.model)
     if args.mtp_fps > 1 or args.depth_group > 1:

@@ -214,3 +214,30 @@ def test_depth_group_flag_rejects_bad_divisor(data_dir, capsys):
     ])
     assert rc == 1
     assert "depth_group" in capsys.readouterr().err
+
+
+def test_feedback_protocol_finetune_recovery_shape(data_dir, tmp_path,
+                                                   capsys):
+    """--model synthetic-tiny-feedback: the decode-recovery fine-tune on
+    the published protocol (the shape real imported checkpoints run —
+    residual-sum feedback + cp-in-loop), exported and servable."""
+    export = str(tmp_path / "tuned_fb")
+    rc = finetune.main([
+        "--model", "synthetic-tiny-feedback", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--lr", "1e-3",
+        "--mtp-fps", "2", "--depth-group", "3", "--export", export,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exported"] == export
+
+    from qwen3_tts_tpu.engine.api import generate_audio, load_model
+
+    model = load_model(export)
+    assert model.cfg.talker.feedback == "residual_sum"
+    assert model.cfg.talker.frames_per_step == 2
+    assert model.cfg.code_predictor.depth_group == 3
+    outdir = str(tmp_path / "gen_fb")
+    generate_audio(model=model, text="protocol recovery", voice="ryan",
+                   output_path=outdir, max_frames=8)
+    assert os.path.exists(os.path.join(outdir, "audio_000.wav"))

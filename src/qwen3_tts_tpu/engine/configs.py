@@ -197,6 +197,15 @@ class CodePredictorConfig:
     # enabling it on an imported checkpoint is config + fine-tune only.
     # (num_codebooks - 1) must divide evenly into groups.
     depth_group: int = 1
+    # Speculative depth decode (lossless use of the grouped heads): the
+    # grouped pass becomes a DRAFT, verified by teacher-forced full-depth
+    # passes and corrected at the first mismatching depth until the whole
+    # frame matches — output is bit-exact depth_group=1 greedy at
+    # grouped-draft cost when the draft agrees (models/code_predictor.py
+    # predict_residuals_spec). Greedy-only: when the config asks for
+    # sampled residuals the decode falls back to the plain grouped path.
+    # Requires depth_group > 1 (the draft source).
+    spec_decode: bool = False
 
 
 @dataclass(frozen=True)
@@ -434,7 +443,8 @@ def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:
 
 
 def flagship_feedback(
-    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1
+    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1,
+    spec_decode: bool = False,
 ) -> ModelConfig:
     """Flagship-shaped model running the published decode protocol — the
     honest cost model for a REAL imported checkpoint: residual-sum
@@ -472,12 +482,14 @@ def flagship_feedback(
             top_k=50,
             top_p=0.8,
             depth_group=depth_group,
+            spec_decode=spec_decode,
         ),
     )
 
 
 def flagship_feedback_code2wav(
-    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1
+    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1,
+    spec_decode: bool = False,
 ) -> ModelConfig:
     """THE real-checkpoint cost model: the published decode protocol
     (residual-sum feedback, cp-in-loop at talker width — flagship_feedback)
@@ -489,7 +501,8 @@ def flagship_feedback_code2wav(
     from ..models.code2wav import Code2WavConfig
 
     base = flagship_feedback(
-        mode, frames_per_step=frames_per_step, depth_group=depth_group
+        mode, frames_per_step=frames_per_step, depth_group=depth_group,
+        spec_decode=spec_decode,
     )
     return with_code2wav(
         base,
@@ -504,7 +517,8 @@ def flagship_feedback_code2wav(
 
 
 def tiny_feedback(
-    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1
+    mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1,
+    spec_decode: bool = False,
 ) -> ModelConfig:
     """Tiny config running the published decode protocol end-to-end on CPU:
     residual-sum talker feedback + trailing-text conditioning + the
@@ -535,6 +549,7 @@ def tiny_feedback(
             input_proj=False,
             qk_norm=False,
             depth_group=depth_group,
+            spec_decode=spec_decode,
         ),
     )
 

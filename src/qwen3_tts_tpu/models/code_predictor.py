@@ -85,6 +85,7 @@ def predict_residuals(
     return_feedback: bool = False,
     key: "jax.Array | None" = None,
     row_keys: "jax.Array | None" = None,
+    _as_draft: bool = False,
 ) -> jnp.ndarray:
     """Depth-autoregressive prediction of residual codebooks.
 
@@ -168,6 +169,16 @@ def predict_residuals(
     stochastic = (key is not None or row_keys is not None) and (
         cp.top_k > 0 or cp.top_p < 1.0 or cp.temperature != 1.0
     )
+    # Speculative depth decode: grouped pass = draft, teacher-forced
+    # verify+correct loop = exact depth_group=1 greedy output. Greedy-only
+    # (verification compares argmax); stochastic residuals keep the plain
+    # grouped path. ``_as_draft`` breaks the recursion when the spec path
+    # calls back in for its draft.
+    if (cp.spec_decode and k > 1 and not stochastic and not _as_draft):
+        return predict_residuals_spec(
+            params, cfg, talker_hidden, cb0_tokens,
+            return_feedback=return_feedback,
+        )
     if stochastic:
         from ..runtime.sampling import SamplingConfig, sample_token
 
@@ -253,6 +264,135 @@ def predict_residuals(
         depth_step, (x0, cache_k, cache_v), jnp.arange(n_groups)
     )
     return finish(codes)
+
+
+def depth_argmax_teacher_forced(
+    params: Params,
+    cfg: ModelConfig,
+    talker_hidden: jnp.ndarray,   # [B, D_talker]
+    cb0_tokens: jnp.ndarray,      # [B]
+    codes: jnp.ndarray,           # [B, Q-1] candidate residual codes
+) -> jnp.ndarray:
+    """ONE full-attention depth pass over the depth_group=1 layout,
+    teacher-forced on ``codes``: returns argmax over every residual head
+    given the candidate prefix — [B, Q-1] int32. Because attention is
+    causal, row d of the result is the EXACT depth-autoregressive greedy
+    token at depth d whenever codes[:, :d] already equal the exact ones.
+    This is the verifier of the speculative depth decode (one weight
+    stream for all Q-1 depths, vs Q-1 sequential streams)."""
+    cp = cfg.code_predictor
+    cc = cfg.codec
+    n_res = cc.num_codebooks - 1
+    hidden_token = cp.input_layout == "hidden_token"
+
+    from ..ops.linear import linear
+
+    hid = talker_hidden[:, None, :]
+    if cp.input_proj:
+        hid = linear(hid, params["in_proj"])
+    cb0 = jnp.take(params["cb0_emb"], cb0_tokens, axis=0)[:, None, :].astype(
+        hid.dtype
+    )
+    # input embeddings for depths 0..n_res-2 (the last code is never an
+    # input — it only feeds the talker's residual-sum feedback)
+    embs = jax.vmap(lambda tab, c: jnp.take(tab, c, axis=0))(
+        params["res_emb"][: n_res - 1],
+        jnp.transpose(codes[:, : n_res - 1], (1, 0)),
+    )                                                     # [n_res-1, B, H]
+    embs = jnp.transpose(embs, (1, 0, 2)).astype(hid.dtype)
+    if hidden_token:
+        x = jnp.concatenate([hid, cb0, embs], axis=1)     # [B, n_res+1, H]
+        off = 1
+    else:
+        x = jnp.concatenate([hid + cb0, embs], axis=1)    # [B, n_res, H]
+        off = 0
+    B, T, _ = x.shape
+    cos_t, sin_t = rope_tables(T, cp.head_dim, cp.rope_theta)
+    cache_shape = (cp.n_layers, B, T, cp.n_heads, cp.head_dim)
+    ck = jnp.zeros(cache_shape, dtype=x.dtype)
+    cv = jnp.zeros(cache_shape, dtype=x.dtype)
+
+    def body(xc, layer):
+        bp, k_l, v_l = layer
+        out = transformer_block(
+            bp, xc,
+            cos=cos_t, sin=sin_t,
+            cache_k=k_l, cache_v=v_l, pos=jnp.int32(0),
+            n_heads=cp.n_heads, n_kv_heads=cp.n_heads,
+            head_dim=cp.head_dim, rms_eps=cp.rms_eps, qk_norm=cp.qk_norm,
+        )
+        return out.x, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], ck, cv))
+    h = rmsnorm(x, params["ln_f"], cp.rms_eps)[:, off: off + n_res, :]
+    logits = jnp.einsum(
+        "bnd,nvd->bnv", h, params["heads"],
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def predict_residuals_spec(
+    params: Params,
+    cfg: ModelConfig,
+    talker_hidden: jnp.ndarray,   # [B, D_talker]
+    cb0_tokens: jnp.ndarray,      # [B]
+    return_feedback: bool = False,
+    return_rounds: bool = False,
+):
+    """Speculative depth decode: bit-exact ``depth_group=1`` greedy
+    residual codes at grouped-draft cost (PERF.md round 3; the MTP +
+    speculative-decoding recipe of arXiv:2410.13839 applied to the depth
+    axis, where the published protocol's bytes actually go).
+
+    1. DRAFT all Q-1 codes with the grouped path (``cfg.depth_group``
+       passes — the same heads/tables, just re-indexed; the fine-tuned
+       grouping is the draft model, no extra parameters);
+    2. VERIFY with one teacher-forced full-depth pass
+       (depth_argmax_teacher_forced) — causal attention makes row d exact
+       wherever the prefix already matches;
+    3. CORRECT each row's FIRST mismatching depth to the verifier's token
+       (exact there, since its prefix matched) and re-verify, until no
+       row mismatches.
+
+    Each round either finishes a row or fixes one depth, and a fixed
+    depth never un-fixes (its prefix is final), so the lax.while_loop
+    terminates in <= Q-1 rounds; a perfect draft costs draft + ONE
+    verifying pass. Output is IDENTICAL to predict_residuals at
+    depth_group=1 greedy for ANY draft quality — depth_group stops being
+    a fidelity trade and becomes a throughput knob."""
+    n_res = cfg.codec.num_codebooks - 1
+    draft = predict_residuals(
+        params, cfg, talker_hidden, cb0_tokens, _as_draft=True
+    )                                                       # [B, Q-1]
+    B = draft.shape[0]
+    depth_iota = jnp.arange(n_res)[None, :]
+
+    def cond(carry):
+        _, not_done, _ = carry
+        return jnp.any(not_done)
+
+    def body(carry):
+        codes, _, rounds = carry
+        am = depth_argmax_teacher_forced(
+            params, cfg, talker_hidden, cb0_tokens, codes
+        )
+        mism = am != codes                                  # [B, Q-1]
+        any_m = jnp.any(mism, axis=1)                       # [B]
+        first = jnp.argmax(mism, axis=1)                    # [B]
+        fix = (depth_iota == first[:, None]) & any_m[:, None]
+        return jnp.where(fix, am, codes), any_m, rounds + 1
+
+    codes, _, rounds = jax.lax.while_loop(
+        cond, body,
+        (draft, jnp.ones((B,), dtype=bool), jnp.int32(0)),
+    )
+    out = (codes,)
+    if return_feedback:
+        out = out + (residual_feedback_sum(params, codes),)
+    if return_rounds:
+        out = out + (rounds,)
+    return out[0] if len(out) == 1 else out
 
 
 def residual_feedback_sum(params: Params, codes: jnp.ndarray) -> jnp.ndarray:

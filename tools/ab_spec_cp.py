@@ -1,0 +1,135 @@
+"""A/B the speculative depth decode (code_predictor.predict_residuals_spec)
+on the real-checkpoint decode shape (flagship_feedback_code2wav, fps=1).
+
+The published protocol's fps=1 cost is bound by the code predictor's 15
+sequential weight passes per frame (~3.4 GB/frame, PERF.md speed-of-light
+section). Speculative depth decode replaces them with (draft passes +
+verify rounds) while keeping the output BIT-EXACT dg=1 greedy
+(tests/test_spec_decode.py). Arms (one process, interleaved reps):
+
+  base          — fps=1, dg=1, plain decode (the raw-import shape)
+  spec_ceiling  — dg=15 draft + verify, cp output heads ZEROED so every
+                  logit row is constant and the draft always agrees:
+                  acceptance = 1.0 exactly, one confirming verify round.
+                  This is a REAL execution of the spec graph (not a flag),
+                  measuring its best case: 1 draft + 1 verify pass/frame.
+  spec_floor    — dg=15 draft + verify on raw random weights: the draft
+                  never agrees, every frame pays the full correction loop
+                  (~n_res rounds) — the worst case / overhead bound.
+
+A trained checkpoint lands between floor and ceiling at its measured
+draft-acceptance rate. Greedy decode only (the spec path verifies argmax;
+sampled-cp configs fall back to the plain grouped path).
+
+Usage: python tools/ab_spec_cp.py [--reps 3] [--frames 240] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses as dc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--dg", type=int, default=15,
+                    help="draft group size (15 = whole frame in one pass)")
+    ap.add_argument("--arms", nargs="+",
+                    default=["base", "spec_ceiling", "spec_floor"])
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config on CPU (harness smoke test, no TPU)")
+    args = ap.parse_args()
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from qwen3_tts_tpu.device_lock import require_device_lock
+
+        require_device_lock("ab_spec_cp.py")
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.engine import configs, enable_compilation_cache
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+
+    enable_compilation_cache()
+
+    def build(dg: int, spec: bool):
+        if args.tiny:
+            n_res = 3
+            return configs.tiny_feedback(
+                "custom", depth_group=min(dg, n_res), spec_decode=spec)
+        return configs.flagship_feedback_code2wav(
+            "custom", depth_group=dg, spec_decode=spec)
+
+    t0 = time.perf_counter()
+    base = Qwen3TTSModel.synthetic(build(1, False), seed=0, fast=True)
+    base.sampling = SamplingConfig(greedy=True)   # spec engages greedy-only
+    print(f"[load {time.perf_counter() - t0:.0f}s]", flush=True)
+
+    arms: dict[str, Qwen3TTSModel] = {}
+    if "base" in args.arms:
+        arms["base"] = base
+    if "spec_floor" in args.arms:
+        m = dc.replace(base, cfg=build(args.dg, True))
+        arms["spec_floor"] = m
+    if "spec_ceiling" in args.arms:
+        # zeroed cp output heads: constant logit rows, draft == verify
+        # argmax everywhere -> acceptance exactly 1.0 (the while_loop runs
+        # its single confirming round). Only the heads tensor is copied;
+        # the rest of the tree is shared.
+        cp2 = dict(base.cp_params)
+        cp2["heads"] = jnp.zeros_like(base.cp_params["heads"])
+        m = dc.replace(base, cfg=build(args.dg, True))
+        m.cp_params = cp2
+        arms["spec_ceiling"] = m
+
+    seq = [0]
+
+    def prompt(toks=48):
+        seq[0] += 1
+        cfg = base.cfg
+        return PromptSpec(
+            text_tokens=(np.arange(toks) * (3 + seq[0])
+                         % cfg.talker.vocab_size).astype(np.int32),
+            speaker_id=seq[0] % 4,
+        )
+
+    for name, m in arms.items():
+        t0 = time.perf_counter()
+        m.generator.synthesize(prompt(), max_frames=args.frames, seed=0)
+        print(f"[{name} warm {time.perf_counter() - t0:.0f}s]", flush=True)
+
+    scores: dict[str, list] = {name: [] for name in arms}
+    for rep in range(args.reps):
+        for name, m in arms.items():
+            r = m.generator.synthesize(
+                prompt(), max_frames=args.frames, seed=seq[0])
+            scores[name].append((r.rtf, r.ttfa_s))
+            print(f"rep{rep} {name:>13}: {r.rtf:5.2f}x  "
+                  f"ttfa {r.ttfa_s * 1e3:5.0f} ms", flush=True)
+
+    print(f"\nspec-cp fps=1 dg-draft={args.dg} single-stream "
+          "(median over reps):")
+    for name, vals in scores.items():
+        rtfs = [v[0] for v in vals]
+        ttfas = [v[1] * 1e3 for v in vals]
+        print(f"  {name:>13}: {np.median(rtfs):6.2f}x RTF, ttfa p50 "
+              f"{np.median(ttfas):4.0f} ms  (runs: "
+              + ", ".join(f"{r:.2f}" for r in rtfs) + ")")
+
+
+if __name__ == "__main__":
+    main()

@@ -152,8 +152,9 @@ def mel_dtw_dist(a: np.ndarray, b: np.ndarray, sr: int,
 
 
 def parse_variant(spec: str) -> dict[str, Any]:
-    """``"fps=2+dg=5"`` / ``"kv=int8"`` / ``"fps=3"`` -> option dict.
-    Keys: fps (int), dg (int), kv ("int8"|"dense")."""
+    """``"fps=2+dg=5"`` / ``"kv=int8"`` / ``"dg=5+spec=1"`` -> option
+    dict. Keys: fps (int), dg (int), kv ("int8"|"dense"), spec (bool —
+    speculative depth decode, bit-exact dg=1 greedy output)."""
     out: dict[str, Any] = {}
     for part in spec.split("+"):
         part = part.strip()
@@ -171,6 +172,8 @@ def parse_variant(spec: str) -> dict[str, Any]:
             if v not in ("int8", "dense"):
                 raise ValueError(f"kv={v!r}: expected int8 or dense")
             out["kv"] = v
+        elif k == "spec":
+            out["spec"] = v.strip().lower() in ("1", "true", "on", "yes")
         else:
             raise ValueError(f"unknown variant key {k!r} in {spec!r}")
     if not out:
@@ -204,6 +207,12 @@ def variant_model(model, opts: dict[str, Any]):
         cfg = dataclasses.replace(
             cfg, code_predictor=dataclasses.replace(
                 cfg.code_predictor, depth_group=opts["dg"]
+            )
+        )
+    if "spec" in opts:
+        cfg = dataclasses.replace(
+            cfg, code_predictor=dataclasses.replace(
+                cfg.code_predictor, spec_decode=bool(opts["spec"])
             )
         )
     return Qwen3TTSModel(

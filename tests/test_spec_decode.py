@@ -145,3 +145,48 @@ def test_spec_config_roundtrips_native_format(tmp_path):
     back = load_model(str(tmp_path / "m"))
     assert back.cfg.code_predictor.spec_decode is True
     assert back.cfg.code_predictor.depth_group == 3
+
+
+def test_spec_serving_matches_single_stream():
+    """The CLAUDE.md greedy-parity invariant must hold with the spec cp
+    inside the shared serving/single-stream decode builder."""
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+    from qwen3_tts_tpu.runtime.serving import ServingEngine
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+
+    greedy = SamplingConfig(temperature=0.0)
+    m = Qwen3TTSModel.synthetic(
+        configs.tiny_feedback("custom", depth_group=3, spec_decode=True),
+        seed=0)
+    m.generator.sampling = greedy
+    prompts = [
+        PromptSpec(text_tokens=np.arange(6 + i, dtype=np.int32) + 5,
+                   speaker_id=i % 2)
+        for i in range(3)
+    ]
+    singles = [
+        m.generator.synthesize(p, max_frames=12, seed=0).wav for p in prompts
+    ]
+    eng = ServingEngine(m, max_streams=4, chunk=4, sampling=greedy)
+    outs = eng.run(prompts, max_frames=12)
+    for i, (wav, _st) in enumerate(outs):
+        np.testing.assert_array_equal(wav, singles[i])
+
+
+def test_quality_harness_spec_variant_is_lossless():
+    """quality.py 'dg=3+spec=1' variant vs the dg=1 baseline of the same
+    weights: identical waveform (identical_frac 1.0, ~0 mel distance) —
+    the decode-shape approximation is GONE, unlike plain dg."""
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.quality import compare_decode_configs, parse_variant
+    from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+
+    m = Qwen3TTSModel.synthetic(configs.tiny_feedback("custom"), seed=2)
+    m.sampling = SamplingConfig(greedy=True)
+    rep = compare_decode_configs(
+        m, {"spec": parse_variant("dg=3+spec=1")},
+        ["lossless spec check"], None, voice=None, max_frames=12)
+    v = rep["variants"]["spec"]
+    assert v["median_identical_frac"] == 1.0
+    assert v["median_mel_dist"] < 0.1

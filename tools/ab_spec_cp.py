@@ -41,10 +41,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--fps", type=int, default=1,
+                    help="frames_per_step for ALL arms (MTP composes with "
+                    "the spec cp: draft+verify per frame, talker bytes /fps)")
     ap.add_argument("--dg", type=int, default=15,
                     help="draft group size (15 = whole frame in one pass)")
     ap.add_argument("--arms", nargs="+",
                     default=["base", "spec_ceiling", "spec_floor"])
+    ap.add_argument("--plain-dg", type=int, default=0, metavar="K",
+                    help="add a plain (non-spec) grouped arm at dg=K — "
+                    "the lossy ladder shape, for same-process comparison")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (harness smoke test, no TPU)")
     args = ap.parse_args()
@@ -70,9 +76,11 @@ def main() -> None:
         if args.tiny:
             n_res = 3
             return configs.tiny_feedback(
-                "custom", depth_group=min(dg, n_res), spec_decode=spec)
+                "custom", frames_per_step=args.fps,
+                depth_group=min(dg, n_res), spec_decode=spec)
         return configs.flagship_feedback_code2wav(
-            "custom", depth_group=dg, spec_decode=spec)
+            "custom", frames_per_step=args.fps, depth_group=dg,
+            spec_decode=spec)
 
     t0 = time.perf_counter()
     base = Qwen3TTSModel.synthetic(build(1, False), seed=0, fast=True)
@@ -95,6 +103,10 @@ def main() -> None:
         m = dc.replace(base, cfg=build(args.dg, True))
         m.cp_params = cp2
         arms["spec_ceiling"] = m
+
+    if args.plain_dg > 1:
+        arms[f"plain_dg{args.plain_dg}"] = dc.replace(
+            base, cfg=build(args.plain_dg, False))
 
     seq = [0]
 
@@ -121,7 +133,7 @@ def main() -> None:
             print(f"rep{rep} {name:>13}: {r.rtf:5.2f}x  "
                   f"ttfa {r.ttfa_s * 1e3:5.0f} ms", flush=True)
 
-    print(f"\nspec-cp fps=1 dg-draft={args.dg} single-stream "
+    print(f"\nspec-cp fps={args.fps} dg-draft={args.dg} single-stream "
           "(median over reps):")
     for name, vals in scores.items():
         rtfs = [v[0] for v in vals]

@@ -199,12 +199,15 @@ class CodePredictorConfig:
     depth_group: int = 1
     # Speculative depth decode (lossless use of the grouped heads): the
     # grouped pass becomes a DRAFT, verified by teacher-forced full-depth
-    # passes and corrected at the first mismatching depth until the whole
-    # frame matches — output is bit-exact depth_group=1 greedy at
-    # grouped-draft cost when the draft agrees (models/code_predictor.py
-    # predict_residuals_spec). Greedy-only: when the config asks for
-    # sampled residuals the decode falls back to the plain grouped path.
-    # Requires depth_group > 1 (the draft source).
+    # passes. Greedy configs correct the first mismatching depth until
+    # the whole frame matches — bit-exact depth_group=1 greedy output
+    # (models/code_predictor.py predict_residuals_spec). Sampled configs
+    # (the published cp.generate args) run exact speculative SAMPLING —
+    # accept with prob min(1, p/q), resample the first rejection from the
+    # normalized residual (p-q)+ — identical IN DISTRIBUTION to the
+    # sequential dg=1 sampled stream (predict_residuals_spec_sampled).
+    # Either way the cost is grouped-draft + verify rounds when the draft
+    # agrees. Requires depth_group > 1 (the draft source).
     spec_decode: bool = False
 
 

@@ -86,6 +86,7 @@ def predict_residuals(
     key: "jax.Array | None" = None,
     row_keys: "jax.Array | None" = None,
     _as_draft: bool = False,
+    _return_probs: bool = False,
 ) -> jnp.ndarray:
     """Depth-autoregressive prediction of residual codebooks.
 
@@ -170,27 +171,47 @@ def predict_residuals(
         cp.top_k > 0 or cp.top_p < 1.0 or cp.temperature != 1.0
     )
     # Speculative depth decode: grouped pass = draft, teacher-forced
-    # verify+correct loop = exact depth_group=1 greedy output. Greedy-only
-    # (verification compares argmax); stochastic residuals keep the plain
-    # grouped path. ``_as_draft`` breaks the recursion when the spec path
-    # calls back in for its draft.
-    if (cp.spec_decode and k > 1 and not stochastic and not _as_draft):
+    # verify loop = exact depth_group=1 output. Greedy verification
+    # compares argmax (bit-exact); stochastic residuals go through exact
+    # speculative SAMPLING (accept/residual-resample — identical in
+    # distribution to the sequential dg=1 sampled stream for any draft).
+    # ``_as_draft`` breaks the recursion when either spec path calls back
+    # in for its draft.
+    if (cp.spec_decode and k > 1 and not _as_draft):
+        # temperature <= 0 is argmax in sample_token regardless of the
+        # other knobs, so the bit-exact greedy verifier is the right
+        # (and cheaper) route — and the sampled path's filtered_logits
+        # can't divide by a zero temperature.
+        if stochastic and cp.temperature > 0.0:
+            return predict_residuals_spec_sampled(
+                params, cfg, talker_hidden, cb0_tokens,
+                key=key, row_keys=row_keys,
+                return_feedback=return_feedback,
+            )
         return predict_residuals_spec(
             params, cfg, talker_hidden, cb0_tokens,
             return_feedback=return_feedback,
         )
     if stochastic:
-        from ..runtime.sampling import SamplingConfig, sample_token
+        from ..runtime.sampling import (
+            SamplingConfig, filtered_logits, sample_token,
+        )
 
         cp_sampling = SamplingConfig(
             temperature=cp.temperature, top_k=cp.top_k, top_p=cp.top_p
         )
+    assert not _return_probs or stochastic, (
+        "_return_probs captures the draft's proposal distribution — "
+        "stochastic configs only"
+    )
 
     def score_group(h_last, g):
         """Sample/argmax group ``g``'s ``k`` residual codes from one
         hidden ([B, H], traced group index -> [B, k] int32). RNG folds by
         ABSOLUTE depth index, so k == 1 reproduces the ungrouped stream
-        bit-for-bit."""
+        bit-for-bit. With ``_return_probs`` also returns the filtered
+        categorical distribution each code was drawn from ([B, k, V]
+        float32) — the proposal q of the speculative sampled decode."""
         heads = jax.lax.dynamic_slice(
             params["heads"], (g * k, 0, 0),
             (k, cc.residual_codebook_size, params["heads"].shape[2]),
@@ -198,7 +219,7 @@ def predict_residuals(
         logits = jnp.einsum(
             "bd,kvd->bkv", h_last, heads, preferred_element_type=jnp.float32
         )
-        cols = []
+        cols, probs = [], []
         for j in range(k):
             lg = logits[:, j, :]
             d = g * k + j
@@ -212,7 +233,13 @@ def predict_residuals(
                                          cp_sampling))
             else:
                 cols.append(jnp.argmax(lg, axis=-1).astype(jnp.int32))
-        return jnp.stack(cols, axis=1)                          # [B, k]
+            if _return_probs:
+                probs.append(jax.nn.softmax(
+                    filtered_logits(lg, cp_sampling), axis=-1))
+        codes_g = jnp.stack(cols, axis=1)                       # [B, k]
+        if _return_probs:
+            return codes_g, jnp.stack(probs, axis=1)            # [B, k, V]
+        return codes_g
 
     def next_input(codes_g, g):
         """Summed embedding of group ``g``'s codes ([B, k] -> [B, 1, H])."""
@@ -225,12 +252,23 @@ def predict_residuals(
         )(tabs, codes_g)                                        # [k, B, H]
         return jnp.sum(embs, axis=0)[:, None, :].astype(x0.dtype)
 
-    def finish(codes_group_first: jnp.ndarray):
-        # [n_groups, B, k] -> [B, Q-1]
-        codes = jnp.transpose(codes_group_first, (1, 0, 2)).reshape(B, n_res)
-        if not return_feedback:
-            return codes
-        return codes, residual_feedback_sum(params, codes)
+    def finish(stacked):
+        # codes [n_groups, B, k] (+ probs [n_groups, B, k, V]) -> [B, Q-1]
+        if _return_probs:
+            codes_gf, probs_gf = stacked
+        else:
+            codes_gf = stacked
+        codes = jnp.transpose(codes_gf, (1, 0, 2)).reshape(B, n_res)
+        outs = (codes,)
+        if return_feedback:
+            outs = outs + (residual_feedback_sum(params, codes),)
+        if _return_probs:
+            outs = outs + (jnp.transpose(probs_gf, (1, 0, 2, 3)).reshape(
+                B, n_res, cc.residual_codebook_size),)
+        return outs[0] if len(outs) == 1 else outs
+
+    def codes_of(out):
+        return out[0] if _return_probs else out
 
     if hidden_token:
         # two-position prefill scores group 0; the scan continues with
@@ -240,33 +278,34 @@ def predict_residuals(
         grp0 = score_group(h[:, -1, :], jnp.int32(0))
 
         if n_groups == 1:
-            return finish(grp0[None])
+            return finish(jax.tree.map(lambda a: a[None], grp0))
 
         def depth_step(carry, g):
             x_in, ck, cv = carry
             h, ck, cv = run_blocks(x_in, ck, cv, g + 1)
-            codes_g = score_group(h[:, -1, :], g)
-            return (next_input(codes_g, g), ck, cv), codes_g
+            out = score_group(h[:, -1, :], g)
+            return (next_input(codes_of(out), g), ck, cv), out
 
         (_, _, _), rest = jax.lax.scan(
-            depth_step, (next_input(grp0, 0), ck, cv),
+            depth_step, (next_input(codes_of(grp0), 0), ck, cv),
             jnp.arange(1, n_groups),
         )
-        return finish(jnp.concatenate([grp0[None], rest], axis=0))
+        return finish(jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), grp0, rest))
 
     def depth_step(carry, g):
         x_in, ck, cv = carry
         h, ck, cv = run_blocks(x_in, ck, cv, g)
-        codes_g = score_group(h[:, -1, :], g)
-        return (next_input(codes_g, g), ck, cv), codes_g
+        out = score_group(h[:, -1, :], g)
+        return (next_input(codes_of(out), g), ck, cv), out
 
-    (_, _, _), codes = jax.lax.scan(
+    (_, _, _), stacked = jax.lax.scan(
         depth_step, (x0, cache_k, cache_v), jnp.arange(n_groups)
     )
-    return finish(codes)
+    return finish(stacked)
 
 
-def depth_argmax_teacher_forced(
+def depth_logits_teacher_forced(
     params: Params,
     cfg: ModelConfig,
     talker_hidden: jnp.ndarray,   # [B, D_talker]
@@ -274,12 +313,14 @@ def depth_argmax_teacher_forced(
     codes: jnp.ndarray,           # [B, Q-1] candidate residual codes
 ) -> jnp.ndarray:
     """ONE full-attention depth pass over the depth_group=1 layout,
-    teacher-forced on ``codes``: returns argmax over every residual head
-    given the candidate prefix — [B, Q-1] int32. Because attention is
-    causal, row d of the result is the EXACT depth-autoregressive greedy
-    token at depth d whenever codes[:, :d] already equal the exact ones.
-    This is the verifier of the speculative depth decode (one weight
-    stream for all Q-1 depths, vs Q-1 sequential streams)."""
+    teacher-forced on ``codes``: returns the float32 logits of every
+    residual head given the candidate prefix — [B, Q-1, V]. Because
+    attention is causal, row d is the EXACT depth-autoregressive
+    distribution at depth d whenever codes[:, :d] already equal the
+    final ones. This is the verifier of the speculative depth decode
+    (one weight stream for all Q-1 depths, vs Q-1 sequential streams):
+    greedy verification compares its argmax, sampled verification its
+    filtered softmax."""
     cp = cfg.code_predictor
     cc = cfg.codec
     n_res = cc.num_codebooks - 1
@@ -325,11 +366,26 @@ def depth_argmax_teacher_forced(
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], ck, cv))
     h = rmsnorm(x, params["ln_f"], cp.rms_eps)[:, off: off + n_res, :]
-    logits = jnp.einsum(
+    return jnp.einsum(
         "bnd,nvd->bnv", h, params["heads"],
         preferred_element_type=jnp.float32,
     )
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def depth_argmax_teacher_forced(
+    params: Params,
+    cfg: ModelConfig,
+    talker_hidden: jnp.ndarray,
+    cb0_tokens: jnp.ndarray,
+    codes: jnp.ndarray,
+) -> jnp.ndarray:
+    """Argmax of ``depth_logits_teacher_forced`` — the greedy verifier."""
+    return jnp.argmax(
+        depth_logits_teacher_forced(
+            params, cfg, talker_hidden, cb0_tokens, codes
+        ),
+        axis=-1,
+    ).astype(jnp.int32)
 
 
 def predict_residuals_spec(
@@ -386,6 +442,120 @@ def predict_residuals_spec(
     codes, _, rounds = jax.lax.while_loop(
         cond, body,
         (draft, jnp.ones((B,), dtype=bool), jnp.int32(0)),
+    )
+    out = (codes,)
+    if return_feedback:
+        out = out + (residual_feedback_sum(params, codes),)
+    if return_rounds:
+        out = out + (rounds,)
+    return out[0] if len(out) == 1 else out
+
+
+def predict_residuals_spec_sampled(
+    params: Params,
+    cfg: ModelConfig,
+    talker_hidden: jnp.ndarray,   # [B, D_talker]
+    cb0_tokens: jnp.ndarray,      # [B]
+    key: "jax.Array | None" = None,
+    row_keys: "jax.Array | None" = None,
+    return_feedback: bool = False,
+    return_rounds: bool = False,
+):
+    """Exact speculative SAMPLING over the depth axis — the stochastic
+    sibling of ``predict_residuals_spec`` for the published sampled
+    cp.generate decode (do_sample, top_k=50, top_p=0.8).
+
+    Classic speculative sampling (the accept / residual-resample rule of
+    arXiv:2211.17192 / 2302.01318) applied depth-wise:
+
+    1. DRAFT all Q-1 codes with the grouped stochastic path, recording
+       the filtered categorical q each code was drawn from;
+    2. VERIFY with one teacher-forced full-depth pass: target
+       distribution p(. | prefix) at every depth (exact wherever the
+       prefix is final, causal attention);
+    3. walk depths from the accepted frontier: ACCEPT code x while
+       u * q(x) <= p(x)  (probability min(1, p/q)); at the first
+       rejection RESAMPLE from the normalized residual (p - q)+ — an
+       exact sample from p there, since its prefix is final — finalize
+       through that depth, and re-verify. Unfinalized later drafts are
+       kept as proposals for the next round (their stored q remains
+       their true conditional law given everything the loop has looked
+       at, so the acceptance correction stays exact; staleness only
+       lowers the acceptance rate, never biases the output).
+
+    Output is IDENTICAL IN DISTRIBUTION to the sequential depth_group=1
+    sampled stream for ANY draft quality (it is NOT bit-identical for a
+    fixed key: the proposal/acceptance randomness is consumed
+    differently). Each round finalizes at least one depth per unfinished
+    row, so the lax.while_loop terminates in <= Q-1 rounds; a
+    high-acceptance draft costs draft + ONE verifying pass. RNG folds:
+    the draft consumes the plain grouped path's per-depth folds
+    unchanged; the loop derives fresh per-round uniforms/resample keys
+    under a disjoint fold tag (per-row when ``row_keys`` is given, so
+    duplicate slot-replica rows stay bit-identical — the serving
+    batched-prefill invariant)."""
+    from ..runtime.sampling import SamplingConfig, filtered_logits
+
+    cp = cfg.code_predictor
+    cc = cfg.codec
+    n_res = cc.num_codebooks - 1
+    cp_sampling = SamplingConfig(
+        temperature=cp.temperature, top_k=cp.top_k, top_p=cp.top_p
+    )
+
+    draft, q = predict_residuals(
+        params, cfg, talker_hidden, cb0_tokens,
+        key=key, row_keys=row_keys, _as_draft=True, _return_probs=True,
+    )                                           # [B, Q-1], [B, Q-1, V] f32
+    B = draft.shape[0]
+    depth_iota = jnp.arange(n_res)[None, :]
+    LOOP_TAG = 0x5BEC  # disjoint from the draft's 0..Q-2 depth folds
+
+    def cond(carry):
+        _, m, _ = carry
+        return jnp.any(m < n_res)
+
+    def body(carry):
+        codes, m, rounds = carry
+        logits = depth_logits_teacher_forced(
+            params, cfg, talker_hidden, cb0_tokens, codes
+        )
+        p = jax.nn.softmax(filtered_logits(logits, cp_sampling), axis=-1)
+        if row_keys is not None:
+            kb = jax.vmap(lambda kk: jax.random.fold_in(
+                jax.random.fold_in(kk, LOOP_TAG), rounds))(row_keys)
+            u = jax.vmap(lambda kk: jax.random.uniform(
+                jax.random.fold_in(kk, 0), (n_res,)))(kb)
+        else:
+            k0 = jax.random.fold_in(jax.random.fold_in(key, LOOP_TAG),
+                                    rounds)
+            u = jax.random.uniform(jax.random.fold_in(k0, 0), (B, n_res))
+        px = jnp.take_along_axis(p, codes[..., None], axis=-1)[..., 0]
+        qx = jnp.take_along_axis(q, codes[..., None], axis=-1)[..., 0]
+        # P(u*q <= p) = min(1, p/q); depths below the frontier are final
+        acc = (u * qx <= px) | (depth_iota < m[:, None])
+        rej_any = ~jnp.all(acc, axis=1)                     # [B]
+        first = jnp.argmax(~acc, axis=1)                    # [B]
+        p_at = jnp.take_along_axis(p, first[:, None, None], axis=1)[:, 0]
+        q_at = jnp.take_along_axis(q, first[:, None, None], axis=1)[:, 0]
+        res = jnp.maximum(p_at - q_at, 0.0)
+        z = jnp.sum(res, axis=-1, keepdims=True)
+        # z == 0 only on numeric ties (p <= q everywhere makes rejection
+        # probability ~0); fall back to p itself there
+        res_logits = jnp.log(jnp.where(z > 1e-9, res / z, p_at))
+        if row_keys is not None:
+            new_tok = jax.vmap(lambda lg, kk: jax.random.categorical(
+                jax.random.fold_in(kk, 1), lg))(res_logits, kb)
+        else:
+            new_tok = jax.random.categorical(
+                jax.random.fold_in(k0, 1), res_logits, axis=-1)
+        fix = rej_any[:, None] & (depth_iota == first[:, None])
+        codes = jnp.where(fix, new_tok.astype(jnp.int32)[:, None], codes)
+        m = jnp.where(rej_any, first + 1, n_res).astype(jnp.int32)
+        return codes, m, rounds + 1
+
+    codes, _, rounds = jax.lax.while_loop(
+        cond, body, (draft, jnp.zeros((B,), jnp.int32), jnp.int32(0))
     )
     out = (codes,)
     if return_feedback:

@@ -21,16 +21,12 @@ class SamplingConfig:
     greedy: bool = False
 
 
-def sample_token(
-    logits: jnp.ndarray,          # [B, V] float32
-    key: jax.Array,
-    cfg: SamplingConfig,
-) -> jnp.ndarray:
-    """Sample one token id per row. All branches resolve at trace time
-    (cfg is static), so each config compiles to a lean kernel."""
-    if cfg.greedy or cfg.temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
+def filtered_logits(logits: jnp.ndarray, cfg: SamplingConfig) -> jnp.ndarray:
+    """Temperature/top-k/top-p filtered logits over the LAST axis (kept
+    entries scaled by 1/temperature, dropped entries -inf): the exact
+    categorical distribution ``sample_token`` draws from. Exposed so the
+    speculative sampled depth decode can reason about draft/target
+    distributions (softmax of this) rather than just draw from them."""
     logits = logits / cfg.temperature
 
     if cfg.top_k and cfg.top_k > 0 and cfg.top_k < logits.shape[-1]:
@@ -47,4 +43,19 @@ def sample_token(
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
 
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def sample_token(
+    logits: jnp.ndarray,          # [B, V] float32
+    key: jax.Array,
+    cfg: SamplingConfig,
+) -> jnp.ndarray:
+    """Sample one token id per row. All branches resolve at trace time
+    (cfg is static), so each config compiles to a lean kernel."""
+    if cfg.greedy or cfg.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return jax.random.categorical(
+        key, filtered_logits(logits, cfg), axis=-1
+    ).astype(jnp.int32)

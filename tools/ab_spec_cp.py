@@ -18,10 +18,17 @@ verify rounds) while keeping the output BIT-EXACT dg=1 greedy
                   (~n_res rounds) — the worst case / overhead bound.
 
 A trained checkpoint lands between floor and ceiling at its measured
-draft-acceptance rate. Greedy decode only (the spec path verifies argmax;
-sampled-cp configs fall back to the plain grouped path).
+draft-acceptance rate.
 
-Usage: python tools/ab_spec_cp.py [--reps 3] [--frames 240] [--tiny]
+``--sampled`` switches every arm to the PUBLISHED sampled decode (talker
+sampling on, cp.generate args top_k=50/top_p=0.8): the spec path then
+runs exact speculative sampling (predict_residuals_spec_sampled —
+distribution-identical to the sequential dg=1 stream). The ceiling arm's
+zeroed heads make draft == target distribution, so acceptance is ~1.0
+there too.
+
+Usage: python tools/ab_spec_cp.py [--reps 3] [--frames 240] [--sampled]
+       [--tiny]
 """
 
 from __future__ import annotations
@@ -51,6 +58,10 @@ def main() -> None:
     ap.add_argument("--plain-dg", type=int, default=0, metavar="K",
                     help="add a plain (non-spec) grouped arm at dg=K — "
                     "the lossy ladder shape, for same-process comparison")
+    ap.add_argument("--sampled", action="store_true",
+                    help="published sampled decode on every arm (talker "
+                    "sampling + cp.generate args; spec = exact speculative "
+                    "sampling)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (harness smoke test, no TPU)")
     args = ap.parse_args()
@@ -75,16 +86,26 @@ def main() -> None:
     def build(dg: int, spec: bool):
         if args.tiny:
             n_res = 3
-            return configs.tiny_feedback(
+            cfg = configs.tiny_feedback(
                 "custom", frames_per_step=args.fps,
                 depth_group=min(dg, n_res), spec_decode=spec)
+            if args.sampled:  # tiny default cp is greedy; give it the
+                # published-args shape so cp_samples() engages
+                cfg = dc.replace(cfg, code_predictor=dc.replace(
+                    cfg.code_predictor, top_k=4, top_p=0.9))
+            return cfg
         return configs.flagship_feedback_code2wav(
             "custom", frames_per_step=args.fps, depth_group=dg,
             spec_decode=spec)
 
     t0 = time.perf_counter()
     base = Qwen3TTSModel.synthetic(build(1, False), seed=0, fast=True)
-    base.sampling = SamplingConfig(greedy=True)   # spec engages greedy-only
+    # greedy battery: bit-exact spec verification. --sampled: the
+    # published decode (talker samples; cp_samples() then samples the
+    # residuals per the config's cp.generate args -> exact speculative
+    # sampling on the spec arms).
+    base.sampling = (SamplingConfig() if args.sampled
+                     else SamplingConfig(greedy=True))
     print(f"[load {time.perf_counter() - t0:.0f}s]", flush=True)
 
     arms: dict[str, Qwen3TTSModel] = {}

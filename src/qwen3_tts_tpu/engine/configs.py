@@ -82,6 +82,22 @@ class TalkerConfig:
     #                    trailing-text row — runtime/generate.py
     #                    make_decode_chunk_fn_feedback).
     feedback: str = "cb0"
+    # MTP-chain conditioning under feedback="residual_sum" with
+    # frames_per_step > 1:
+    #   False — faithful chain: frame j+1's MTP hidden is conditioned on
+    #           frame j's FULL feedback embedding (cb0 + residual sum),
+    #           which forces the code predictor to run per frame inside
+    #           the step (fps sequential cp weight streams per step —
+    #           the binding bytes of the fps>1 shapes, PERF.md);
+    #   True  — batched-cp fine-tune shape: the chain conditions on frame
+    #           j's cb0 embedding alone, so all fps frames' residuals are
+    #           predicted in ONE batched cp pass per step — cp weight
+    #           bytes per frame divide by fps. A different fine-tune
+    #           target, same recovery CLI (training/loss.py mirrors the
+    #           conditioning exactly; finetune.py --mtp-cp-batch), to be
+    #           quality-gated like fps/depth_group. No effect at fps == 1
+    #           or under feedback="cb0" (already chunk-batched there).
+    mtp_cp_batch: bool = False
     # TEXT-vocab control ids for the trailing-text protocol (the published
     # top-level config's tts_{pad,bos,eos}_token_id). Embedded through
     # text_emb (and text_proj when the checkpoint ships one).
@@ -447,7 +463,7 @@ def tiny(mode: str = "custom", *, quant: bool = False) -> ModelConfig:
 
 def flagship_feedback(
     mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1,
-    spec_decode: bool = False,
+    spec_decode: bool = False, mtp_cp_batch: bool = False,
 ) -> ModelConfig:
     """Flagship-shaped model running the published decode protocol — the
     honest cost model for a REAL imported checkpoint: residual-sum
@@ -469,6 +485,7 @@ def flagship_feedback(
         talker=replace(
             base.talker,
             feedback="residual_sum",
+            mtp_cp_batch=mtp_cp_batch,
             tts_pad_id=151_000,
             tts_bos_id=151_001,
             tts_eos_id=151_002,
@@ -492,7 +509,7 @@ def flagship_feedback(
 
 def flagship_feedback_code2wav(
     mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1,
-    spec_decode: bool = False,
+    spec_decode: bool = False, mtp_cp_batch: bool = False,
 ) -> ModelConfig:
     """THE real-checkpoint cost model: the published decode protocol
     (residual-sum feedback, cp-in-loop at talker width — flagship_feedback)
@@ -505,7 +522,7 @@ def flagship_feedback_code2wav(
 
     base = flagship_feedback(
         mode, frames_per_step=frames_per_step, depth_group=depth_group,
-        spec_decode=spec_decode,
+        spec_decode=spec_decode, mtp_cp_batch=mtp_cp_batch,
     )
     return with_code2wav(
         base,
@@ -521,7 +538,7 @@ def flagship_feedback_code2wav(
 
 def tiny_feedback(
     mode: str = "custom", *, frames_per_step: int = 1, depth_group: int = 1,
-    spec_decode: bool = False,
+    spec_decode: bool = False, mtp_cp_batch: bool = False,
 ) -> ModelConfig:
     """Tiny config running the published decode protocol end-to-end on CPU:
     residual-sum talker feedback + trailing-text conditioning + the
@@ -537,6 +554,7 @@ def tiny_feedback(
         talker=replace(
             base.talker,
             feedback="residual_sum",
+            mtp_cp_batch=mtp_cp_batch,
             tts_pad_id=250,
             tts_bos_id=251,
             tts_eos_id=252,

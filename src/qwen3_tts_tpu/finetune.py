@@ -70,7 +70,7 @@ def load_pairs(data_dir: str) -> list[tuple[str, np.ndarray, int]]:
 
 
 def apply_decode_extensions(model, *, fps: int = 0, depth_group: int = 0,
-                            seed: int = 0):
+                            mtp_cp_batch: bool = False, seed: int = 0):
     """Enable the decode fine-tune extension pair on a loaded model.
 
     Real checkpoints decode one frame per talker pass and one residual
@@ -84,6 +84,11 @@ def apply_decode_extensions(model, *, fps: int = 0, depth_group: int = 0,
     - ``depth_group > 1``: grouped depth prediction. Config-only (the
       published per-depth heads/tables are re-indexed, no new
       parameters) — still fine-tune before serving, the layout changes.
+    - ``mtp_cp_batch`` (needs fps > 1): batched-cp MTP. Config-only — the
+      MTP chain conditions on cb0 embeddings alone so decode predicts all
+      fps frames' residuals in ONE batched cp pass, dividing cp weight
+      bytes (the fps>1 binding cost) by fps; the teacher-forced chain
+      mirrors the conditioning (training/loss.py).
 
     Returns a rebuilt model (fresh jit caches); raises ValueError for
     invalid geometry (e.g. depth_group not dividing the residual count).
@@ -99,6 +104,15 @@ def apply_decode_extensions(model, *, fps: int = 0, depth_group: int = 0,
             from .models.talker import add_mtp_params
 
             params = add_mtp_params(params, cfg, seed=seed)
+    if mtp_cp_batch:
+        if fps <= 1 and cfg.talker.frames_per_step <= 1:
+            raise ValueError(
+                "--mtp-cp-batch needs frames_per_step > 1 (--mtp-fps N): "
+                "there is nothing to batch at one frame per pass"
+            )
+        cfg = _dc.replace(
+            cfg, talker=_dc.replace(cfg.talker, mtp_cp_batch=True)
+        )
     if depth_group > 1:
         cfg = _dc.replace(
             cfg,
@@ -152,6 +166,12 @@ def main(argv: list[str] | None = None) -> int:
                     "codebooks per code-predictor pass) before training — "
                     "no new parameters, config + fine-tune only; cuts the "
                     "published protocol's cp-in-loop cost K-fold (PERF.md)")
+    ap.add_argument("--mtp-cp-batch", action="store_true",
+                    help="with --mtp-fps N: condition the MTP chain on cb0 "
+                    "embeddings alone so decode batches all N frames' "
+                    "code-predictor passes into one — divides cp weight "
+                    "bytes (the fps>1 binding cost, PERF.md) by N; "
+                    "config-only, trained by the same fine-tune")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default=None,
                     help="orbax checkpoint directory (enables save/resume)")
@@ -214,11 +234,11 @@ def main(argv: list[str] | None = None) -> int:
         model = Qwen3TTSModel.synthetic(configs.tiny_feedback(args.mode))
     else:
         model = load_model(args.model)
-    if args.mtp_fps > 1 or args.depth_group > 1:
+    if args.mtp_fps > 1 or args.depth_group > 1 or args.mtp_cp_batch:
         try:
             model = apply_decode_extensions(
                 model, fps=args.mtp_fps, depth_group=args.depth_group,
-                seed=args.seed,
+                mtp_cp_batch=args.mtp_cp_batch, seed=args.seed,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)

@@ -358,6 +358,42 @@ def seed_feedback_frames(
             lambda s: jax.random.fold_in(k, s)
         )(row_keys_from)}
 
+    if t.mtp_cp_batch and fps > 1:
+        # batched-cp MTP variant (TalkerConfig.mtp_cp_batch): cb0-only
+        # chain conditioning, then one cp pass over all fps frames as
+        # batch rows. row_keys expand per frame (fold by frame index) so
+        # replicated padding rows still draw identical residuals.
+        toks, hs = [], []
+        h = hidden
+        key, sub = jax.random.split(key)
+        cb0 = draw(logits, sub)
+        for j in range(fps):
+            toks.append(cb0)
+            hs.append(h)
+            if j + 1 < fps:
+                cond = jnp.take(
+                    params["codec_emb"], cb0, axis=0
+                ).astype(hidden.dtype)
+                lg, h = mtp_logits_emb(params, t, h, cond)
+                key, sub = jax.random.split(key)
+                cb0 = draw(lg, sub)
+        B = hidden.shape[0]
+        tok = jnp.stack(toks, axis=1)                         # [B, fps]
+        flat_h = jnp.stack(hs, axis=1).reshape(B * fps, -1)
+        key, cpk = jax.random.split(key)
+        kw = cp_kwargs(cpk)
+        if "row_keys" in kw:
+            rk = jax.vmap(lambda kk: jax.vmap(
+                lambda j: jax.random.fold_in(kk, j)
+            )(jnp.arange(fps)))(kw["row_keys"])               # [B, fps]
+            kw = {"row_keys": rk.reshape((B * fps,) + rk.shape[2:])}
+        res_f, rs_f = predict_residuals(
+            cp_params, cfg, flat_h, jnp.clip(tok.reshape(-1), 0, cb - 1),
+            return_feedback=True, **kw,
+        )
+        return (tok, rs_f.reshape(B, fps, -1).astype(hidden.dtype),
+                res_f.reshape(B, fps, -1), key)
+
     toks, rss, ress = [], [], []
     h = hidden
     key, sub = jax.random.split(key)
@@ -475,27 +511,57 @@ def make_decode_chunk_fn_feedback(
             h = hidden[:, -1, :]
             k, sub = jax.random.split(k)
             cb0 = sample_token(logits[:, -1, :], sub, sampling)   # [B]
-            cb0s, res_list, rs_list = [], [], []
-            for j in range(fps):
+            if t.mtp_cp_batch and fps > 1:
+                # batched-cp MTP variant (TalkerConfig.mtp_cp_batch): the
+                # chain conditions on cb0 embeddings alone, so the whole
+                # chain runs cp-free and ONE cp pass covers all fps
+                # frames as extra batch rows — cp weight bytes per step
+                # divide by fps (training/loss.py mirrors the chain)
+                cb0s, hs = [], []
+                for j in range(fps):
+                    cb0s.append(cb0)
+                    hs.append(h)
+                    if j + 1 < fps:
+                        cond = jnp.take(
+                            params["codec_emb"], cb0, axis=0
+                        ).astype(rs.dtype)
+                        lg, h = mtp_logits_emb(params, t, h, cond)
+                        k, sub = jax.random.split(k)
+                        cb0 = sample_token(lg, sub, sampling)
                 if cp_stoch:
                     k, cpk = jax.random.split(k)
-                res_codes, rs_new = predict_residuals(
-                    cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
+                Bq = h.shape[0]
+                flat_h = jnp.stack(hs, axis=1).reshape(Bq * fps, -1)
+                frame_toks = jnp.stack(cb0s, axis=1)          # [B, fps]
+                res_f, rs_f = predict_residuals(
+                    cp_params, cfg, flat_h,
+                    jnp.clip(frame_toks.reshape(-1), 0, cb_size - 1),
                     return_feedback=True, key=cpk if cp_stoch else None,
                 )
-                cb0s.append(cb0)
-                res_list.append(res_codes)
-                rs_list.append(rs_new.astype(rs.dtype))
-                if j + 1 < fps:   # MTP chain: next frame from the same pass
-                    cond = jnp.take(
-                        params["codec_emb"], cb0, axis=0
-                    ).astype(rs.dtype) + rs_list[-1]
-                    lg, h = mtp_logits_emb(params, t, h, cond)
-                    k, sub = jax.random.split(k)
-                    cb0 = sample_token(lg, sub, sampling)
-            frame_toks = jnp.stack(cb0s, axis=1)              # [B, fps]
-            frame_res = jnp.stack(res_list, axis=1)           # [B, fps, Q-1]
-            rs_stack = jnp.stack(rs_list, axis=1)             # [B, fps, D]
+                frame_res = res_f.reshape(Bq, fps, -1)        # [B, fps, Q-1]
+                rs_stack = rs_f.reshape(Bq, fps, -1).astype(rs.dtype)
+            else:
+                cb0s, res_list, rs_list = [], [], []
+                for j in range(fps):
+                    if cp_stoch:
+                        k, cpk = jax.random.split(k)
+                    res_codes, rs_new = predict_residuals(
+                        cp_params, cfg, h, jnp.clip(cb0, 0, cb_size - 1),
+                        return_feedback=True, key=cpk if cp_stoch else None,
+                    )
+                    cb0s.append(cb0)
+                    res_list.append(res_codes)
+                    rs_list.append(rs_new.astype(rs.dtype))
+                    if j + 1 < fps:  # MTP chain: next frame, same pass
+                        cond = jnp.take(
+                            params["codec_emb"], cb0, axis=0
+                        ).astype(rs.dtype) + rs_list[-1]
+                        lg, h = mtp_logits_emb(params, t, h, cond)
+                        k, sub = jax.random.split(k)
+                        cb0 = sample_token(lg, sub, sampling)
+                frame_toks = jnp.stack(cb0s, axis=1)          # [B, fps]
+                frame_res = jnp.stack(res_list, axis=1)       # [B, fps, Q-1]
+                rs_stack = jnp.stack(rs_list, axis=1)         # [B, fps, D]
             # inactive slots hold position/counters and emit PAD; the cast
             # keeps the CARRY's dtype (imported fp32 tables would otherwise
             # widen it mid-scan)

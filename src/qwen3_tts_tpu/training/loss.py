@@ -179,7 +179,13 @@ def _published_hidden_and_logits(
     from ..models.talker import mtp_logits_emb
 
     flat_h = step_hidden.reshape(B * K, D)
-    ep = e_partial.reshape(B, K, fps, D)
+    # batched-cp MTP variant (TalkerConfig.mtp_cp_batch): the decode chain
+    # conditions on the previous frame's cb0 embedding ALONE (so decode
+    # can batch all fps cp passes into one) — the teacher-forced chain
+    # must condition identically or the trained heads diverge from the
+    # decode graph
+    cond_src = cb0_in if t.mtp_cp_batch else e_partial
+    ep = cond_src.reshape(B, K, fps, D)
     per_frame_logits = [step_logits]
     per_frame_hidden = [step_hidden]
     h = flat_h

@@ -417,7 +417,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         v = rep["variants"]["trained_shape"]
         summary["quality"] = {
-            "decode_shape": {"fps": fps, "depth_group": dg},
+            "decode_shape": {"fps": fps, "depth_group": dg,
+                             "mtp_cp_batch": cfg.talker.mtp_cp_batch},
             "median_wer_delta": v["median_wer_delta"],
             "median_mel_dist": v["median_mel_dist"],
             "median_identical_frac": v["median_identical_frac"],

@@ -152,9 +152,11 @@ def mel_dtw_dist(a: np.ndarray, b: np.ndarray, sr: int,
 
 
 def parse_variant(spec: str) -> dict[str, Any]:
-    """``"fps=2+dg=5"`` / ``"kv=int8"`` / ``"dg=5+spec=1"`` -> option
-    dict. Keys: fps (int), dg (int), kv ("int8"|"dense"), spec (bool —
-    speculative depth decode, bit-exact dg=1 greedy output)."""
+    """``"fps=2+dg=5"`` / ``"kv=int8"`` / ``"dg=5+spec=1"`` /
+    ``"fps=2+cpb=1"`` -> option dict. Keys: fps (int), dg (int),
+    kv ("int8"|"dense"), spec (bool — speculative depth decode, bit-exact
+    dg=1 greedy output), cpb (bool — batched-cp MTP,
+    TalkerConfig.mtp_cp_batch)."""
     out: dict[str, Any] = {}
     for part in spec.split("+"):
         part = part.strip()
@@ -174,6 +176,8 @@ def parse_variant(spec: str) -> dict[str, Any]:
             out["kv"] = v
         elif k == "spec":
             out["spec"] = v.strip().lower() in ("1", "true", "on", "yes")
+        elif k in ("cpb", "mtp_cp_batch", "cp_batch"):
+            out["cpb"] = v.strip().lower() in ("1", "true", "on", "yes")
         else:
             raise ValueError(f"unknown variant key {k!r} in {spec!r}")
     if not out:
@@ -201,6 +205,17 @@ def variant_model(model, opts: dict[str, Any]):
         cfg = dataclasses.replace(
             cfg, talker=dataclasses.replace(
                 cfg.talker, frames_per_step=opts["fps"]
+            )
+        )
+    if "cpb" in opts:
+        if opts["cpb"] and cfg.talker.frames_per_step <= 1:
+            raise ValueError(
+                "variant cpb=1 (batched-cp MTP) needs frames_per_step > 1 "
+                "(combine with fps=N)"
+            )
+        cfg = dataclasses.replace(
+            cfg, talker=dataclasses.replace(
+                cfg.talker, mtp_cp_batch=bool(opts["cpb"])
             )
         )
     if "dg" in opts:

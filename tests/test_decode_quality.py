@@ -33,6 +33,8 @@ def test_parse_variant():
     assert quality.parse_variant("fps=3+dg=5") == {"fps": 3, "dg": 5}
     assert quality.parse_variant("kv=int8") == {"kv": "int8"}
     assert quality.parse_variant("depth_group=15") == {"dg": 15}
+    assert quality.parse_variant("fps=2+cpb=1") == {"fps": 2, "cpb": True}
+    assert quality.parse_variant("mtp_cp_batch=0") == {"cpb": False}
     with pytest.raises(ValueError, match="unknown variant key"):
         quality.parse_variant("foo=1")
     with pytest.raises(ValueError, match="expected key=value"):
@@ -86,6 +88,11 @@ def test_variant_model_shares_weights(model):
     # kv-only variant keeps the decode shape
     kv = quality.variant_model(model, {"kv": "int8"})
     assert kv.cfg == model.cfg
+    # batched-cp MTP variant flips the talker flag, shares the tree
+    cpb = quality.variant_model(model, {"fps": 2, "cpb": True})
+    assert cpb.cfg.talker.mtp_cp_batch and cpb.params is model.params
+    with pytest.raises(ValueError, match="frames_per_step"):
+        quality.variant_model(model, {"fps": 1, "cpb": True})
 
 
 def test_compare_decode_configs_report_shape(model):
@@ -178,7 +185,9 @@ def test_finetune_eval_quality_summary(tmp_path, capsys, monkeypatch):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     q = summary["quality"]
-    assert q["decode_shape"] == {"fps": 2, "depth_group": 1}
+    assert q["decode_shape"] == {
+        "fps": 2, "depth_group": 1, "mtp_cp_batch": False,
+    }
     assert q["asr"] is True and q["texts"] == 2
     assert q["median_wer_delta"] == 0.0      # constant hyp: deltas cancel
     assert q["pass"] is True

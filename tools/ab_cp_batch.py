@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--spec", action="store_true",
                     help="spec_decode on both arms (needs --dg > 1)")
     ap.add_argument("--arms", nargs="+", default=["chain", "batched"])
+    ap.add_argument("--serving", type=int, default=0, metavar="N",
+                    help="also measure the N-stream serving aggregate per "
+                    "arm (bench.py's _serving_metrics — one engine per "
+                    "arm, sequential; adds several compiles)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (harness smoke test, no TPU)")
     args = ap.parse_args()
@@ -120,6 +124,24 @@ def main() -> None:
         print(f"  {name:>8}: {np.median(rtfs):6.2f}x RTF, ttfa p50 "
               f"{np.median(ttfas):4.0f} ms  (runs: "
               + ", ".join(f"{r:.2f}" for r in rtfs) + ")")
+
+    if args.serving:
+        # one engine per arm (sequential — two big-cache engines resident
+        # at once risks the HBM wedge, CLAUDE.md); drops the single-stream
+        # generator's buffers first for the same reason
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from bench import _free_model, _serving_metrics
+
+        for name, m in arms.items():
+            _free_model(m)
+            t0 = time.perf_counter()
+            sm = _serving_metrics(m, args.serving)
+            print(f"  {name:>8} serving{args.serving}: "
+                  f"agg {sm['agg_rtf']:6.2f}x, ttfa p50 "
+                  f"{sm['ttfa_s_p50'] * 1e3:4.0f} ms, join-ttfa "
+                  f"{sm['join_ttfa_s_under_load'] * 1e3:4.0f} ms "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+            _free_model(m)
 
 
 if __name__ == "__main__":

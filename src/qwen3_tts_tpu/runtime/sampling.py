@@ -26,7 +26,18 @@ def filtered_logits(logits: jnp.ndarray, cfg: SamplingConfig) -> jnp.ndarray:
     entries scaled by 1/temperature, dropped entries -inf): the exact
     categorical distribution ``sample_token`` draws from. Exposed so the
     speculative sampled depth decode can reason about draft/target
-    distributions (softmax of this) rather than just draw from them."""
+    distributions (softmax of this) rather than just draw from them.
+
+    Greedy/temperature<=0 configs have no filtered distribution (argmax
+    is the sampler); dividing by a 0/negative temperature would produce
+    NaN/inf logits, so every caller is guarded here rather than at each
+    call site (sample_token routes greedy to argmax itself, but this is
+    a public function)."""
+    if cfg.greedy or cfg.temperature <= 0.0:
+        raise ValueError(
+            "filtered_logits is undefined for greedy/temperature<=0 "
+            "configs (argmax has no filtered distribution)"
+        )
     logits = logits / cfg.temperature
 
     if cfg.top_k and cfg.top_k > 0 and cfg.top_k < logits.shape[-1]:

@@ -87,7 +87,10 @@ def main() -> None:
     if "chain" in args.arms:
         arms["chain"] = base
     if "batched" in args.arms:
-        m = dc.replace(base, cfg=build(True))   # shared tree, fresh jits
+        # shared tree, fresh jits; _generator/_serving cleared explicitly
+        # so arm construction is order-independent (a warmed base would
+        # otherwise leak its compiled stages into the replaced arm)
+        m = dc.replace(base, cfg=build(True), _generator=None, _serving=None)
         m.sampling = base.sampling
         arms["batched"] = m
 

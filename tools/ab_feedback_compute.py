@@ -104,11 +104,13 @@ def main() -> None:
             arms["int8_pallas"] = (base,
                                    "always" if not args.tiny else "auto",
                                    "rowmajor")
+        # fresh engine caches, shared tree — _generator/_serving cleared
+        # explicitly so arm construction is order-independent
         if "int8_xla" in args.arms:
-            view = _dc.replace(base)  # fresh engine caches, shared tree
+            view = _dc.replace(base, _generator=None, _serving=None)
             arms["int8_xla"] = (view, "never", "rowmajor")
         if "int8_grouped" in args.arms:
-            gview = _dc.replace(base)
+            gview = _dc.replace(base, _generator=None, _serving=None)
             arms["int8_grouped"] = (gview,
                                     "always" if not args.tiny else "auto",
                                     "grouped")

@@ -111,8 +111,12 @@ def main() -> None:
     arms: dict[str, Qwen3TTSModel] = {}
     if "base" in args.arms:
         arms["base"] = base
+    # every dc.replace clears _generator/_serving explicitly so arm
+    # construction is order-independent (a warmed base would otherwise
+    # leak its compiled stages into the replaced arm)
     if "spec_floor" in args.arms:
-        m = dc.replace(base, cfg=build(args.dg, True))
+        m = dc.replace(base, cfg=build(args.dg, True),
+                       _generator=None, _serving=None)
         arms["spec_floor"] = m
     if "spec_ceiling" in args.arms:
         # zeroed cp output heads: constant logit rows, draft == verify
@@ -121,13 +125,15 @@ def main() -> None:
         # the rest of the tree is shared.
         cp2 = dict(base.cp_params)
         cp2["heads"] = jnp.zeros_like(base.cp_params["heads"])
-        m = dc.replace(base, cfg=build(args.dg, True))
+        m = dc.replace(base, cfg=build(args.dg, True),
+                       _generator=None, _serving=None)
         m.cp_params = cp2
         arms["spec_ceiling"] = m
 
     if args.plain_dg > 1:
         arms[f"plain_dg{args.plain_dg}"] = dc.replace(
-            base, cfg=build(args.plain_dg, False))
+            base, cfg=build(args.plain_dg, False),
+            _generator=None, _serving=None)
 
     seq = [0]
 

@@ -216,7 +216,19 @@ def rehearse(snapshot: str, *, mode: str = "auto", text: str = _TEXT,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--snapshot", required=True)
+    ap.add_argument("--snapshot", default=None,
+                    help="checkpoint snapshot directory (omit with "
+                    "--fabricate)")
+    ap.add_argument("--fabricate", action="store_true",
+                    help="rehearse against a fabricated full tiny snapshot "
+                    "(engine/fabricate.py) — the offline per-round checklist "
+                    "bench.py runs; catches import/template/protocol "
+                    "regressions without real weights")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend and skip the device lock "
+                    "(the fabricated tiny snapshot needs no TPU; lets the "
+                    "checklist run while a measurement process holds the "
+                    "device)")
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "custom", "design", "base"],
                     help="auto = run all three call shapes")
@@ -227,10 +239,23 @@ def main() -> None:
     ap.add_argument("--asr", default=None,
                     help="transcription provider name")
     args = ap.parse_args()
+    if args.snapshot is None and not args.fabricate:
+        ap.error("--snapshot or --fabricate required")
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.fabricate:
+        from qwen3_tts_tpu.engine.fabricate import fabricate_full_checkpoint
+
+        args.snapshot = fabricate_full_checkpoint(
+            args.snapshot or tempfile.mkdtemp(prefix="q3tts_fab_")
+        )
 
     from qwen3_tts_tpu.device_lock import require_device_lock
 
-    if not args.no_synthesis:
+    if not args.no_synthesis and not args.cpu:
         require_device_lock("dress_rehearsal.py")
 
     from qwen3_tts_tpu import transcription

@@ -70,7 +70,8 @@ def load_pairs(data_dir: str) -> list[tuple[str, np.ndarray, int]]:
 
 
 def apply_decode_extensions(model, *, fps: int = 0, depth_group: int = 0,
-                            mtp_cp_batch: bool = False, seed: int = 0):
+                            mtp_cp_batch: bool = False, spec: bool = False,
+                            seed: int = 0):
     """Enable the decode fine-tune extension pair on a loaded model.
 
     Real checkpoints decode one frame per talker pass and one residual
@@ -89,6 +90,14 @@ def apply_decode_extensions(model, *, fps: int = 0, depth_group: int = 0,
       fps frames' residuals in ONE batched cp pass, dividing cp weight
       bytes (the fps>1 binding cost) by fps; the teacher-forced chain
       mirrors the conditioning (training/loss.py).
+    - ``spec`` (needs depth_group > 1): LOSSLESS speculative depth decode.
+      The grouped heads become a DRAFT verified by one teacher-forced
+      full-depth pass per round — the exported model's output stays
+      bit-exact dg=1 greedy (distribution-identical when sampled), so the
+      quality gate only has to cover fine-tune drift, not the depth
+      factorization (models/code_predictor.predict_residuals_spec,
+      PERF.md round 3). Decode cost lands between the plain dg=K ladder
+      shape and dg=1 at the trained draft's acceptance rate.
 
     Returns a rebuilt model (fresh jit caches); raises ValueError for
     invalid geometry (e.g. depth_group not dividing the residual count).
@@ -118,6 +127,19 @@ def apply_decode_extensions(model, *, fps: int = 0, depth_group: int = 0,
             cfg,
             code_predictor=_dc.replace(
                 cfg.code_predictor, depth_group=depth_group
+            ),
+        )
+    if spec:
+        if cfg.code_predictor.depth_group <= 1:
+            raise ValueError(
+                "--spec needs a grouped draft (--depth-group K > 1): "
+                "speculative depth decode drafts with the grouped heads "
+                "and verifies against the full-depth pass"
+            )
+        cfg = _dc.replace(
+            cfg,
+            code_predictor=_dc.replace(
+                cfg.code_predictor, spec_decode=True
             ),
         )
     return _dc.replace(
@@ -166,6 +188,13 @@ def main(argv: list[str] | None = None) -> int:
                     "codebooks per code-predictor pass) before training — "
                     "no new parameters, config + fine-tune only; cuts the "
                     "published protocol's cp-in-loop cost K-fold (PERF.md)")
+    ap.add_argument("--spec", action="store_true",
+                    help="with --depth-group K: export with LOSSLESS "
+                    "speculative depth decode enabled — the grouped heads "
+                    "draft, one teacher-forced full-depth pass verifies, "
+                    "output stays bit-exact dg=1 greedy (the quality gate "
+                    "then only covers fine-tune drift); decode speed lands "
+                    "at the trained draft's acceptance rate (PERF.md)")
     ap.add_argument("--mtp-cp-batch", action="store_true",
                     help="with --mtp-fps N: condition the MTP chain on cb0 "
                     "embeddings alone so decode batches all N frames' "
@@ -234,11 +263,13 @@ def main(argv: list[str] | None = None) -> int:
         model = Qwen3TTSModel.synthetic(configs.tiny_feedback(args.mode))
     else:
         model = load_model(args.model)
-    if args.mtp_fps > 1 or args.depth_group > 1 or args.mtp_cp_batch:
+    if (args.mtp_fps > 1 or args.depth_group > 1 or args.mtp_cp_batch
+            or args.spec):
         try:
             model = apply_decode_extensions(
                 model, fps=args.mtp_fps, depth_group=args.depth_group,
-                mtp_cp_batch=args.mtp_cp_batch, seed=args.seed,
+                mtp_cp_batch=args.mtp_cp_batch, spec=args.spec,
+                seed=args.seed,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -406,18 +437,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         fps = max(1, args.mtp_fps or cfg.talker.frames_per_step)
         dg = max(1, args.depth_group or cfg.code_predictor.depth_group)
+        spec = cfg.code_predictor.spec_decode
         texts = [t for t, _, _ in pairs[: args.eval_texts]]
         voice = "ryan" if args.mode == "custom" else None
+        variant: dict[str, Any] = {"fps": fps, "dg": dg}
+        if spec:
+            variant["spec"] = True
         rep = compare_decode_configs(
             model,
-            {"trained_shape": {"fps": fps, "dg": dg}},
+            {"trained_shape": variant},
             texts,
             transcribe,
             voice=voice,
         )
         v = rep["variants"]["trained_shape"]
         summary["quality"] = {
-            "decode_shape": {"fps": fps, "depth_group": dg,
+            "decode_shape": {"fps": fps, "depth_group": dg, "spec": spec,
                              "mtp_cp_batch": cfg.talker.mtp_cp_batch},
             "median_wer_delta": v["median_wer_delta"],
             "median_mel_dist": v["median_mel_dist"],

@@ -808,17 +808,44 @@ class Generator:
                 (pad_e + params["spk_emb"][prompt.speaker_id])[None, :]
             )
         if prompt.acoustic_codes is not None and prompt.acoustic_codes.size:
-            cb0_np = np.asarray(prompt.acoustic_codes[0])
+            codes_np = np.asarray(prompt.acoustic_codes)    # [Q, T_ref]
+            cb0_np = codes_np[0]
             cb_size = self.cfg.codec.codebook_size
             if int(cb0_np.max()) >= cb_size or int(cb0_np.min()) < 0:
                 raise ValueError(
                     f"acoustic code {int(cb0_np.max())} out of range for "
                     f"codebook_size {cb_size}"
                 )
-            parts.append(
-                pad_e[None, :]
-                + jnp.take(codec_emb, jnp.asarray(cb0_np), axis=0)
+            rows = pad_e[None, :] + jnp.take(
+                codec_emb, jnp.asarray(cb0_np), axis=0
             )
+            # FULL-bandwidth conditioning (VERDICT r3 #5): under the
+            # residual_sum protocol every DECODED frame feeds back
+            # codec_emb[cb0] + Σ_d res_emb[d][code_d] — reference frames
+            # must look the same, or the residual codebooks carrying most
+            # of the speaker timbre are computed by the tokenizer and then
+            # discarded. The reference conditions on the complete ref
+            # audio through the model's own tokenizer
+            # (reference sessions/clone.py:218-224); here the same codes
+            # ride the prompt's codec stream at full depth. Truncated
+            # depth sets (e.g. a synthetic encoder with fewer books than
+            # the cp tables) condition on what exists.
+            n_have = codes_np.shape[0] - 1
+            n_res = self.cfg.codec.num_codebooks - 1
+            use = min(n_have, n_res)
+            if use:
+                res_np = codes_np[1:1 + use]
+                r_size = self.cfg.codec.residual_codebook_size
+                if int(res_np.max()) >= r_size or int(res_np.min()) < 0:
+                    raise ValueError(
+                        f"residual acoustic code {int(res_np.max())} out "
+                        f"of range for residual_codebook_size {r_size}"
+                    )
+                per_depth = jax.vmap(
+                    lambda tab, c: jnp.take(tab, c, axis=0)
+                )(self.cp_params["res_emb"][:use], jnp.asarray(res_np))
+                rows = rows + jnp.sum(per_depth, axis=0).astype(rows.dtype)
+            parts.append(rows)
         parts.append((bos_e + codec_emb[t.codec_pad])[None, :])
         first_txt = txt[n_head] if T > n_head else pad_e
         parts.append((first_txt + codec_emb[t.codec_bos])[None, :])

@@ -507,6 +507,71 @@ def test_feedback_mtp_training_layout_matches_decode():
     np.testing.assert_array_equal(pred[:ok], got[:ok])
 
 
+# -- full-bandwidth clone conditioning (VERDICT r3 #5) -----------------------
+
+def test_acoustic_rows_sum_all_codebooks():
+    """Under the residual_sum protocol the clone prompt's acoustic rows
+    must carry the FULL feedback sum — pad_e + codec_emb[cb0] +
+    Σ_d res_emb[d][code_d] — matching what every decoded frame feeds back
+    (the residual books carry most of the speaker timbre; the reference
+    conditions on the complete ref audio, reference clone.py:218-224)."""
+    from qwen3_tts_tpu.models.talker import text_projection
+
+    m = _model()
+    gen = m.generator
+    cfg = m.cfg
+    t = cfg.talker
+    n_res = cfg.codec.num_codebooks - 1
+    T_ref = 5
+    rng = np.random.default_rng(7)
+    codes = np.concatenate(
+        [rng.integers(0, cfg.codec.codebook_size, (1, T_ref)),
+         rng.integers(0, cfg.codec.residual_codebook_size, (n_res, T_ref))],
+        axis=0,
+    ).astype(np.int32)
+
+    prompt = PromptSpec(text_tokens=np.arange(6, dtype=np.int32) + 5,
+                        acoustic_codes=codes)
+    emb, pad, _ = gen.assemble_prompt_full(prompt)
+    emb = np.asarray(emb[0], np.float32)
+
+    pad_e = np.asarray(text_projection(
+        gen.params,
+        jnp.take(gen.params["text_emb"],
+                 jnp.asarray([t.tts_pad_id]), axis=0),
+    )[0], np.float32)
+    codec_emb = np.asarray(gen.params["codec_emb"], np.float32)
+    res_emb = np.asarray(gen.cp_params["res_emb"], np.float32)
+    want = pad_e[None, :] + codec_emb[codes[0]]
+    for d in range(n_res):
+        want = want + res_emb[d][codes[1 + d]]
+
+    # acoustic rows sit immediately before the [tts_bos+codec_pad] and
+    # [first_txt+codec_bos] tail rows
+    got = emb[-2 - T_ref:-2]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+    # cb0-only conditioning (a 1-codebook reference) must differ: the
+    # residual sum is real signal, not a no-op
+    p0 = PromptSpec(text_tokens=np.arange(6, dtype=np.int32) + 5,
+                    acoustic_codes=codes[:1])
+    emb0, pad0, _ = gen.assemble_prompt_full(p0)
+    got0 = np.asarray(emb0[0], np.float32)[-2 - T_ref:-2]
+    assert np.abs(got - got0).max() > 1e-3
+
+
+def test_acoustic_residual_codes_range_checked():
+    m = _model()
+    n_res = m.cfg.codec.num_codebooks - 1
+    codes = np.zeros((1 + n_res, 3), np.int32)
+    codes[1] = m.cfg.codec.residual_codebook_size  # out of range
+    with pytest.raises(ValueError, match="residual acoustic code"):
+        m.generator.assemble_prompt_full(
+            PromptSpec(text_tokens=np.arange(6, dtype=np.int32),
+                       acoustic_codes=codes)
+        )
+
+
 # -- the three generate_audio call shapes under the protocol ------------------
 
 def test_generate_audio_call_shapes_feedback(tmp_path):

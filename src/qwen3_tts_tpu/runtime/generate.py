@@ -135,6 +135,22 @@ def group_quantized(*trees):
     return out if len(out) > 1 else out[0]
 
 
+def default_chunk_schedule(t) -> tuple:
+    """The adaptive decode-chunk ladder: (8, 16, 32) everywhere EXCEPT the
+    published protocol's raw-import shape (residual_sum feedback, one
+    frame per talker pass), which leads with a 4-frame chunk. There the
+    code predictor's 15 sequential depth passes ride INSIDE every decoded
+    frame, doubling the serial device time of the first chunk — the
+    8-frame first chunk alone blew the 8-stream cold-start TTFA budget
+    (VERDICT r3 #4: p50 388 ms vs the 300 ms BASELINE target). A 4-frame
+    first chunk halves the pre-first-audio device time for one extra
+    dispatch (hidden by the pipelined loop) and one extra compile variant
+    per process."""
+    if t.feedback == "residual_sum" and t.frames_per_step == 1:
+        return (4, 8, 16, 32)
+    return (8, 16, 32)
+
+
 def align_chunk_schedule(schedule, fps: int) -> tuple:
     """Round each chunk size UP to a multiple of ``frames_per_step`` (a
     chunk is a whole number of MTP weight passes). Divisible schedules —
@@ -625,8 +641,9 @@ class Generator:
     # adaptive chunk schedule: small first chunk protects TTFA, growing
     # steady-state chunks amortize per-dispatch fixed costs (depth-
     # transformer scan, host round trip); the last entry repeats for the
-    # rest of the utterance
-    chunk_schedule: tuple = (8, 16, 32)
+    # rest of the utterance. None = protocol-aware default
+    # (default_chunk_schedule: the raw-import feedback shape leads with 4)
+    chunk_schedule: tuple | None = None
     # chunks kept in flight ahead of the one being fetched (2 = the classic
     # one-speculative-chunk pattern; serving measured depth 2->3 nearly
     # flat, tools/ab_serving.py)
@@ -646,6 +663,8 @@ class Generator:
         # (8, 16, 32) works for ANY frames_per_step (fps=3 -> 9, 18, 33)
         # instead of crashing on indivisible sizes. fps-divisible schedules
         # pass through unchanged.
+        if self.chunk_schedule is None:
+            self.chunk_schedule = default_chunk_schedule(self.cfg.talker)
         self.chunk_schedule = align_chunk_schedule(
             self.chunk_schedule, self.cfg.talker.frames_per_step
         )

@@ -178,14 +178,19 @@ class ServingEngine:
         # its TTFA) and grow to the last entry in steady state, amortizing
         # the per-chunk host round trip + fetch. An explicit ``chunk`` pins
         # a fixed single-size schedule (tests, fixed-latency deployments).
+        t = self.cfg.talker
         if chunk_schedule is not None:
             self.chunk_schedule = tuple(chunk_schedule)
         elif chunk is not None:
             self.chunk_schedule = (chunk,)
         else:
-            self.chunk_schedule = (8, 16, 32)
+            # protocol-aware default: the raw-import feedback shape leads
+            # with a 4-frame chunk (cold-start TTFA — see
+            # generate.default_chunk_schedule)
+            from .generate import default_chunk_schedule
+
+            self.chunk_schedule = default_chunk_schedule(t)
         self.sampling = sampling or SamplingConfig()
-        t = self.cfg.talker
         S = self.cfg.max_seq_len
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         shape = (t.n_layers, self.B, S, t.n_kv_heads, t.head_dim)

@@ -507,6 +507,33 @@ def test_feedback_mtp_training_layout_matches_decode():
     np.testing.assert_array_equal(pred[:ok], got[:ok])
 
 
+# -- protocol-aware chunk schedule (VERDICT r3 #4) ---------------------------
+
+def test_feedback_fps1_leads_with_4frame_chunk():
+    """The raw-import shape (residual_sum, fps=1) halves its first decode
+    chunk: the cp-in-loop doubles per-frame serial cost, and the 8-frame
+    first chunk alone blew the 8-stream cold-start TTFA budget. Other
+    shapes keep (8, 16, 32); explicit schedules are never overridden."""
+    m = _model()
+    assert m.generator.chunk_schedule == (4, 8, 16, 32)
+    eng = ServingEngine(m, max_streams=2)
+    assert eng.chunk_schedule == (4, 8, 16, 32)
+
+    # fps=2 (the recovered shape) keeps the standard ladder
+    m2 = Qwen3TTSModel.synthetic(
+        configs.tiny_feedback("custom", frames_per_step=2), seed=0
+    )
+    assert m2.generator.chunk_schedule == (8, 16, 32)
+
+    # cb0 protocol unchanged
+    m3 = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=0)
+    assert m3.generator.chunk_schedule == (8, 16, 32)
+
+    # explicit schedule wins
+    eng2 = ServingEngine(m, max_streams=2, chunk_schedule=(8,))
+    assert eng2.chunk_schedule == (8,)
+
+
 # -- full-bandwidth clone conditioning (VERDICT r3 #5) -----------------------
 
 def test_acoustic_rows_sum_all_codebooks():

@@ -55,6 +55,12 @@ def main() -> None:
                     help="draft group size (15 = whole frame in one pass)")
     ap.add_argument("--arms", nargs="+",
                     default=["base", "spec_ceiling", "spec_floor"])
+    ap.add_argument("--accept", type=float, default=None, metavar="A",
+                    help="add a spec arm with draft acceptance pinned to A "
+                    "via partial head surgery (zero round(A*n_res) depth "
+                    "heads — draft == verifier argmax exactly there; "
+                    "bench.py _pin_draft_acceptance, measured default from "
+                    "tools/measure_acceptance.py)")
     ap.add_argument("--plain-dg", type=int, default=0, metavar="K",
                     help="add a plain (non-spec) grouped arm at dg=K — "
                     "the lossy ladder shape, for same-process comparison")
@@ -129,6 +135,19 @@ def main() -> None:
                        _generator=None, _serving=None)
         m.cp_params = cp2
         arms["spec_ceiling"] = m
+
+    if args.accept is not None:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from bench import _pin_draft_acceptance
+
+        m = dc.replace(base, cfg=build(args.dg, True),
+                       _generator=None, _serving=None)
+        m.cp_params = dict(base.cp_params)
+        pinned = _pin_draft_acceptance(m, args.accept)
+        arms[f"spec_accept{args.accept:g}"] = m
+        print(f"[spec_accept arm: {pinned} of "
+              f"{m.cfg.codec.num_codebooks - 1} depths pinned accepted]",
+              flush=True)
 
     if args.plain_dg > 1:
         arms[f"plain_dg{args.plain_dg}"] = dc.replace(

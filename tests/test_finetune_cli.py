@@ -206,6 +206,62 @@ def test_decode_extension_flags_train_and_export(data_dir, tmp_path, capsys):
     assert os.path.exists(os.path.join(outdir, "audio_000.wav"))
 
 
+def test_spec_flag_exports_lossless_decode(data_dir, tmp_path, capsys):
+    """--spec (VERDICT r3 #3): the LOSSLESS recovery path must ship
+    end-to-end from the CLI that owns recovery — train with the grouped
+    draft, export with spec_decode enabled, and the export serves with
+    output bit-exact to the same weights' dg=1 greedy chain."""
+    import dataclasses
+
+    import numpy as np
+
+    export = str(tmp_path / "tuned_spec")
+    rc = finetune.main([
+        "--model", "synthetic-tiny-feedback", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--lr", "1e-3",
+        "--depth-group", "3", "--spec", "--export", export,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exported"] == export
+
+    from qwen3_tts_tpu.engine.api import load_model
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+
+    model = load_model(export)
+    assert model.cfg.code_predictor.spec_decode is True
+    assert model.cfg.code_predictor.depth_group == 3
+
+    # losslessness: spec greedy decode == the SAME weights at dg=1 greedy
+    model.sampling = SamplingConfig(greedy=True)
+    p = PromptSpec(text_tokens=np.arange(6, dtype=np.int32) + 5,
+                   speaker_id=1)
+    r_spec = model.generator.synthesize(p, max_frames=6, seed=0)
+    base = dataclasses.replace(
+        model,
+        cfg=dataclasses.replace(
+            model.cfg,
+            code_predictor=dataclasses.replace(
+                model.cfg.code_predictor, depth_group=1, spec_decode=False
+            ),
+        ),
+        _generator=None, _serving=None,
+    )
+    base.sampling = SamplingConfig(greedy=True)
+    r_base = base.generator.synthesize(p, max_frames=6, seed=0)
+    np.testing.assert_array_equal(r_spec.wav, r_base.wav)
+
+
+def test_spec_flag_requires_grouped_draft(data_dir, capsys):
+    rc = finetune.main([
+        "--model", "synthetic-tiny-feedback", "--data", data_dir,
+        "--batch-size", "4", "--steps", "1", "--spec",
+    ])
+    assert rc == 1
+    assert "--spec needs a grouped draft" in capsys.readouterr().err
+
+
 def test_depth_group_flag_rejects_bad_divisor(data_dir, capsys):
     # tiny codec has 3 residual codebooks; 2 does not divide 3
     rc = finetune.main([

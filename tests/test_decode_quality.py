@@ -186,7 +186,7 @@ def test_finetune_eval_quality_summary(tmp_path, capsys, monkeypatch):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     q = summary["quality"]
     assert q["decode_shape"] == {
-        "fps": 2, "depth_group": 1, "mtp_cp_batch": False,
+        "fps": 2, "depth_group": 1, "spec": False, "mtp_cp_batch": False,
     }
     assert q["asr"] is True and q["texts"] == 2
     assert q["median_wer_delta"] == 0.0      # constant hyp: deltas cancel

@@ -32,12 +32,17 @@ def test_single_stream_metrics_shape():
     assert m["rtf"] > 0 and m["audio_s"] > 0 and m["frames"] > 0
 
 
+@pytest.mark.slow
 def test_real_checkpoint_block_shape():
     """The real_checkpoint audit (VERDICT r2 #1, r3 #3) must produce all
     three decode shapes — raw import, lossy recovery, lossless spec
     recovery — with single-stream AND serving metrics; run on tiny
     feedback geometry (the flagship run happens on the TPU driver
-    capture)."""
+    capture). Slow tier: the default tier covers the block machinery via
+    test_real_checkpoint_budget_gate_skips_late_configs (one config +
+    incremental emission) and the spec pinning via
+    test_pin_draft_acceptance_zeroes_heads; the decode paths themselves
+    are covered per-shape in test_feedback/test_mtp/test_spec_decode."""
     done = []
     real = bench._real_checkpoint_metrics(
         bench._tiny_feedback_factory, n_streams=2, reps=1, target_frames=12,
@@ -57,6 +62,30 @@ def test_real_checkpoint_block_shape():
     assert 0 < spec["draft_acceptance_pinned"] <= 1
     # tiny geometry: 3 residual books -> pinned depths clamp to [0, 3]
     assert 0 <= spec["accepted_depths"] <= 3
+
+
+def test_pin_draft_acceptance_zeroes_heads():
+    """Cheap default-tier coverage of the spec-entry pinning used by the
+    real_checkpoint block (the full three-shape audit is in the slow
+    tier): zeroed head rows make draft and verifier agree at exactly
+    round(acceptance * n_res) depths."""
+    cfg = bench._tiny_feedback_factory(
+        "custom", depth_group=3, spec_decode=True
+    )
+    model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+    n_res = cfg.codec.num_codebooks - 1
+    heads_before = np.asarray(model.cp_params["heads"])
+    accepted = bench._pin_draft_acceptance(model, 0.67)
+    assert accepted == round(0.67 * n_res)
+    heads = np.asarray(model.cp_params["heads"])
+    zeroed = [d for d in range(n_res) if not heads[d].any()]
+    assert len(zeroed) == accepted
+    kept = [d for d in range(n_res) if heads[d].any()]
+    for d in kept:
+        np.testing.assert_array_equal(heads[d], heads_before[d])
+    # acceptance 0 is a no-op
+    model2 = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+    assert bench._pin_draft_acceptance(model2, 0.0) == 0
 
 
 def test_real_checkpoint_budget_gate_skips_late_configs():

@@ -156,9 +156,13 @@ def test_kv_dense_baseline_is_bit_identical(model):
     assert v["median_mel_dist"] < 0.1        # identical audio -> ~0 dB
 
 
+@pytest.mark.slow
 def test_finetune_eval_quality_summary(tmp_path, capsys, monkeypatch):
     """finetune.py --eval-quality: post-train WER-delta report lands in
-    the summary JSON before export, using the registered ASR provider."""
+    the summary JSON before export, using the registered ASR provider.
+    Slow tier: the default tier keeps the gate's FAILURE path
+    (test_finetune_eval_quality_gate_fails_loudly) and the harness itself
+    (test_compare_decode_configs_report_shape)."""
     from test_finetune_cli import _write_pair
 
     from qwen3_tts_tpu import finetune, transcription

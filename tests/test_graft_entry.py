@@ -10,9 +10,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
     """Direct call in a process that already has >= 8 devices (this test
     process runs on the virtual 8-device CPU mesh) uses them as-is."""

@@ -423,9 +423,12 @@ def test_adaptive_schedule_drops_back_for_joining_stream(model):
         assert guard < 100
 
 
+@pytest.mark.slow
 def test_four_slot_groups(model):
     """n_groups is configurable (16-slot experiments use 4); outputs stay
-    exact."""
+    exact. Slow tier: the default tier exercises slot groups at n_groups=2
+    (test_slot_groups_separate_long_and_short_streams); this adds only the
+    4-group config variant."""
     prompts = [_prompt(i + 70) for i in range(4)]
     base = ServingEngine(model, max_streams=4, chunk=4, sampling=GREEDY)
     expected = base.run(prompts, max_frames=8)

@@ -50,6 +50,11 @@ def main() -> None:
                     help="also measure the N-stream serving aggregate per "
                     "arm (bench.py's _serving_metrics — one engine per "
                     "arm, sequential; adds several compiles)")
+    ap.add_argument("--serving-only", action="store_true",
+                    help="skip the single-stream warm/reps entirely (use "
+                    "with --arms <one> --serving N: the remote service "
+                    "frees buffers lazily, and a resident generator next "
+                    "to an 8-slot engine has crashed the TPU worker)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (harness smoke test, no TPU)")
     args = ap.parse_args()
@@ -104,39 +109,44 @@ def main() -> None:
             speaker_id=seq[0] % 4,
         )
 
-    for name, m in arms.items():
-        t0 = time.perf_counter()
-        m.generator.synthesize(prompt(), max_frames=args.frames, seed=0)
-        print(f"[{name} warm {time.perf_counter() - t0:.0f}s]", flush=True)
-
-    scores: dict[str, list] = {name: [] for name in arms}
-    for rep in range(args.reps):
+    if not args.serving_only:
         for name, m in arms.items():
-            r = m.generator.synthesize(
-                prompt(), max_frames=args.frames, seed=seq[0]
-            )
-            scores[name].append((r.rtf, r.ttfa_s))
-            print(f"rep{rep} {name:>8}: {r.rtf:5.2f}x  "
-                  f"ttfa {r.ttfa_s * 1e3:5.0f} ms", flush=True)
+            t0 = time.perf_counter()
+            m.generator.synthesize(prompt(), max_frames=args.frames, seed=0)
+            print(f"[{name} warm {time.perf_counter() - t0:.0f}s]",
+                  flush=True)
 
-    print(f"\ncp-batch A/B fps={args.fps} dg={args.dg} "
-          f"spec={args.spec} (median over reps):")
-    for name, vals in scores.items():
-        rtfs = [v[0] for v in vals]
-        ttfas = [v[1] * 1e3 for v in vals]
-        print(f"  {name:>8}: {np.median(rtfs):6.2f}x RTF, ttfa p50 "
-              f"{np.median(ttfas):4.0f} ms  (runs: "
-              + ", ".join(f"{r:.2f}" for r in rtfs) + ")")
+        scores: dict[str, list] = {name: [] for name in arms}
+        for rep in range(args.reps):
+            for name, m in arms.items():
+                r = m.generator.synthesize(
+                    prompt(), max_frames=args.frames, seed=seq[0]
+                )
+                scores[name].append((r.rtf, r.ttfa_s))
+                print(f"rep{rep} {name:>8}: {r.rtf:5.2f}x  "
+                      f"ttfa {r.ttfa_s * 1e3:5.0f} ms", flush=True)
+
+        print(f"\ncp-batch A/B fps={args.fps} dg={args.dg} "
+              f"spec={args.spec} (median over reps):")
+        for name, vals in scores.items():
+            rtfs = [v[0] for v in vals]
+            ttfas = [v[1] * 1e3 for v in vals]
+            print(f"  {name:>8}: {np.median(rtfs):6.2f}x RTF, ttfa p50 "
+                  f"{np.median(ttfas):4.0f} ms  (runs: "
+                  + ", ".join(f"{r:.2f}" for r in rtfs) + ")")
 
     if args.serving:
         # one engine per arm (sequential — two big-cache engines resident
-        # at once risks the HBM wedge, CLAUDE.md); drops the single-stream
-        # generator's buffers first for the same reason
+        # at once risks the HBM wedge, CLAUDE.md); drops EVERY arm's
+        # single-stream buffers first, not just the current arm's — the
+        # remote service frees lazily, and the other arm's resident
+        # generator next to an 8-slot engine has crashed the TPU worker
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from bench import _free_model, _serving_metrics
 
-        for name, m in arms.items():
+        for m in arms.values():
             _free_model(m)
+        for name, m in arms.items():
             t0 = time.perf_counter()
             sm = _serving_metrics(m, args.serving)
             print(f"  {name:>8} serving{args.serving}: "

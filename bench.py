@@ -267,6 +267,73 @@ def _pin_draft_acceptance(model, acceptance: float) -> int:
     return m
 
 
+# the three decode shapes of the real-checkpoint audit (label, fps, dg, spec)
+_RC_CONFIGS = (
+    ("raw_import_fps1", 1, 1, False),
+    ("recovered_fps2_dg5", 2, 5, False),
+    ("recovered_lossless_spec", 1, 15, True),
+)
+
+
+def _default_spec_acceptance() -> float:
+    # measured on the trained tiny recovery pipeline
+    # (tools/measure_acceptance.py, PERF.md round 4): the CONVERGED draft
+    # accepts 97.7% of depths in-distribution (1.07 correction rounds),
+    # 62% on the toy's far-OOD held-out texts (a toy memorizes — it has no
+    # generalization, so that is a floor, not a forecast), 36% untrained.
+    # Default pins DOUBLE the converged in-distribution miss rate — 14/15
+    # depths, exactly 2 verify rounds/frame at flagship geometry — as the
+    # conservative in-domain estimate; QWEN3_TTS_BENCH_SPEC_ACCEPT
+    # overrides.
+    return float(os.environ.get("QWEN3_TTS_BENCH_SPEC_ACCEPT", 0.93))
+
+
+def _real_checkpoint_row(label: str, fps: int, dg: int, spec: bool,
+                         config_fn=None, *, n_streams: int | None = None,
+                         reps: int = 2, target_frames: int = 240,
+                         spec_acceptance: float | None = None) -> dict:
+    """ONE config of the real-checkpoint audit: build the model, measure
+    single-stream RTF/TTFA and the 8-stream aggregate, free the buffers.
+    Factored out so ``--real-row`` can run it in an isolated subprocess
+    (see main): the TPU worker has crashed mid-serving-warmup on this
+    service, and a fresh process per config both contains the crash to
+    one row and releases every device buffer at exit."""
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+
+    if config_fn is None:
+        config_fn = configs.flagship_feedback_code2wav
+    if spec_acceptance is None:
+        spec_acceptance = _default_spec_acceptance()
+    cfg = config_fn("custom", frames_per_step=fps,
+                    depth_group=dg, spec_decode=spec)
+    t0 = time.perf_counter()
+    model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
+    load_s = time.perf_counter() - t0
+    row: dict = {
+        "fps": fps,
+        "depth_group": cfg.code_predictor.depth_group,
+        "load_s": round(load_s, 1),
+    }
+    if spec:
+        accepted = _pin_draft_acceptance(model, spec_acceptance)
+        row["spec_decode"] = True
+        row["draft_acceptance_pinned"] = round(spec_acceptance, 3)
+        row["accepted_depths"] = accepted
+    ss = _single_stream_metrics(model, reps=reps,
+                                target_frames=target_frames)
+    row.update(**ss, vs_baseline=round(ss["rtf"] / BASELINE_RTF, 3))
+    _free_model(model)  # single-stream buffers down before the 8-slot engine
+    try:
+        row["serving_8stream"] = _serving_metrics(
+            model, n_streams if n_streams is not None else BASELINE_STREAMS
+        )
+    except Exception as e:  # keep the single-stream half of the row
+        row["serving_8stream"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    _free_model(model)
+    return row
+
+
 def _real_checkpoint_metrics(config_fn=None, *, n_streams: int | None = None,
                              reps: int = 2, target_frames: int = 240,
                              spec_acceptance: float | None = None,
@@ -290,68 +357,53 @@ def _real_checkpoint_metrics(config_fn=None, *, n_streams: int | None = None,
     (test_bench.py). ``on_config_done(label, row)`` fires after each
     config (bench emits an updated superset line); ``should_continue()``
     returning False stops before the next config (wall-budget gate)."""
-    from qwen3_tts_tpu.engine import configs
-    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
-
-    if config_fn is None:
-        config_fn = configs.flagship_feedback_code2wav
-    if spec_acceptance is None:
-        # measured on the trained tiny recovery pipeline
-        # (tools/measure_acceptance.py, PERF.md round 4): the CONVERGED
-        # draft accepts 97.7% of depths in-distribution (1.07 correction
-        # rounds), 62% on the toy's far-OOD held-out texts (a toy
-        # memorizes — it has no generalization, so that is a floor, not a
-        # forecast), 36% untrained. Default pins DOUBLE the converged
-        # in-distribution miss rate — 14/15 depths, exactly 2 verify
-        # rounds/frame at flagship geometry — as the conservative
-        # in-domain estimate; QWEN3_TTS_BENCH_SPEC_ACCEPT overrides.
-        spec_acceptance = float(
-            os.environ.get("QWEN3_TTS_BENCH_SPEC_ACCEPT", 0.93)
-        )
     out: dict = {}
     # the spec entry drafts the WHOLE depth column in one grouped pass
     # (dg=15 at flagship geometry; an injected tiny factory clamps to its
     # own residual count — test_bench.py)
-    for label, fps, dg, spec in (
-        ("raw_import_fps1", 1, 1, False),
-        ("recovered_fps2_dg5", 2, 5, False),
-        ("recovered_lossless_spec", 1, 15, True),
-    ):
+    for label, fps, dg, spec in _RC_CONFIGS:
         if should_continue is not None and not should_continue():
             out[label] = {"skipped": "wall budget exhausted"}
             if on_config_done is not None:
                 on_config_done(label, out[label])
             continue
-        cfg = config_fn("custom", frames_per_step=fps,
-                        depth_group=dg, spec_decode=spec)
-        t0 = time.perf_counter()
-        model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
-        load_s = time.perf_counter() - t0
-        row: dict = {
-            "fps": fps,
-            "depth_group": cfg.code_predictor.depth_group,
-            "load_s": round(load_s, 1),
-        }
-        if spec:
-            accepted = _pin_draft_acceptance(model, spec_acceptance)
-            row["spec_decode"] = True
-            row["draft_acceptance_pinned"] = round(spec_acceptance, 3)
-            row["accepted_depths"] = accepted
-        ss = _single_stream_metrics(model, reps=reps,
-                                    target_frames=target_frames)
-        serving = _serving_metrics(
-            model, n_streams if n_streams is not None else BASELINE_STREAMS
+        out[label] = _real_checkpoint_row(
+            label, fps, dg, spec, config_fn,
+            n_streams=n_streams, reps=reps, target_frames=target_frames,
+            spec_acceptance=spec_acceptance,
         )
-        row.update(
-            **ss,
-            vs_baseline=round(ss["rtf"] / BASELINE_RTF, 3),
-            serving_8stream=serving,
-        )
-        out[label] = row
-        _free_model(model)
         if on_config_done is not None:
-            on_config_done(label, row)
+            on_config_done(label, out[label])
     return out
+
+
+def _run_real_row_subprocess(label: str, *, timeout_s: float) -> dict:
+    """Run one real_checkpoint config via ``bench.py --real-row`` in a
+    fresh process. Isolation is the point: the remote TPU worker has
+    crashed (kernel-fault restart) while warming 8-slot serving engines,
+    and a crash inside one row's process costs that row alone — the
+    parent keeps its device-lock/budget state and moves to the next
+    config with a clean client. Tiny/CPU modes propagate via env."""
+    import subprocess
+
+    env = {**os.environ, "QWEN3_TTS_DEVICE_LOCK": "0"}  # parent holds it
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--real-row", label],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"row timed out after {timeout_s:.0f}s"}
+    for line in reversed(r.stdout.splitlines()):
+        if line.lstrip().startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    return {
+        "error": f"row subprocess died rc={r.returncode} "
+        f"(crashed TPU worker?): {r.stderr.strip()[-300:]}"
+    }
 
 
 def _tiny_feedback_factory(mode, *, frames_per_step=1, depth_group=1,
@@ -508,19 +560,36 @@ def main() -> None:
     # re-emits the superset line immediately.
     if os.environ.get("QWEN3_TTS_BENCH_REAL", "1") not in ("0", ""):
         doc["detail"]["real_checkpoint"] = {}
+        reserve = 60 if tiny else 600
+        if os.environ.get("QWEN3_TTS_BENCH_SUBPROC", "1") not in ("0", ""):
+            # default: one fresh process per config (crash containment —
+            # see _run_real_row_subprocess); QWEN3_TTS_BENCH_SUBPROC=0
+            # restores the in-process path
+            for label, fps, dg, spec in _RC_CONFIGS:
+                if _budget_left() > reserve:
+                    doc["detail"]["real_checkpoint"][label] = (
+                        _run_real_row_subprocess(
+                            label, timeout_s=max(60.0, _budget_left() - 30)
+                        )
+                    )
+                else:
+                    doc["detail"]["real_checkpoint"][label] = {
+                        "skipped": "wall budget exhausted"
+                    }
+                _emit(doc)
+        else:
+            def on_done(label: str, row: dict) -> None:
+                doc["detail"]["real_checkpoint"][label] = row
+                _emit(doc)
 
-        def on_done(label: str, row: dict) -> None:
-            doc["detail"]["real_checkpoint"][label] = row
-            _emit(doc)
-
-        _real_checkpoint_metrics(
-            _tiny_feedback_factory if tiny else None,
-            n_streams=n_streams if tiny else None,
-            reps=1 if tiny else 2,
-            target_frames=12 if tiny else 240,
-            on_config_done=on_done,
-            should_continue=lambda: _budget_left() > (60 if tiny else 600),
-        )
+            _real_checkpoint_metrics(
+                _tiny_feedback_factory if tiny else None,
+                n_streams=n_streams if tiny else None,
+                reps=1 if tiny else 2,
+                target_frames=12 if tiny else 240,
+                on_config_done=on_done,
+                should_continue=lambda: _budget_left() > reserve,
+            )
 
 
 def preflight(deadline_s: float | None = None,
@@ -633,6 +702,31 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if len(sys.argv) > 2 and sys.argv[1] == "--real-row":
+        # child of _run_real_row_subprocess: the parent holds the device
+        # lock (env disables ours) and already ran preflight. Prints ONE
+        # JSON row on the last stdout line.
+        label = sys.argv[2]
+        try:
+            _, fps, dg, spec = next(
+                c for c in _RC_CONFIGS if c[0] == label
+            )
+        except StopIteration:
+            print(json.dumps({"error": f"unknown real-row label {label!r}"}))
+            sys.exit(2)
+        from qwen3_tts_tpu.engine import enable_compilation_cache
+
+        enable_compilation_cache()
+        tiny = os.environ.get("QWEN3_TTS_BENCH_TINY", "0") not in ("0", "")
+        row = _real_checkpoint_row(
+            label, fps, dg, spec,
+            _tiny_feedback_factory if tiny else None,
+            n_streams=2 if tiny else None,
+            reps=1 if tiny else 2,
+            target_frames=12 if tiny else 240,
+        )
+        print(json.dumps(row), flush=True)
+        sys.exit(0)
     # lock FIRST: waiting behind an in-flight measurement step can take up
     # to an hour, and probing the device mid-step would both stale the
     # health verdict and jitter the holder's timed numbers

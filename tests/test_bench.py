@@ -153,6 +153,38 @@ def test_bench_killed_mid_run_leaves_parseable_superset():
     assert last["detail"]["serving_8stream"]["agg_rtf"] > 0
 
 
+def test_real_row_subprocess_returns_row_json():
+    """bench.py --real-row <label> (the crash-containment path: one fresh
+    process per real_checkpoint config) prints a complete row as its last
+    stdout JSON line, on tiny CPU geometry via env propagation."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    env = {**os.environ, "QWEN3_TTS_CPU": "1", "QWEN3_TTS_BENCH_TINY": "1"}
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--real-row", "raw_import_fps1"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["fps"] == 1 and row["rtf"] > 0
+    assert row["serving_8stream"]["agg_rtf"] > 0
+
+    # unknown label: error JSON + rc 2 (the parent records it, not crashes)
+    r2 = subprocess.run(
+        [sys.executable, "bench.py", "--real-row", "nope"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert r2.returncode == 2
+    assert "unknown real-row label" in json.loads(
+        r2.stdout.strip().splitlines()[-1]
+    )["error"]
+
+
 def test_preflight_returns_quickly_when_device_answers(monkeypatch):
     """preflight must return fast when the probe subprocess succeeds
     (CPU backend answers trivially in the child)."""

@@ -430,11 +430,15 @@ def _dress_rehearsal_metrics(timeout_s: float = 420.0) -> dict:
 
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "dress_rehearsal.py")
+    # the child is CPU tiny: let its sub-second compiles persist so the
+    # checklist costs seconds, not minutes, on every later bench run
+    env = {**os.environ}
+    env.setdefault("QWEN3_TTS_JAX_CACHE_MIN_S", "0")
     try:
         r = subprocess.run(
             [sys.executable, tool, "--fabricate", "--cpu",
              "--max-frames", "8"],
-            capture_output=True, text=True, timeout=timeout_s,
+            capture_output=True, text=True, timeout=timeout_s, env=env,
         )
     except subprocess.TimeoutExpired:
         return {"error": f"timed out after {timeout_s:.0f}s"}

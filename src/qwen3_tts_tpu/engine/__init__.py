@@ -32,8 +32,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
             ),
         )
     os.makedirs(path, exist_ok=True)
+    # QWEN3_TTS_JAX_CACHE_MIN_S: tiny-config runs (tests, CPU smoke
+    # subprocesses) set 0 so their sub-second compiles cache too; the
+    # default 5 s keeps flagship-only caching for production processes.
+    min_s = float(os.environ.get("QWEN3_TTS_JAX_CACHE_MIN_S", 5.0))
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_s)
+        if min_s <= 0:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without the persistent cache — silently skip

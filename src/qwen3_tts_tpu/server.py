@@ -895,9 +895,10 @@ def main(argv: list[str] | None = None) -> None:
               "second engine", file=sys.stderr)
         raise SystemExit(2)
 
-    from .engine import configs
+    from .engine import configs, enable_compilation_cache
     from .engine.api import Qwen3TTSModel, load_model
 
+    enable_compilation_cache()
     if args.model == "synthetic":
         model = Qwen3TTSModel.synthetic(
             configs.flagship(args.mode, frames_per_step=2)

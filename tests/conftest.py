@@ -52,6 +52,13 @@ if _cache_dir != "0":
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without the persistent cache — run uncached
+    # Subprocesses spawned by tests (bench.py tiny children, serve.py,
+    # dress_rehearsal.py, the dryrun CLI) call
+    # engine.enable_compilation_cache(): point them at THIS cache with a
+    # zero min-compile-time so their sub-second tiny-config compiles hit
+    # disk across tests and invocations instead of recompiling cold.
+    os.environ.setdefault("QWEN3_TTS_JAX_CACHE", _cache_dir)
+    os.environ.setdefault("QWEN3_TTS_JAX_CACHE_MIN_S", "0")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 

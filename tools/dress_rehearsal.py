@@ -246,6 +246,9 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from qwen3_tts_tpu.engine import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.fabricate:
         from qwen3_tts_tpu.engine.fabricate import fabricate_full_checkpoint
 

@@ -137,8 +137,12 @@ class _PendingPrefill:
     emb: Any                  # [1, Lb, D] left-padded prompt embeddings
     pad: int
     Lb: int
-    sk: Any                   # scratch caches [L, 1, Lb, H_kv, hd]
-    sv: Any
+    # scratch caches [L, 1, Lb, H_kv, hd] — allocated LAZILY by the
+    # slice-prefill path; the batched cold-start path builds its own
+    # batch-sized scratch, so allocating these at submit() would put two
+    # dead device ops per stream on the cold-start TTFA path
+    sk: Any = None
+    sv: Any = None
     pos: int = 0              # tokens prefilled so far
     last_logits: Any = None   # [V] logits at the final prompt position
     last_hidden: Any = None   # [D] hidden at the final prompt position
@@ -621,15 +625,8 @@ class ServingEngine:
         self._slots[slot] = stream
         self.streams[stream.stream_id] = stream
 
-        t = self.cfg.talker
-        scratch = (t.n_layers, 1, Lb, t.n_kv_heads, t.head_dim)
         self._pending.append(_PendingPrefill(
-            stream=stream, emb=emb, pad=pad, Lb=Lb,
-            sk=kv_cache_init(scratch, self._cache_dtype,
-                             kv_format=self._kv_fmt),
-            sv=kv_cache_init(scratch, self._cache_dtype,
-                             kv_format=self._kv_fmt),
-            trailing=trailing,
+            stream=stream, emb=emb, pad=pad, Lb=Lb, trailing=trailing,
         ))
         return stream.stream_id
 
@@ -688,6 +685,13 @@ class ServingEngine:
         stalled_once = False
         while self._pending and not (live() and stalled_once):
             pp = self._pending[0]
+            if pp.sk is None:
+                t = self.cfg.talker
+                scratch = (t.n_layers, 1, pp.Lb, t.n_kv_heads, t.head_dim)
+                pp.sk = kv_cache_init(scratch, self._cache_dtype,
+                                      kv_format=self._kv_fmt)
+                pp.sv = kv_cache_init(scratch, self._cache_dtype,
+                                      kv_format=self._kv_fmt)
             C = min(self.prefill_chunk, pp.Lb - pp.pos)
             fn = self._prefill_slice_fn(C, pp.Lb)
             emb_slice = jax.lax.dynamic_slice_in_dim(pp.emb, pp.pos, C, axis=1)
@@ -1309,10 +1313,26 @@ class ServingEngine:
                 not self.streams[sid].done for sid in ids.values()
             )
 
+        def depth_now() -> int:
+            # Cold-start ramp: while NO live stream has first audio, keep
+            # exactly ONE step in flight. Device executions are SERIALIZED
+            # on this service, so a speculative second chunk dispatched
+            # ahead of the first chunk's eager wav fetch queues a whole
+            # extra chunk of execution into every stream's TTFA (measured
+            # ~300 ms of the 8-stream cold TTFA on the raw-import shape —
+            # tools/profile_cold_ttfa.py). The moment any stream is
+            # audible, ramp to pipeline_depth; a stream JOINING a loaded
+            # engine therefore keeps the deep pipeline (its join-TTFA
+            # rides chunked prefill, which doesn't stall live streams).
+            live = [st for st in self.streams.values() if not st.done]
+            if live and all(st.ttfa_s is None for st in live):
+                return 1
+            return max(1, pipeline_depth)
+
         fill_slots()
         inflight: list = []
         while unfinished() or inflight:
-            while unfinished() and len(inflight) < max(1, pipeline_depth):
+            while unfinished() and len(inflight) < depth_now():
                 payload = self.dispatch_step()
                 if payload is None:
                     break

@@ -575,10 +575,21 @@ class TTSService:
                 self._admit()
                 if not (self._active or self._jobs or inflight):
                     continue
-                # pipelined decode (mirrors ServingEngine.run)
+                # pipelined decode (mirrors ServingEngine.run, incl. its
+                # cold-start ramp: executions are serialized on the device
+                # service, so while NO live stream has first audio yet a
+                # speculative second chunk would queue a whole extra chunk
+                # of execution into every stream's TTFA)
+                live = [
+                    st for st in self.engine.streams.values() if not st.done
+                ]
+                depth = (
+                    1 if live and all(st.ttfa_s is None for st in live)
+                    else _PIPELINE_DEPTH
+                )
                 while (
                     (self._active or self._jobs)
-                    and len(inflight) < _PIPELINE_DEPTH
+                    and len(inflight) < depth
                 ):
                     payload = self.engine.dispatch_step()
                     if payload is None:

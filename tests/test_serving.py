@@ -423,6 +423,51 @@ def test_adaptive_schedule_drops_back_for_joining_stream(model):
         assert guard < 100
 
 
+def test_cold_start_pipeline_ramps_after_first_audio(model):
+    """run()'s dispatch pipeline stays ONE deep until some stream has
+    first audio (device executions are serialized, so a speculative second
+    chunk would queue ahead of the first chunk's eager wav fetch and land
+    in every stream's TTFA), then ramps to pipeline_depth — and outputs
+    stay token-identical to a fresh engine's."""
+    prompts = [_prompt(81), _prompt(82)]
+    base = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    expected = base.run(prompts, max_frames=12)
+
+    eng = ServingEngine(model, max_streams=2, chunk=4, sampling=GREEDY)
+    events = []
+    real_dispatch, real_collect = eng.dispatch_step, eng.collect_step
+
+    def spy_dispatch():
+        events.append(("d", all(
+            st.ttfa_s is None for st in eng.streams.values() if not st.done
+        )))
+        return real_dispatch()
+
+    def spy_collect(payload):
+        events.append(("c", None))
+        return real_collect(payload)
+
+    eng.dispatch_step = spy_dispatch
+    eng.collect_step = spy_collect
+    served = eng.run(prompts, max_frames=12, pipeline_depth=2)
+
+    # every dispatch issued while ALL live streams were cold must be
+    # followed by a collect before the next dispatch (depth 1)...
+    for i, (kind, cold) in enumerate(events):
+        if kind == "d" and cold and i + 1 < len(events):
+            assert events[i + 1][0] == "c", (i, events)
+    # ...and after first audio the pipeline actually went 2 deep
+    warm_pairs = [
+        1 for i in range(len(events) - 1)
+        if events[i] == ("d", False) and events[i + 1][0] == "d"
+    ]
+    assert warm_pairs, f"pipeline never ramped past depth 1: {events}"
+
+    for (wav_a, sa), (wav_b, sb) in zip(served, expected):
+        assert sa.frames == sb.frames
+        np.testing.assert_array_equal(wav_a, wav_b)
+
+
 @pytest.mark.slow
 def test_four_slot_groups(model):
     """n_groups is configurable (16-slot experiments use 4); outputs stay

@@ -81,12 +81,30 @@ def main() -> None:
     for rep in range(args.reps):
         ps = prompts(args.streams)
         t_submit = time.perf_counter()
-        ids = [engine.submit(p, max_frames=48) for p in ps]
+        ids = []
+        sub_walls = []
+        for p in ps:
+            t0 = time.perf_counter()
+            ids.append(engine.submit(p, max_frames=48))
+            sub_walls.append(time.perf_counter() - t0)
+        print("  submit ms:", " ".join(f"{1e3*w:5.1f}" for w in sub_walls),
+              flush=True)
         walls = []
         while len(walls) < args.steps:
+            # phase-timed step(): prefill dispatch / chunk dispatch /
+            # collect+fetch (step() == collect_step(dispatch_step()), and
+            # dispatch_step leads with _advance_prefills)
             t0 = time.perf_counter()
-            engine.step()
-            walls.append(time.perf_counter() - t0)
+            ta = tb = t0
+            payload = engine.dispatch_step()
+            tb = time.perf_counter()
+            engine.collect_step(payload)
+            tc = time.perf_counter()
+            walls.append(tc - t0)
+            if len(walls) <= 3:
+                print(f"    step{len(walls)-1}: dispatch "
+                      f"{1e3*(tb-ta):5.0f} ms  collect {1e3*(tc-tb):5.0f} ms",
+                      flush=True)
             if all(engine.streams[i].ttfa_s is not None for i in ids):
                 break
         ttfas = sorted(

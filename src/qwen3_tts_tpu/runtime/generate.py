@@ -761,6 +761,93 @@ class Generator:
         emb, pad = self._assemble_cb0(prompt)
         return emb, pad, None
 
+    def _assemble_published_fast_fn(self, tb_tok: int, spk_kind: str):
+        """ONE jitted dispatch for the common published-protocol prompt
+        (no clone conditioning, T >= 4 text tokens): the eager assembly
+        chain is ~20 tiny device ops, which costs 20–40 ms of host/client
+        overhead PER SUBMIT on the tunneled device — measured as ~200 ms
+        of the 8-stream cold-start TTFA (tools/profile_cold_ttfa.py).
+        Static keys: text-token bucket ``tb_tok`` and the speaker-row kind
+        ("codec" = checkpoint speaker id in the codec table, "table" =
+        synthetic spk_emb row, "none"). The prompt's row count is
+        text-INDEPENDENT under this protocol (text beyond the chatml head
+        conditions through the trailing buffer), so emb length, bucket,
+        and pad are all static."""
+        key = ("asm_pub", tb_tok, spk_kind)
+        if key in self._fns:
+            return self._fns[key]
+        from ..models.talker import text_projection
+
+        t = self.cfg.talker
+        head_toks = tuple(t.codec_prompt_head)
+        n_extra = (1 if spk_kind != "none" else 0)
+        L = 3 + len(head_toks) + n_extra + 2
+        max_prompt = max(
+            16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
+        )
+        allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
+        cap = allowed[-1] if allowed else max_prompt
+        Lb = min(bucket_len(L), cap)
+        assert L <= Lb, (L, Lb)
+        pad = Lb - L
+        Tb = t.trailing_bucket
+
+        @jax.jit
+        def fn(params, toks, T, spk_idx):
+            # toks [tb_tok] int32 (0-padded past T), T scalar, spk_idx scalar
+            ctl = jnp.asarray(
+                [t.tts_pad_id, t.tts_bos_id, t.tts_eos_id], jnp.int32
+            )
+            ctl_e = text_projection(
+                params, jnp.take(params["text_emb"], ctl, axis=0)
+            )
+            pad_e, bos_e, eos_e = ctl_e[0], ctl_e[1], ctl_e[2]
+            txt = text_projection(
+                params, jnp.take(params["text_emb"], toks, axis=0)
+            )                                           # [tb_tok, D]
+            codec_emb = params["codec_emb"]
+            rows = [txt[:3]]
+            for tok in head_toks:
+                rows.append((pad_e + codec_emb[tok])[None, :])
+            if spk_kind == "codec":
+                rows.append(
+                    (pad_e + jnp.take(codec_emb, spk_idx, axis=0))[None, :]
+                )
+            elif spk_kind == "table":
+                rows.append(
+                    (pad_e + jnp.take(params["spk_emb"], spk_idx, axis=0))[
+                        None, :
+                    ]
+                )
+            rows.append((bos_e + codec_emb[t.codec_pad])[None, :])
+            rows.append((txt[3] + codec_emb[t.codec_bos])[None, :])
+            emb = jnp.concatenate(rows, axis=0)         # [L, D]
+            padded = jnp.zeros((Lb, emb.shape[-1]), emb.dtype)
+            padded = jax.lax.dynamic_update_slice(padded, emb, (pad, 0))
+
+            # trailing buffer, mask-built (mirrors the eager rules: text
+            # rows txt[4:T] capped at Tb-2, then eos unless truncated,
+            # then tts_pad fill — last row always pad)
+            idx = jnp.arange(Tb)
+            pos = 4 + idx
+            n_trail = jnp.minimum(T - 4, Tb - 2)
+            truncated = (T - 4) > (Tb - 2)
+            src = jnp.take(
+                txt, jnp.clip(pos, 0, tb_tok - 1), axis=0
+            )                                           # [Tb, D]
+            text_mask = (idx < n_trail)[:, None]
+            eos_mask = ((idx == n_trail) & jnp.logical_not(truncated))[
+                :, None
+            ]
+            buf = jnp.where(
+                text_mask, src,
+                jnp.where(eos_mask, eos_e[None, :], pad_e[None, :]),
+            )
+            return padded[None, :, :], buf[None, :, :]
+
+        self._fns[key] = (fn, pad)
+        return self._fns[key]
+
     def _assemble_published(
         self, prompt: PromptSpec
     ) -> tuple[jnp.ndarray, int, jnp.ndarray]:
@@ -792,6 +879,32 @@ class Generator:
                 f"token id {int(toks_np.max())} out of range for "
                 f"vocab_size {t.vocab_size}: tokenizer/config mismatch"
             )
+        # common case → ONE jitted dispatch (see _assemble_published_fast_fn);
+        # clone conditioning and degenerate short prompts keep the eager
+        # chain below (bit-identical — pinned by test_feedback)
+        if (
+            prompt.speaker_vector is None
+            and (prompt.acoustic_codes is None
+                 or not prompt.acoustic_codes.size)
+            and toks_np.size >= 4
+            and getattr(self, "_fast_assembly", True)  # test escape hatch
+        ):
+            if prompt.speaker_token is not None:
+                spk_kind, spk_idx = "codec", int(prompt.speaker_token)
+            elif prompt.speaker_id is not None:
+                spk_kind, spk_idx = "table", int(prompt.speaker_id)
+            else:
+                spk_kind, spk_idx = "none", 0
+            T = int(toks_np.size)
+            tb_tok = 8
+            while tb_tok < T:
+                tb_tok *= 2
+            toks_pad = np.zeros(tb_tok, np.int32)
+            toks_pad[:T] = toks_np
+            fn, pad = self._assemble_published_fast_fn(tb_tok, spk_kind)
+            emb, buf = fn(self.params, jnp.asarray(toks_pad),
+                          jnp.int32(T), jnp.int32(spk_idx))
+            return emb, pad, buf
         ctl = jnp.asarray(
             [t.tts_pad_id, t.tts_bos_id, t.tts_eos_id], jnp.int32
         )

@@ -48,6 +48,45 @@ def _prompt(n: int = 8, speaker: int | None = 1) -> PromptSpec:
     )
 
 
+def test_fast_prompt_assembly_matches_eager():
+    """The one-dispatch jitted assembly (cold-start TTFA lever — it
+    replaces ~20 eager device ops per submit) must be BIT-identical to
+    the eager chain across text lengths (incl. trailing-buffer eos and
+    truncation edges) and speaker-row kinds."""
+    m = _model()
+    gen = m.generator
+    Tb = m.cfg.talker.trailing_bucket
+    cases = []
+    for T in (4, 6, 30, Tb + 1, Tb + 2, Tb + 6):  # spans truncation edge
+        cases.append(PromptSpec(
+            text_tokens=(np.arange(T, dtype=np.int32) * 7 + 3)
+            % m.cfg.talker.vocab_size,
+            speaker_id=2,
+        ))
+    cases.append(PromptSpec(
+        text_tokens=np.arange(9, dtype=np.int32) + 1, speaker_id=None
+    ))
+    cases.append(PromptSpec(
+        text_tokens=np.arange(9, dtype=np.int32) + 1, speaker_token=3
+    ))
+    for p in cases:
+        emb_f, pad_f, tr_f = gen.assemble_prompt_full(p)
+        gen._fast_assembly = False
+        try:
+            emb_e, pad_e, tr_e = gen.assemble_prompt_full(p)
+        finally:
+            gen._fast_assembly = True
+        assert pad_f == pad_e, (p.text_tokens.size,)
+        np.testing.assert_array_equal(
+            np.asarray(emb_f), np.asarray(emb_e),
+            err_msg=f"T={p.text_tokens.size}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tr_f), np.asarray(tr_e),
+            err_msg=f"T={p.text_tokens.size}",
+        )
+
+
 # -- config validation -------------------------------------------------------
 
 def test_feedback_composes_with_mtp():

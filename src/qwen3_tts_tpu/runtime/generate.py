@@ -726,18 +726,30 @@ class Generator:
         """Sample the seed step's ``frames_per_step`` tokens from the
         prefill outputs (frame 0 from the main head, the rest through the
         MTP block); returns [B, fps]. These seed the first decode chunk's
-        input merge — they are conditioning, not rendered frames."""
-        from ..models.talker import mtp_logits
+        input merge — they are conditioning, not rendered frames. ONE
+        jitted dispatch: the eager chain ran full-weight MTP head matmuls
+        per utterance (~2 eager weight-streaming ops per extra frame) on
+        the prefill critical path — pure TTFA."""
+        fkey = ("seed_cb0", self.sampling)
+        if fkey not in self._fns:
+            from ..models.talker import mtp_logits
 
-        t = self.cfg.talker
-        key, sub = jax.random.split(key)
-        toks = [sample_token(logits, sub, self.sampling)]
-        h = hidden_last
-        for _ in range(1, t.frames_per_step):
-            lg, h = mtp_logits(self.params, t, h, toks[-1])
-            key, sub = jax.random.split(key)
-            toks.append(sample_token(lg, sub, self.sampling))
-        return jnp.stack(toks, axis=1)
+            t = self.cfg.talker
+            sampling = self.sampling
+
+            @jax.jit
+            def seed(params, hidden, logits, rng):
+                rng, sub = jax.random.split(rng)
+                toks = [sample_token(logits, sub, sampling)]
+                h = hidden
+                for _ in range(1, t.frames_per_step):
+                    lg, h = mtp_logits(params, t, h, toks[-1])
+                    rng, sub = jax.random.split(rng)
+                    toks.append(sample_token(lg, sub, sampling))
+                return jnp.stack(toks, axis=1)
+
+            self._fns[fkey] = seed
+        return self._fns[fkey](self.params, hidden_last, logits, key)
 
     # -- prompt embedding (eager; once per utterance) ----------------------
 
@@ -1022,8 +1034,102 @@ class Generator:
             buf = jax.lax.dynamic_update_slice(buf, trail_rows, (0, 0))
         return padded[None, :, :], pad, buf[None, :, :]
 
+    def _assemble_cb0_fast_fn(self, tb_tok: int, Lb: int, spk_kind: str):
+        """ONE jitted dispatch for the common cb0-protocol prompt (no
+        clone conditioning): same motivation as the published-protocol
+        fast path — the eager chain is ~15 tiny device ops of pure TTFA.
+        Unlike the published layout the text rides IN the prompt, so the
+        variant is keyed by (text bucket, prompt bucket, speaker kind)
+        and T/pad are traced scalars; rows are gather+mask built."""
+        key = ("asm_cb0", tb_tok, Lb, spk_kind)
+        if key in self._fns:
+            return self._fns[key]
+        t = self.cfg.talker
+        head_toks = tuple(t.codec_prompt_head)
+        s = 1 if spk_kind == "table" else 0
+
+        @jax.jit
+        def fn(params, toks, T, pad, spk_idx):
+            # toks [tb_tok] int32 (0-padded past T); T/pad/spk_idx scalars
+            txt = jnp.take(params["text_emb"], toks, axis=0)  # [tb_tok, D]
+            codec_emb = params["codec_emb"]
+            tail_rows = [codec_emb[tok][None, :] for tok in head_toks]
+            if spk_kind == "codec":
+                tail_rows.append(jnp.take(codec_emb, spk_idx, axis=0)[None])
+            tail_rows.append(codec_emb[t.codec_bos][None, :])
+            tail = jnp.concatenate(tail_rows, axis=0)       # [n_tail, D]
+            n_tail = tail.shape[0]
+
+            i = jnp.arange(Lb)
+            j = i - pad                                     # logical row
+            txt_src = jnp.take(
+                txt, jnp.clip(j - s, 0, tb_tok - 1), axis=0
+            )
+            tail_src = jnp.take(
+                tail, jnp.clip(j - s - T, 0, n_tail - 1), axis=0
+            )
+            txt_mask = ((j >= s) & (j < s + T))[:, None]
+            row = jnp.where(txt_mask, txt_src, tail_src)
+            if s:
+                spk_row = jnp.take(params["spk_emb"], spk_idx, axis=0)
+                row = jnp.where((j == 0)[:, None], spk_row[None, :], row)
+            row = jnp.where((j < 0)[:, None], jnp.zeros((), row.dtype), row)
+            return row[None, :, :].astype(txt.dtype)
+
+        self._fns[key] = fn
+        return fn
+
     def _assemble_cb0(self, prompt: PromptSpec) -> tuple[jnp.ndarray, int]:
         t = self.cfg.talker
+        # common case → one jitted dispatch; clone conditioning, textless
+        # prompts, and over-long (truncating) prompts keep the eager chain
+        if (
+            prompt.speaker_vector is None
+            and (prompt.acoustic_codes is None
+                 or not prompt.acoustic_codes.size)
+            and prompt.text_tokens.size >= 1
+            and not (prompt.speaker_id is not None
+                     and prompt.speaker_token is not None)
+            and getattr(self, "_fast_assembly", True)  # test escape hatch
+        ):
+            toks_np = np.asarray(prompt.text_tokens)
+            if int(toks_np.max()) >= t.vocab_size or int(toks_np.min()) < 0:
+                if t.vocab_size >= 512:
+                    raise ValueError(
+                        f"token id {int(toks_np.max())} out of range for "
+                        f"vocab_size {t.vocab_size}: tokenizer/config "
+                        f"mismatch (wrong tokenizer files for this model?)"
+                    )
+                toks_np = toks_np % t.vocab_size
+            if prompt.speaker_id is not None:
+                spk_kind, spk_idx = "table", int(prompt.speaker_id)
+            elif prompt.speaker_token is not None:
+                spk_kind, spk_idx = "codec", int(prompt.speaker_token)
+            else:
+                spk_kind, spk_idx = "none", 0
+            T = int(toks_np.size)
+            s = 1 if spk_kind == "table" else 0
+            n_tail = len(t.codec_prompt_head) + (
+                1 if spk_kind == "codec" else 0
+            ) + 1
+            L = s + T + n_tail
+            max_prompt = max(
+                16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
+            )
+            allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
+            cap = allowed[-1] if allowed else max_prompt
+            Lb = min(bucket_len(L), cap)
+            if L <= Lb:  # truncating prompts fall through to eager
+                pad = Lb - L
+                tb_tok = 8
+                while tb_tok < T:
+                    tb_tok *= 2
+                toks_pad = np.zeros(tb_tok, np.int32)
+                toks_pad[:T] = toks_np
+                fn = self._assemble_cb0_fast_fn(tb_tok, Lb, spk_kind)
+                emb = fn(self.params, jnp.asarray(toks_pad), jnp.int32(T),
+                         jnp.int32(pad), jnp.int32(spk_idx))
+                return emb, pad
         parts = []
         if prompt.speaker_id is not None:
             parts.append(self.params["spk_emb"][prompt.speaker_id][None, :])

@@ -283,3 +283,39 @@ def test_speaker_codec_token_from_config():
 
     back = config_from_dict(json.loads(json.dumps(config_to_dict(cfg))))
     assert back.talker.speaker_tokens == (("ryan", 60), ("vivian", 61))
+
+
+def test_fast_cb0_assembly_matches_eager():
+    """The one-dispatch jitted cb0 assembly (TTFA lever) must be
+    BIT-identical to the eager chain across text lengths, buckets, and
+    speaker kinds; ineligible prompts (clone vectors, overlong) keep the
+    eager path."""
+    from qwen3_tts_tpu.engine import configs
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+    m = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=3)
+    gen = m.generator
+    cases = [
+        PromptSpec(text_tokens=np.arange(T, dtype=np.int32) % 97 + 1,
+                   speaker_id=2)
+        for T in (1, 6, 40, 61, 64, 100)
+    ]
+    cases.append(PromptSpec(
+        text_tokens=np.arange(12, dtype=np.int32) + 1, speaker_id=None
+    ))
+    cases.append(PromptSpec(
+        text_tokens=np.arange(12, dtype=np.int32) + 1, speaker_token=3
+    ))
+    for p in cases:
+        emb_f, pad_f = gen._assemble_cb0(p)
+        gen._fast_assembly = False
+        try:
+            emb_e, pad_e = gen._assemble_cb0(p)
+        finally:
+            gen._fast_assembly = True
+        assert pad_f == pad_e, (p.text_tokens.size,)
+        np.testing.assert_array_equal(
+            np.asarray(emb_f), np.asarray(emb_e),
+            err_msg=f"T={p.text_tokens.size}",
+        )

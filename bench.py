@@ -37,6 +37,40 @@ BASELINE_STREAMS = 8  # BASELINE.md: "8 concurrent voices" on one chip
 
 _T0 = time.monotonic()
 
+# ---- service-health telemetry (VERDICT r4 #2) -----------------------------
+# Identical binaries measured 138 ms vs 683 ms cold TTFA hours apart on this
+# tunneled service (PERF.md round 4): absolutes swing ~2x with service
+# "weather". Every emitted block therefore carries health fields — the
+# preflight's trivial-op first-touch stats plus in-process probe latencies
+# measured immediately before/after the timed work — so BENCH_rN↔rN+1
+# deltas decompose into regression vs weather.
+
+_HEALTH: dict = {}
+_PROBE_SALT = [0]
+
+
+def _probe_ms() -> float:
+    """Round-trip latency of one trivial device op, in ms. The service
+    caches executions by input value (CLAUDE.md), so the input evolves
+    every call; timing ends at device_get of the result (dispatch-enqueue
+    returns early on this service)."""
+    import jax
+    import jax.numpy as jnp
+
+    _PROBE_SALT[0] += 1
+    t0 = time.perf_counter()
+    jax.device_get(jnp.arange(8.0).sum() + float(_PROBE_SALT[0]))
+    return round((time.perf_counter() - t0) * 1e3, 1)
+
+
+def _first_touch_s() -> float:
+    """Time the FIRST in-process device op (client init + first remote
+    dispatch — 25 s to 280 s observed across service moods). Call once,
+    before any other device work in the process."""
+    t0 = time.perf_counter()
+    _probe_ms()
+    return round(time.perf_counter() - t0, 1)
+
 
 def _budget_total() -> float:
     return float(os.environ.get("QWEN3_TTS_BENCH_BUDGET_S", 3300))
@@ -244,6 +278,19 @@ def _free_model(*objs) -> None:
     gc.collect()
 
 
+def _pinned_heads(heads, acceptance: float, n_res: int):
+    """(pinned heads, accepted-depth count) for one acceptance pin — see
+    ``_pin_draft_acceptance`` for why zeroing a head pins that depth to
+    'accepted'."""
+    import numpy as np
+
+    m = int(round(acceptance * n_res))
+    if m:
+        idx = np.round(np.linspace(0, n_res - 1, m)).astype(int)
+        heads = heads.at[idx].set(0)
+    return heads, m
+
+
 def _pin_draft_acceptance(model, acceptance: float) -> int:
     """Zero the cp output heads of ``round(acceptance * n_res)`` depths:
     at a zeroed depth BOTH the grouped draft and the teacher-forced
@@ -255,16 +302,48 @@ def _pin_draft_acceptance(model, acceptance: float) -> int:
     #2b/#3; the acceptance default comes from the trained tiny pipeline —
     tools/measure_acceptance.py, PERF.md round 4). Returns the number of
     accepted depths."""
+    n_res = model.cfg.codec.num_codebooks - 1
+    heads, m = _pinned_heads(model.cp_params["heads"], acceptance, n_res)
+    model.cp_params = {**model.cp_params, "heads": heads}
+    return m
+
+
+def _spec_acceptance_bracket(model, orig_heads, default_acc: float,
+                             default_rtf: float, *, pins=(0.62, 1.0),
+                             reps: int = 2, target_frames: int = 240) -> dict:
+    """Acceptance-sensitivity bracket for the spec row (VERDICT r4 #4):
+    re-measure single-stream RTF with the draft acceptance pinned at each
+    bracket point (measured floor 0.62 / default 0.93 / perfect 1.0), so
+    the lossless-recovery claim carries its uncertainty. The pinned heads
+    are swapped into the LIVE generator's param dict (same shapes/dtypes →
+    no recompile, values flow through the already-jitted decode fns); the
+    default pin is restored before the serving measurement."""
     import numpy as np
 
-    n_res = model.cfg.codec.num_codebooks - 1
-    m = int(round(acceptance * n_res))
-    if m:
-        idx = np.round(np.linspace(0, n_res - 1, m)).astype(int)
-        heads = model.cp_params["heads"]
-        model.cp_params = {**model.cp_params,
-                           "heads": heads.at[idx].set(0)}
-    return m
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+    cfg = model.cfg
+    gen = model.generator
+    n_res = cfg.codec.num_codebooks - 1
+    prompt = PromptSpec(
+        text_tokens=np.arange(48, dtype=np.int32) % cfg.talker.vocab_size,
+        speaker_id=0,
+    )
+    out = {f"{default_acc:g}": default_rtf}
+    for acc in pins:
+        if abs(acc - default_acc) < 1e-9:
+            continue
+        heads, _ = _pinned_heads(orig_heads, acc, n_res)
+        gen.cp_params["heads"] = heads
+        rs = [gen.synthesize(prompt, max_frames=target_frames, seed=31 + i)
+              for i in range(reps)]
+        out[f"{acc:g}"] = round(max(r.rtf for r in rs), 3)
+    # restore the default pin (generator AND the model tree the serving
+    # engine will be built from)
+    heads, _ = _pinned_heads(orig_heads, default_acc, n_res)
+    gen.cp_params["heads"] = heads
+    model.cp_params = {**model.cp_params, "heads": heads}
+    return out
 
 
 # the three decode shapes of the real-checkpoint audit (label, fps, dg, spec)
@@ -307,6 +386,7 @@ def _real_checkpoint_row(label: str, fps: int, dg: int, spec: bool,
         spec_acceptance = _default_spec_acceptance()
     cfg = config_fn("custom", frames_per_step=fps,
                     depth_group=dg, spec_decode=spec)
+    health: dict = {"first_touch_s": _first_touch_s()}
     t0 = time.perf_counter()
     model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
     load_s = time.perf_counter() - t0
@@ -314,8 +394,10 @@ def _real_checkpoint_row(label: str, fps: int, dg: int, spec: bool,
         "fps": fps,
         "depth_group": cfg.code_predictor.depth_group,
         "load_s": round(load_s, 1),
+        "health": health,
     }
     if spec:
+        orig_heads = model.cp_params["heads"]
         accepted = _pin_draft_acceptance(model, spec_acceptance)
         row["spec_decode"] = True
         row["draft_acceptance_pinned"] = round(spec_acceptance, 3)
@@ -323,11 +405,21 @@ def _real_checkpoint_row(label: str, fps: int, dg: int, spec: bool,
     ss = _single_stream_metrics(model, reps=reps,
                                 target_frames=target_frames)
     row.update(**ss, vs_baseline=round(ss["rtf"] / BASELINE_RTF, 3))
+    health["probe_ms_after_single_stream"] = _probe_ms()
+    if spec:
+        row["rtf_by_acceptance"] = _spec_acceptance_bracket(
+            model, orig_heads, spec_acceptance, ss["rtf"],
+            reps=reps, target_frames=target_frames,
+        )
     _free_model(model)  # single-stream buffers down before the 8-slot engine
     try:
         row["serving_8stream"] = _serving_metrics(
             model, n_streams if n_streams is not None else BASELINE_STREAMS
         )
+        # probe only after SUCCESS: after a worker crash the poisoned
+        # client would hang this probe until the row timeout, losing the
+        # recorded error string
+        health["probe_ms_after_serving"] = _probe_ms()
     except Exception as e:  # keep the single-stream half of the row
         row["serving_8stream"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     _free_model(model)
@@ -361,7 +453,21 @@ def _real_checkpoint_metrics(config_fn=None, *, n_streams: int | None = None,
     # the spec entry drafts the WHOLE depth column in one grouped pass
     # (dg=15 at flagship geometry; an injected tiny factory clamps to its
     # own residual count — test_bench.py)
+    aborted_by: str | None = None
     for label, fps, dg, spec in _RC_CONFIGS:
+        if aborted_by is not None:
+            # a serving exception in THIS process likely means the TPU
+            # worker crashed, which poisons the whole JAX client
+            # (CLAUDE.md): later configs would hang or report garbage.
+            # The default subprocess-per-row path isolates this; the
+            # in-process fallback must stop loudly instead.
+            out[label] = {
+                "skipped": f"aborted: serving error in {aborted_by!r} may "
+                "have poisoned this process's JAX client"
+            }
+            if on_config_done is not None:
+                on_config_done(label, out[label])
+            continue
         if should_continue is not None and not should_continue():
             out[label] = {"skipped": "wall budget exhausted"}
             if on_config_done is not None:
@@ -372,6 +478,8 @@ def _real_checkpoint_metrics(config_fn=None, *, n_streams: int | None = None,
             n_streams=n_streams, reps=reps, target_frames=target_frames,
             spec_acceptance=spec_acceptance,
         )
+        if out[label].get("serving_8stream", {}).get("error"):
+            aborted_by = label
         if on_config_done is not None:
             on_config_done(label, out[label])
     return out
@@ -465,6 +573,8 @@ def main() -> None:
     from qwen3_tts_tpu.engine.api import Qwen3TTSModel
 
     enable_compilation_cache()
+    health: dict = {**_HEALTH.get("preflight", {}),
+                    "first_touch_s": _first_touch_s()}
 
     t0 = time.perf_counter()
     # frames_per_step=2: fps=3 wins single-stream (34.3x vs 26.7x,
@@ -506,6 +616,7 @@ def main() -> None:
         model, reps=1 if tiny else 3, target_frames=12 if tiny else 240
     )
     rtf = ss.pop("rtf")
+    health["probe_ms_after_single_stream"] = _probe_ms()
     chunk_schedule = gen.chunk_schedule
 
     # the headline line is COMPLETE and valid the moment single-stream
@@ -519,6 +630,7 @@ def main() -> None:
         "detail": {
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "service_health": health,
             **ss,
             "load_s": round(load_s, 1),
             "config": (
@@ -541,6 +653,7 @@ def main() -> None:
         doc["detail"]["serving_8stream"] = _serving_metrics(
             model, n_streams
         )
+        doc["detail"]["serving_8stream"]["probe_ms_after"] = _probe_ms()
     else:
         doc["detail"]["serving_8stream"] = {
             "skipped": "wall budget exhausted"
@@ -622,6 +735,7 @@ def preflight(deadline_s: float | None = None,
     attempt = 0
     while time.time() - start < deadline_s:
         attempt += 1
+        probe_t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -636,6 +750,11 @@ def preflight(deadline_s: float | None = None,
                 timeout=probe_timeout_s, capture_output=True,
             )
             if r.returncode == 0:
+                _HEALTH["preflight"] = {
+                    "probes": attempt,
+                    "wait_s": round(time.time() - start, 1),
+                    "probe_subproc_s": round(time.time() - probe_t0, 1),
+                }
                 if attempt > 1:
                     print(f"[preflight: device up after {attempt} probes, "
                           f"{time.time() - start:.0f}s]", file=sys.stderr)
@@ -718,6 +837,15 @@ if __name__ == "__main__":
         except StopIteration:
             print(json.dumps({"error": f"unknown real-row label {label!r}"}))
             sys.exit(2)
+        if os.environ.get("QWEN3_TTS_DEVICE_LOCK", "1") not in ("0", ""):
+            # standalone `bench.py --real-row <label>` run (documented in
+            # CLAUDE.md): take the device lock + preflight like the default
+            # path — an unlocked engine next to another measurement process
+            # risks the HBM over-subscription wedge. The spawned-child case
+            # sets QWEN3_TTS_DEVICE_LOCK=0 (the parent holds the lock and
+            # already ran preflight).
+            _lock_or_exit()
+            preflight()
         from qwen3_tts_tpu.engine import enable_compilation_cache
 
         enable_compilation_cache()

@@ -907,16 +907,28 @@ class Generator:
                 spk_kind, spk_idx = "table", int(prompt.speaker_id)
             else:
                 spk_kind, spk_idx = "none", 0
-            T = int(toks_np.size)
-            tb_tok = 8
-            while tb_tok < T:
-                tb_tok *= 2
-            toks_pad = np.zeros(tb_tok, np.int32)
-            toks_pad[:T] = toks_np
-            fn, pad = self._assemble_published_fast_fn(tb_tok, spk_kind)
-            emb, buf = fn(self.params, jnp.asarray(toks_pad),
-                          jnp.int32(T), jnp.int32(spk_idx))
-            return emb, pad, buf
+            # mirror the cb0 guard: a static head longer than the largest
+            # allowed bucket (tiny max_seq_len / long codec_prompt_head)
+            # falls through to the eager chain instead of asserting
+            L = 3 + len(t.codec_prompt_head) + (
+                1 if spk_kind != "none" else 0
+            ) + 2
+            max_prompt = max(
+                16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
+            )
+            allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
+            cap = allowed[-1] if allowed else max_prompt
+            if L <= min(bucket_len(L), cap):
+                T = int(toks_np.size)
+                tb_tok = 8
+                while tb_tok < T:
+                    tb_tok *= 2
+                toks_pad = np.zeros(tb_tok, np.int32)
+                toks_pad[:T] = toks_np
+                fn, pad = self._assemble_published_fast_fn(tb_tok, spk_kind)
+                emb, buf = fn(self.params, jnp.asarray(toks_pad),
+                              jnp.int32(T), jnp.int32(spk_idx))
+                return emb, pad, buf
         ctl = jnp.asarray(
             [t.tts_pad_id, t.tts_bos_id, t.tts_eos_id], jnp.int32
         )

@@ -58,6 +58,9 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (harness smoke test, no TPU)")
     args = ap.parse_args()
+    if args.serving_only and not args.serving:
+        ap.error("--serving-only requires --serving N (otherwise there is "
+                 "nothing to measure)")
     if args.tiny:
         import jax
 

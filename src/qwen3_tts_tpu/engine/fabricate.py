@@ -128,6 +128,85 @@ def add_codec_tensors(tensors: dict, cfg, seed: int) -> None:
         )
 
 
+def speech_tokenizer_tensors(cfg, seed: int = 13) -> tuple[dict, dict]:
+    """Mimi-layout ``speech_tokenizer.*`` tensors whose code space matches
+    ``cfg.codec``, plus the ``speech_tokenizer_config`` section for
+    config.json. Geometry is a scaled-down Mimi (4-stage SEANet at
+    ~12.5 Hz): with these in the fabricated snapshot the offline dress
+    rehearsal exercises the REAL ST import + clone-encode path (family=
+    mimi, fully mapped) instead of WARNing about an absent encoder
+    (VERDICT r4 #8). Names/layouts mirror the torch ``MimiModel``
+    state_dict the importer maps (models/speech_tokenizer.py)."""
+    from ..models.speech_tokenizer import (
+        SpeechTokenizerConfig,
+        init_speech_tokenizer,
+    )
+
+    cc = cfg.codec
+    st = SpeechTokenizerConfig(
+        num_filters=4, upsampling_ratios=(8, 6, 5, 4), hidden=32,
+        n_layers=2, n_heads=2, n_kv_heads=2, head_dim=16, ffn=64,
+        codebook_size=cc.codebook_size, codebook_dim=16,
+        num_quantizers=cc.num_codebooks, num_semantic_quantizers=1,
+        frame_div=2, sampling_rate=cc.sample_rate,
+    )
+    p = init_speech_tokenizer(st, seed=seed)
+    out: dict = {}
+    pre = "speech_tokenizer."
+
+    def conv(idx: int, sub: dict) -> None:
+        out[f"{pre}encoder.layers.{idx}.conv.weight"] = sub["w"]
+        if "b" in sub:
+            out[f"{pre}encoder.layers.{idx}.conv.bias"] = sub["b"]
+
+    conv(0, p["enc"]["conv_in"])
+    per_stage = st.num_residual_layers + 2  # res..., ELU, down
+    for s, stage in enumerate(p["enc"]["stages"]):
+        base = 1 + s * per_stage
+        for j, blk in enumerate(stage["res"]):
+            for tag, c in (("1", blk["c1"]), ("3", blk["c2"])):
+                nm = f"{pre}encoder.layers.{base + j}.block.{tag}.conv"
+                out[nm + ".weight"] = c["w"]
+                out[nm + ".bias"] = c["b"]
+        conv(base + st.num_residual_layers + 1, stage["down"])
+    conv(1 + len(p["enc"]["stages"]) * per_stage + 1, p["enc"]["conv_out"])
+
+    lin = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+           "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+           "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    vec = {"ln1_w": "input_layernorm.weight",
+           "ln1_b": "input_layernorm.bias",
+           "ln2_w": "post_attention_layernorm.weight",
+           "ln2_b": "post_attention_layernorm.bias",
+           "scale_attn": "self_attn_layer_scale.scale",
+           "scale_mlp": "mlp_layer_scale.scale"}
+    for li, blk in enumerate(p["tf"]):
+        tb = f"{pre}encoder_transformer.layers.{li}."
+        for k, name in lin.items():
+            # init stores x@w layout [in, out]; files carry torch [out, in]
+            out[tb + name + ".weight"] = np.ascontiguousarray(blk[k]["w"].T)
+        for k, name in vec.items():
+            out[tb + name] = blk[k]
+    if "down" in p:
+        out[f"{pre}downsample.conv.weight"] = p["down"]["w"]
+    for fam, q in (("semantic", p["quant"]["sem"]),
+                   ("acoustic", p["quant"]["ac"])):
+        qb = f"{pre}quantizer.{fam}_residual_vector_quantizer."
+        out[qb + "input_proj.weight"] = np.ascontiguousarray(
+            q["in_proj"]["w"].T
+        )[:, :, None]                         # conv1x1 [D, H, 1]
+        for i, cb in enumerate(q["codebooks"]):
+            # cluster_usage of ones -> embed_sum IS the codebook
+            out[f"{qb}layers.{i}.codebook.embed_sum"] = cb
+            out[f"{qb}layers.{i}.codebook.cluster_usage"] = np.ones(
+                st.codebook_size, np.float32
+            )
+    section = {"head_dim": st.head_dim, "num_attention_heads": st.n_heads,
+               "num_key_value_heads": st.n_kv_heads,
+               "sampling_rate": st.sampling_rate}
+    return out, section
+
+
 def write_mlx_style_checkpoint(path: str, cfg, seed: int = 11,
                                full: bool = False, extra_tensors=None,
                                config_extra=None):
@@ -217,7 +296,11 @@ def fabricate_full_checkpoint(path: str, *, seed: int = 11,
     from .configs import tiny
 
     cfg = tiny("custom", quant=True)
-    write_mlx_style_checkpoint(path, cfg, seed=seed, full=True)
+    st_tensors, st_section = speech_tokenizer_tensors(cfg, seed=seed + 9)
+    write_mlx_style_checkpoint(
+        path, cfg, seed=seed, full=True, extra_tensors=st_tensors,
+        config_extra={"speech_tokenizer_config": st_section},
+    )
     if template:
         with open(os.path.join(path, "tts_prompts.json"), "w") as f:
             json.dump({

@@ -83,3 +83,21 @@ def validate_tp(cfg, tp: int) -> None:
                 )
     if problems:
         raise ValueError("model not tp-shardable: " + "; ".join(problems))
+
+
+def cp_tp_shardable(cfg, tp: int) -> bool:
+    """Whether the code predictor's depth transformer can be tensor-sharded
+    ``tp`` ways (VERDICT r4 #6). The cp is MHA (k/v rows == q rows), so the
+    head count is the kv constraint; quantized in-dim-sharded linears (o,
+    down) additionally need their group axis divisible."""
+    cp = cfg.code_predictor
+    if tp <= 1:
+        return False
+    if cp.n_heads % tp or cp.ffn % tp:
+        return False
+    if cfg.quant.enabled:
+        gs = min(cfg.quant.group_size, cp.hidden)
+        for in_dim in (cp.n_heads * cp.head_dim, cp.ffn):
+            if (in_dim // gs) % tp:
+                return False
+    return True

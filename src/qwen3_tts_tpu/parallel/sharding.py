@@ -107,15 +107,21 @@ def shard_params(params: Any, mesh: Mesh, spec_tree: Any = None) -> Any:
 
 def shard_model(model, mesh: Mesh):
     """Re-place a loaded Qwen3TTSModel's pytrees onto ``mesh`` in-place-ish:
-    talker tensor-parallel, code predictor + codec replicated. Returns the
-    same model object with device buffers replaced."""
-    from .mesh import validate_tp
+    talker tensor-parallel; code predictor tensor-parallel too when its
+    depth-transformer geometry divides (same block layout as the talker →
+    same declarative rules; VERDICT r4 #6), else replicated; codec
+    replicated (~10M-class — SURVEY.md §6). Returns the same model object
+    with device buffers replaced."""
+    from .mesh import cp_tp_shardable, validate_tp
 
     tp = mesh.shape[TP_AXIS]
     validate_tp(model.cfg, tp)
     model.params = shard_params(model.params, mesh)
     model.cp_params = shard_params(
-        model.cp_params, mesh, replicated_spec(model.cp_params)
+        model.cp_params, mesh,
+        talker_param_spec(model.cp_params)
+        if cp_tp_shardable(model.cfg, tp)
+        else replicated_spec(model.cp_params),
     )
     model.codec_params = shard_params(
         model.codec_params, mesh, replicated_spec(model.codec_params)

@@ -65,6 +65,14 @@ def _has_lora(tree: Any) -> bool:
     return any("lora_a" in str(path) for path, _ in flat)
 
 
+def _multi_device_tree(tree: Any) -> bool:
+    for leaf in jax.tree.leaves(tree):
+        s = getattr(leaf, "sharding", None)
+        if s is not None and len(s.device_set) > 1:
+            return True
+    return False
+
+
 def fuse_decode_params(cp_params: Any, codec_params: Any) -> tuple[Any, Any]:
     """Relayout the replicated small-model params for the decode hot path.
 
@@ -97,6 +105,9 @@ def fuse_decode_params(cp_params: Any, codec_params: Any) -> tuple[Any, Any]:
         "blocks" in cp_params
         and not _already_fused(cp_params["blocks"])
         and not _has_lora(cp_params)
+        # a tp-sharded cp (parallel/sharding.py) keeps the split layout:
+        # concatenating out-dim-sharded q/k/v would force a reshard
+        and not _multi_device_tree(cp_params)
     ):
         cp_params = dict(cp_params)
         cp_params["blocks"] = fuse_block_projections(cp_params["blocks"])
@@ -122,14 +133,7 @@ def group_quantized(*trees):
     for training/export/sharded plans."""
     from ..ops.grouped_qmv import grouped_layout, pack_grouped_tree
 
-    def _multi_device(tree) -> bool:
-        for leaf in jax.tree.leaves(tree):
-            s = getattr(leaf, "sharding", None)
-            if s is not None and len(s.device_set) > 1:
-                return True
-        return False
-
-    if not grouped_layout() or any(_multi_device(t) for t in trees):
+    if not grouped_layout() or any(_multi_device_tree(t) for t in trees):
         return trees if len(trees) > 1 else trees[0]
     out = tuple(pack_grouped_tree(t) for t in trees)
     return out if len(out) > 1 else out[0]
@@ -169,6 +173,7 @@ class GenerationResult:
     ttfa_s: float                     # time to first audio chunk
     wall_s: float
     audio_s: float
+    codes: np.ndarray | None = None   # [Q, frames] when collect_codes=True
 
     @property
     def rtf(self) -> float:
@@ -1227,11 +1232,16 @@ class Generator:
         *,
         max_frames: int,
         seed: int = 0,
+        collect_codes: bool = False,
     ) -> Iterator[tuple[np.ndarray, dict]]:
         """Yield (wav_chunk int16 PCM [n], info) as audio becomes available.
 
         The last yield carries info["final"] = True and the full-quality
-        re-decoded waveform for the entire utterance.
+        re-decoded waveform for the entire utterance. ``collect_codes``
+        additionally accumulates the per-chunk codec codes (already on
+        host — part of every chunk fetch) into the final info["codes"]
+        [Q, frames]: exact-code parity checks (sharded-vs-single-device
+        decode, __graft_entry__) compare token streams, not waveforms.
         """
         cfg = self.cfg
         t = cfg.talker
@@ -1287,6 +1297,7 @@ class Generator:
             state = (cache_k, cache_v, cstate, jnp.int32(Lb), first, key,
                      jnp.int32(0))
         wav_pieces: list[np.ndarray] = []  # final-quality chunk outputs
+        code_pieces: list[np.ndarray] = []  # [Q, valid] when collect_codes
         n_frames = 0
         dispatched = 0
         chunk_idx = 0
@@ -1360,6 +1371,8 @@ class Generator:
                 done = True
             if valid > 0:
                 wav_chunk = wav[0][: valid * hop]
+                if collect_codes:
+                    code_pieces.append(codes[0][:, :valid])
                 if startup_skip:  # code2wav edge run-in (see models/codec.py
                     # decode_codes_streaming) — drop once per utterance
                     cut = min(startup_skip, len(wav_chunk))
@@ -1388,6 +1401,10 @@ class Generator:
             "frames": n_frames,
             "ttfa_s": ttfa if ttfa is not None else wall,
             "wall_s": wall,
+            "codes": (
+                np.concatenate(code_pieces, axis=1)
+                if code_pieces else None
+            ) if collect_codes else None,
         }
 
     def synthesize(
@@ -1397,11 +1414,15 @@ class Generator:
         max_frames: int,
         seed: int = 0,
         on_chunk: Callable[[np.ndarray], None] | None = None,
+        collect_codes: bool = False,
     ) -> GenerationResult:
         """Run the full pipeline; returns the final full-quality waveform."""
         final_wav = np.zeros(0, dtype=np.int16)
         info: dict = {"frames": 0, "ttfa_s": 0.0, "wall_s": 0.0}
-        for wav_chunk, meta in self.stream(prompt, max_frames=max_frames, seed=seed):
+        for wav_chunk, meta in self.stream(
+            prompt, max_frames=max_frames, seed=seed,
+            collect_codes=collect_codes,
+        ):
             if meta["final"]:
                 final_wav = wav_chunk
                 info = meta
@@ -1415,4 +1436,5 @@ class Generator:
             ttfa_s=info["ttfa_s"],
             wall_s=info.get("wall_s", 0.0),
             audio_s=len(final_wav) / sr,
+            codes=info.get("codes"),
         )

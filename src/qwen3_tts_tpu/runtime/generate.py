@@ -48,6 +48,27 @@ def bucket_len(n: int) -> int:
     return PROMPT_BUCKETS[-1]
 
 
+@dataclass(frozen=True)
+class AssemblyPlan:
+    """Host-computable description of a fast-path prompt assembly.
+
+    Everything the one-dispatch assembly fns need, with shapes/pad resolved
+    WITHOUT touching the device: submit paths defer the device work so N
+    simultaneous cold submissions assemble in ONE batched dispatch
+    (serving._batch_cold_prefills — VERDICT r4 #7; each eager submit's
+    assembly dispatch costs ~20-40 ms of host/client overhead on the
+    tunneled service, tools/profile_cold_ttfa.py)."""
+
+    proto: str        # "pub" (published residual_sum) | "cb0"
+    tb_tok: int       # text-token bucket (pow2 >= 8)
+    Lb: int           # prompt bucket
+    pad: int          # left pad inside the bucket
+    spk_kind: str     # "codec" | "table" | "none"
+    spk_idx: int
+    toks: np.ndarray  # [tb_tok] int32, zero-padded past T
+    T: int
+
+
 # decode attention reads only a bucketed prefix of the KV cache: a short
 # utterance shouldn't pay full-max_seq_len cache bandwidth on every token
 ATTN_BUCKETS = (512, 1024, 2048, 4096)
@@ -778,6 +799,174 @@ class Generator:
         emb, pad = self._assemble_cb0(prompt)
         return emb, pad, None
 
+    def _prompt_cap(self) -> int:
+        max_prompt = max(
+            16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
+        )
+        allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
+        return allowed[-1] if allowed else max_prompt
+
+    def fast_assembly_plan(self, prompt: PromptSpec) -> AssemblyPlan | None:
+        """AssemblyPlan for the common one-dispatch prompt shapes, or None
+        (clone conditioning / degenerate / truncating prompts keep the
+        eager chain). The single source of truth for fast-path
+        eligibility: both the immediate assembly below and the serving
+        engine's deferred cold-start batching go through it."""
+        t = self.cfg.talker
+        if not getattr(self, "_fast_assembly", True):  # test escape hatch
+            return None
+        if prompt.speaker_vector is not None:
+            return None
+        if prompt.acoustic_codes is not None and prompt.acoustic_codes.size:
+            return None
+        toks_np = np.asarray(prompt.text_tokens)
+        cap = self._prompt_cap()
+        if t.feedback == "residual_sum":
+            # same eager-time check as _assemble_published: a deferred
+            # plan must not postpone the tokenizer-mismatch raise
+            if toks_np.size and (
+                int(toks_np.max()) >= t.vocab_size or int(toks_np.min()) < 0
+            ):
+                raise ValueError(
+                    f"token id {int(toks_np.max())} out of range for "
+                    f"vocab_size {t.vocab_size}: tokenizer/config mismatch"
+                )
+            if toks_np.size < 4:
+                return None
+            if prompt.speaker_token is not None:
+                spk_kind, spk_idx = "codec", int(prompt.speaker_token)
+            elif prompt.speaker_id is not None:
+                spk_kind, spk_idx = "table", int(prompt.speaker_id)
+            else:
+                spk_kind, spk_idx = "none", 0
+            # the prompt's row count is text-independent under this
+            # protocol (text conditions through the trailing buffer)
+            L = 3 + len(t.codec_prompt_head) + (
+                1 if spk_kind != "none" else 0
+            ) + 2
+            proto = "pub"
+        else:
+            if toks_np.size < 1:
+                return None
+            if (prompt.speaker_id is not None
+                    and prompt.speaker_token is not None):
+                return None
+            if toks_np.size and (
+                int(toks_np.max()) >= t.vocab_size or int(toks_np.min()) < 0
+            ):
+                if t.vocab_size >= 512:
+                    raise ValueError(
+                        f"token id {int(toks_np.max())} out of range for "
+                        f"vocab_size {t.vocab_size}: tokenizer/config "
+                        f"mismatch (wrong tokenizer files for this model?)"
+                    )
+                toks_np = toks_np % t.vocab_size
+            if prompt.speaker_id is not None:
+                spk_kind, spk_idx = "table", int(prompt.speaker_id)
+            elif prompt.speaker_token is not None:
+                spk_kind, spk_idx = "codec", int(prompt.speaker_token)
+            else:
+                spk_kind, spk_idx = "none", 0
+            s = 1 if spk_kind == "table" else 0
+            n_tail = len(t.codec_prompt_head) + (
+                1 if spk_kind == "codec" else 0
+            ) + 1
+            L = s + int(toks_np.size) + n_tail
+            proto = "cb0"
+        Lb = min(bucket_len(L), cap)
+        if L > Lb:  # truncating prompts fall through to eager
+            return None
+        T = int(toks_np.size)
+        tb_tok = 8
+        while tb_tok < T:
+            tb_tok *= 2
+        toks_pad = np.zeros(tb_tok, np.int32)
+        toks_pad[:T] = toks_np
+        return AssemblyPlan(
+            proto=proto, tb_tok=tb_tok, Lb=Lb, pad=Lb - L,
+            spk_kind=spk_kind, spk_idx=spk_idx, toks=toks_pad, T=T,
+        )
+
+    def assemble_from_plan(
+        self, plan: AssemblyPlan
+    ) -> tuple[jnp.ndarray, int, jnp.ndarray | None]:
+        """Run one plan as a single jitted dispatch: (emb [1, Lb, D], pad,
+        trailing [1, Tb, D] | None)."""
+        if plan.proto == "pub":
+            fn, pad = self._assemble_published_fast_fn(
+                plan.tb_tok, plan.spk_kind
+            )
+            emb, buf = fn(self.params, jnp.asarray(plan.toks),
+                          jnp.int32(plan.T), jnp.int32(plan.spk_idx))
+            return emb, pad, buf
+        fn = self._assemble_cb0_fast_fn(plan.tb_tok, plan.Lb, plan.spk_kind)
+        emb = fn(self.params, jnp.asarray(plan.toks), jnp.int32(plan.T),
+                 jnp.int32(plan.pad), jnp.int32(plan.spk_idx))
+        return emb, plan.pad, None
+
+    def assemble_plans_batched(
+        self, plans: list
+    ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+        """Assemble N plans in ONE jitted dispatch: (emb [N, Lb, D],
+        trailing [N, Tb, D] | None). All plans must share (proto, Lb,
+        spk_kind); tb_tok is lifted to the group max (the fast fns read
+        token rows only below T, so extra zero padding is value-invariant
+        — same property the per-prompt bucketing relies on)."""
+        p0 = plans[0]
+        assert all(
+            (p.proto, p.Lb, p.spk_kind) == (p0.proto, p0.Lb, p0.spk_kind)
+            for p in plans
+        ), "assemble_plans_batched: mixed group"
+        n = len(plans)
+        tb = max(p.tb_tok for p in plans)
+        toks = np.zeros((n, tb), np.int32)
+        for i, p in enumerate(plans):
+            toks[i, : p.tb_tok] = p.toks
+        T = jnp.asarray([p.T for p in plans], jnp.int32)
+        spk = jnp.asarray([p.spk_idx for p in plans], jnp.int32)
+        if p0.proto == "pub":
+            bfn = self._assemble_published_fast_batch_fn(n, tb, p0.spk_kind)
+            emb, buf = bfn(self.params, jnp.asarray(toks), T, spk)
+            return emb, buf
+        pads = jnp.asarray([p.pad for p in plans], jnp.int32)
+        bfn = self._assemble_cb0_fast_batch_fn(n, tb, p0.Lb, p0.spk_kind)
+        return bfn(self.params, jnp.asarray(toks), T, pads, spk), None
+
+    def _assemble_published_fast_batch_fn(self, n: int, tb_tok: int,
+                                          spk_kind: str):
+        key = ("asm_pub_b", n, tb_tok, spk_kind)
+        if key in self._fns:
+            return self._fns[key]
+        fn, _ = self._assemble_published_fast_fn(tb_tok, spk_kind)
+
+        @jax.jit
+        def bfn(params, toks, T, spk):
+            # toks [n, tb], T [n], spk [n]
+            emb, buf = jax.vmap(fn, in_axes=(None, 0, 0, 0))(
+                params, toks, T, spk
+            )
+            return emb[:, 0], buf[:, 0]
+
+        self._fns[key] = bfn
+        return bfn
+
+    def _assemble_cb0_fast_batch_fn(self, n: int, tb_tok: int, Lb: int,
+                                    spk_kind: str):
+        key = ("asm_cb0_b", n, tb_tok, Lb, spk_kind)
+        if key in self._fns:
+            return self._fns[key]
+        fn = self._assemble_cb0_fast_fn(tb_tok, Lb, spk_kind)
+
+        @jax.jit
+        def bfn(params, toks, T, pads, spk):
+            emb = jax.vmap(fn, in_axes=(None, 0, 0, 0, 0))(
+                params, toks, T, pads, spk
+            )
+            return emb[:, 0]
+
+        self._fns[key] = bfn
+        return bfn
+
     def _assemble_published_fast_fn(self, tb_tok: int, spk_kind: str):
         """ONE jitted dispatch for the common published-protocol prompt
         (no clone conditioning, T >= 4 text tokens): the eager assembly
@@ -899,41 +1088,9 @@ class Generator:
         # common case → ONE jitted dispatch (see _assemble_published_fast_fn);
         # clone conditioning and degenerate short prompts keep the eager
         # chain below (bit-identical — pinned by test_feedback)
-        if (
-            prompt.speaker_vector is None
-            and (prompt.acoustic_codes is None
-                 or not prompt.acoustic_codes.size)
-            and toks_np.size >= 4
-            and getattr(self, "_fast_assembly", True)  # test escape hatch
-        ):
-            if prompt.speaker_token is not None:
-                spk_kind, spk_idx = "codec", int(prompt.speaker_token)
-            elif prompt.speaker_id is not None:
-                spk_kind, spk_idx = "table", int(prompt.speaker_id)
-            else:
-                spk_kind, spk_idx = "none", 0
-            # mirror the cb0 guard: a static head longer than the largest
-            # allowed bucket (tiny max_seq_len / long codec_prompt_head)
-            # falls through to the eager chain instead of asserting
-            L = 3 + len(t.codec_prompt_head) + (
-                1 if spk_kind != "none" else 0
-            ) + 2
-            max_prompt = max(
-                16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
-            )
-            allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
-            cap = allowed[-1] if allowed else max_prompt
-            if L <= min(bucket_len(L), cap):
-                T = int(toks_np.size)
-                tb_tok = 8
-                while tb_tok < T:
-                    tb_tok *= 2
-                toks_pad = np.zeros(tb_tok, np.int32)
-                toks_pad[:T] = toks_np
-                fn, pad = self._assemble_published_fast_fn(tb_tok, spk_kind)
-                emb, buf = fn(self.params, jnp.asarray(toks_pad),
-                              jnp.int32(T), jnp.int32(spk_idx))
-                return emb, pad, buf
+        plan = self.fast_assembly_plan(prompt)
+        if plan is not None:
+            return self.assemble_from_plan(plan)
         ctl = jnp.asarray(
             [t.tts_pad_id, t.tts_bos_id, t.tts_eos_id], jnp.int32
         )
@@ -1100,53 +1257,10 @@ class Generator:
         t = self.cfg.talker
         # common case → one jitted dispatch; clone conditioning, textless
         # prompts, and over-long (truncating) prompts keep the eager chain
-        if (
-            prompt.speaker_vector is None
-            and (prompt.acoustic_codes is None
-                 or not prompt.acoustic_codes.size)
-            and prompt.text_tokens.size >= 1
-            and not (prompt.speaker_id is not None
-                     and prompt.speaker_token is not None)
-            and getattr(self, "_fast_assembly", True)  # test escape hatch
-        ):
-            toks_np = np.asarray(prompt.text_tokens)
-            if int(toks_np.max()) >= t.vocab_size or int(toks_np.min()) < 0:
-                if t.vocab_size >= 512:
-                    raise ValueError(
-                        f"token id {int(toks_np.max())} out of range for "
-                        f"vocab_size {t.vocab_size}: tokenizer/config "
-                        f"mismatch (wrong tokenizer files for this model?)"
-                    )
-                toks_np = toks_np % t.vocab_size
-            if prompt.speaker_id is not None:
-                spk_kind, spk_idx = "table", int(prompt.speaker_id)
-            elif prompt.speaker_token is not None:
-                spk_kind, spk_idx = "codec", int(prompt.speaker_token)
-            else:
-                spk_kind, spk_idx = "none", 0
-            T = int(toks_np.size)
-            s = 1 if spk_kind == "table" else 0
-            n_tail = len(t.codec_prompt_head) + (
-                1 if spk_kind == "codec" else 0
-            ) + 1
-            L = s + T + n_tail
-            max_prompt = max(
-                16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
-            )
-            allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
-            cap = allowed[-1] if allowed else max_prompt
-            Lb = min(bucket_len(L), cap)
-            if L <= Lb:  # truncating prompts fall through to eager
-                pad = Lb - L
-                tb_tok = 8
-                while tb_tok < T:
-                    tb_tok *= 2
-                toks_pad = np.zeros(tb_tok, np.int32)
-                toks_pad[:T] = toks_np
-                fn = self._assemble_cb0_fast_fn(tb_tok, Lb, spk_kind)
-                emb = fn(self.params, jnp.asarray(toks_pad), jnp.int32(T),
-                         jnp.int32(pad), jnp.int32(spk_idx))
-                return emb, pad
+        plan = self.fast_assembly_plan(prompt)
+        if plan is not None:
+            emb, pad, _ = self.assemble_from_plan(plan)
+            return emb, pad
         parts = []
         if prompt.speaker_id is not None:
             parts.append(self.params["spk_emb"][prompt.speaker_id][None, :])

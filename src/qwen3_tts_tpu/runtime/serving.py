@@ -148,6 +148,11 @@ class _PendingPrefill:
     last_hidden: Any = None   # [D] hidden at the final prompt position
     trailing: Any = None      # [1, Tb, D] trailing-text buffer (feedback
     #                           protocol only — runtime.generate)
+    # deferred assembly (VERDICT r4 #7): fast-path prompts submit with
+    # emb=None and an AssemblyPlan; the cold-start batch materialises all
+    # of them in ONE dispatch (generate.assemble_plans_batched), the
+    # slice path on first touch (assemble_from_plan)
+    plan: Any = None
 
 
 class ServingEngine:
@@ -592,8 +597,17 @@ class ServingEngine:
                 )
 
         gen = self.model.generator  # reuse its prompt assembly
-        emb, pad, trailing = gen.assemble_prompt_full(prompt)
-        Lb = emb.shape[1]
+        # fast-path prompts DEFER the assembly dispatch (shape/pad are
+        # host-computable): N simultaneous cold submissions then assemble
+        # in one batched dispatch instead of paying ~20-40 ms of tunneled
+        # dispatch overhead each (VERDICT r4 #7, tools/profile_cold_ttfa)
+        plan = gen.fast_assembly_plan(prompt)
+        if plan is not None:
+            emb, pad, trailing = None, plan.pad, None
+            Lb = plan.Lb
+        else:
+            emb, pad, trailing = gen.assemble_prompt_full(prompt)
+            Lb = emb.shape[1]
         from ..models.codec import max_stream_frames
 
         # cap against BOTH the talker cache (positions) and the codec's
@@ -627,6 +641,7 @@ class ServingEngine:
 
         self._pending.append(_PendingPrefill(
             stream=stream, emb=emb, pad=pad, Lb=Lb, trailing=trailing,
+            plan=plan,
         ))
         return stream.stream_id
 
@@ -685,6 +700,10 @@ class ServingEngine:
         stalled_once = False
         while self._pending and not (live() and stalled_once):
             pp = self._pending[0]
+            if pp.emb is None:  # deferred fast-path assembly (see submit)
+                pp.emb, _, pp.trailing = (
+                    self.model.generator.assemble_from_plan(pp.plan)
+                )
             if pp.sk is None:
                 t = self.cfg.talker
                 scratch = (t.n_layers, 1, pp.Lb, t.n_kv_heads, t.head_dim)
@@ -729,29 +748,64 @@ class ServingEngine:
             nb = 2
             while nb < len(group):
                 nb *= 2
-            # pad the batch by replicating entry 0 (duplicate slot writes
+            # pad the batch by replicating one entry (duplicate slot writes
             # carry identical values — see _prefill_batch_fn)
             fill = nb - len(group)
-            emb = jnp.concatenate(
-                [pp.emb for pp in group] + [group[0].emb] * fill, axis=0
+            # deferred fast-path plans (emb None — see submit) assemble in
+            # ONE batched dispatch per (proto, spk_kind) subgroup; eager
+            # embs (clone conditioning etc.) ride alongside as their own
+            # rows. Rows are reordered eager-first; the slots/pads vectors
+            # follow row order, so ordering is free. The common cold start
+            # (N same-shape prompts) is exactly 1 assembly dispatch +
+            # 1 batched prefill dispatch.
+            eager = [pp for pp in group if pp.emb is not None]
+            deferred = [pp for pp in group if pp.emb is None]
+            deferred.sort(
+                key=lambda pp: (pp.plan.proto, pp.plan.spk_kind)
+            )
+            gen = self.model.generator
+            emb_pieces = [pp.emb for pp in eager]
+            trail_pieces = [pp.trailing for pp in eager]
+            rows = [(pp.stream.slot, pp.pad) for pp in eager]
+            i = 0
+            first_sub = True
+            while i < len(deferred):
+                j = i
+                skey = (deferred[i].plan.proto, deferred[i].plan.spk_kind)
+                while (j < len(deferred)
+                       and (deferred[j].plan.proto,
+                            deferred[j].plan.spk_kind) == skey):
+                    j += 1
+                sub = deferred[i:j]
+                plans = [pp.plan for pp in sub]
+                rows += [(pp.stream.slot, pp.pad) for pp in sub]
+                if first_sub and fill:  # batch fill rides this dispatch
+                    plans = plans + [plans[0]] * fill
+                    rows += [(sub[0].stream.slot, sub[0].pad)] * fill
+                first_sub = False
+                bemb, btrail = gen.assemble_plans_batched(plans)
+                emb_pieces.append(bemb)
+                trail_pieces.append(btrail)
+                i = j
+            if not deferred and fill:
+                emb_pieces += [group[0].emb] * fill
+                trail_pieces += [group[0].trailing] * fill
+                rows += [(group[0].stream.slot, group[0].pad)] * fill
+            emb = (
+                emb_pieces[0] if len(emb_pieces) == 1
+                else jnp.concatenate(emb_pieces, axis=0)
             )                                               # [nb, Lb, D]
-            pads = jnp.asarray(
-                [pp.pad for pp in group] + [group[0].pad] * fill, jnp.int32
-            )
-            slots = jnp.asarray(
-                [pp.stream.slot for pp in group]
-                + [group[0].stream.slot] * fill,
-                jnp.int32,
-            )
+            pads = jnp.asarray([p for _, p in rows], jnp.int32)
+            slots = jnp.asarray([s for s, _ in rows], jnp.int32)
             scratch = (t.n_layers, nb, Lb, t.n_kv_heads, t.head_dim)
             sk = kv_cache_init(scratch, self._cache_dtype,
                                kv_format=self._kv_fmt)
             sv = kv_cache_init(scratch, self._cache_dtype,
                                kv_format=self._kv_fmt)
             if self.feedback:
-                trail_bufs = jnp.concatenate(
-                    [pp.trailing for pp in group]
-                    + [group[0].trailing] * fill, axis=0
+                trail_bufs = (
+                    trail_pieces[0] if len(trail_pieces) == 1
+                    else jnp.concatenate(trail_pieces, axis=0)
                 )                                       # [nb, Tb, D]
                 (self.cache_k, self.cache_v, self.pos, self.pad, self.tok,
                  self.frames_dev, self.active_mask, conv, self.res_sum,

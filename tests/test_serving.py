@@ -244,6 +244,68 @@ def test_cold_start_prefill_is_batched(model):
         np.testing.assert_allclose(wav_served, wav_single, atol=1)  # 1 LSB
 
 
+def test_cold_start_assembly_is_deferred_and_batched(model):
+    """Fast-path prompts must submit WITHOUT a device assembly dispatch
+    (AssemblyPlan deferral) and materialise in ONE batched assembly call
+    at the cold-start batch (VERDICT r4 #7), token-identical to the
+    single-stream pipeline."""
+    prompts = [_prompt(31), _prompt(32), _prompt(33), _prompt(34)]
+    max_frames = 10
+    singles = [_single_stream_chunks(model, p, max_frames) for p in prompts]
+
+    engine = ServingEngine(model, max_streams=4, chunk=8, sampling=GREEDY)
+    gen = engine.model.generator
+    batched, per_stream = [], []
+    orig_b, orig_s = gen.assemble_plans_batched, gen.assemble_from_plan
+
+    def spy_b(plans):
+        batched.append(len(plans))
+        return orig_b(plans)
+
+    def spy_s(plan):
+        per_stream.append(1)
+        return orig_s(plan)
+
+    gen.assemble_plans_batched, gen.assemble_from_plan = spy_b, spy_s
+    try:
+        served = engine.run(prompts, max_frames=max_frames)
+    finally:
+        gen.assemble_plans_batched, gen.assemble_from_plan = orig_b, orig_s
+    assert batched == [4], batched  # ONE batched assembly dispatch
+    assert not per_stream           # and zero per-stream assembly calls
+    for (wav_single, res), (wav_served, stream) in zip(singles, served):
+        assert stream.done and stream.frames == res.frames
+        np.testing.assert_allclose(wav_served, wav_single, atol=1)
+
+    # deferral is visible at submit time: no emb until a step runs
+    sid = engine.submit(_prompt(35), max_frames=4)
+    assert engine._pending[0].emb is None
+    assert engine._pending[0].plan is not None
+    while not engine.streams[sid].done:
+        engine.step()
+
+
+def test_cold_start_mixed_eager_and_deferred_assembly(model):
+    """A clone-conditioned prompt (eager assembly — no fast plan) sharing
+    a cold start with fast-path prompts rides the same batched prefill,
+    all streams token-identical to single-stream."""
+    D = model.cfg.talker.hidden
+    clone = PromptSpec(
+        text_tokens=np.arange(6, dtype=np.int32),
+        speaker_vector=np.random.default_rng(0)
+        .normal(0, 0.02, D).astype(np.float32),
+    )
+    prompts = [clone, _prompt(41), _prompt(42)]
+    max_frames = 10
+    singles = [_single_stream_chunks(model, p, max_frames) for p in prompts]
+
+    engine = ServingEngine(model, max_streams=4, chunk=8, sampling=GREEDY)
+    served = engine.run(prompts, max_frames=max_frames)
+    for (wav_single, res), (wav_served, stream) in zip(singles, served):
+        assert stream.done and stream.frames == res.frames
+        np.testing.assert_allclose(wav_served, wav_single, atol=1)
+
+
 def test_join_under_load_still_uses_sliced_prefill(model):
     """With live streams decoding, a joining prompt must NOT take the
     batched cold-start path (it would stall the live streams)."""

@@ -353,6 +353,25 @@ _RC_CONFIGS = (
     ("recovered_lossless_spec", 1, 15, True),
 )
 
+# Per-label serving mitigations (VERDICT r4 #1). The fps=2+dg=5 shape
+# kernel-faults the TPU worker at 8 slots with the dense bf16 KV cache —
+# capacity-shaped, reproducible across service moods (PERF.md round 4).
+# Bisected round 5 (tools/bisect_serving_slots.py): bf16 serves cleanly
+# through 7 slots (46.2x agg at 6); the int8 KV cache (halved attention
+# bytes, quality-gated opt-in — tools/kv_quality_check.py) keeps the
+# footprint under the fault threshold and serves the full 8-slot
+# BASELINE contract at 61.5x aggregate. The audit row applies the
+# mitigation and records it instead of crashing the worker.
+_SERVING_MITIGATIONS = {
+    "recovered_fps2_dg5": {
+        "kv": "int8",
+        "why": "dense bf16 KV kernel-faults the worker at 8 slots "
+               "(capacity-shaped); bisected clean: bf16 <= 7 slots, "
+               "int8 KV at 8",
+        "bf16_max_clean_slots": 7,
+    },
+}
+
 
 def _default_spec_acceptance() -> float:
     # measured on the trained tiny recovery pipeline
@@ -412,16 +431,30 @@ def _real_checkpoint_row(label: str, fps: int, dg: int, spec: bool,
             reps=reps, target_frames=target_frames,
         )
     _free_model(model)  # single-stream buffers down before the 8-slot engine
+    mitigation = _SERVING_MITIGATIONS.get(label)
+    prev_kv = os.environ.get("QWEN3_TTS_KV")
+    if mitigation and mitigation.get("kv"):
+        # applied via env: the engine pins its KV format at construction
+        os.environ["QWEN3_TTS_KV"] = mitigation["kv"]
     try:
-        row["serving_8stream"] = _serving_metrics(
-            model, n_streams if n_streams is not None else BASELINE_STREAMS
+        n = int(os.environ.get("QWEN3_TTS_BENCH_SLOTS", "0")) or (
+            n_streams if n_streams is not None else BASELINE_STREAMS
         )
+        row["serving_8stream"] = _serving_metrics(model, n)
+        if mitigation:
+            row["serving_8stream"]["mitigation"] = mitigation
         # probe only after SUCCESS: after a worker crash the poisoned
         # client would hang this probe until the row timeout, losing the
         # recorded error string
         health["probe_ms_after_serving"] = _probe_ms()
     except Exception as e:  # keep the single-stream half of the row
         row["serving_8stream"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    finally:
+        if mitigation and mitigation.get("kv"):
+            if prev_kv is None:
+                os.environ.pop("QWEN3_TTS_KV", None)
+            else:
+                os.environ["QWEN3_TTS_KV"] = prev_kv
     _free_model(model)
     return row
 

@@ -201,6 +201,27 @@ def main(argv: list[str] | None = None) -> int:
                     "code-predictor passes into one — divides cp weight "
                     "bytes (the fps>1 binding cost, PERF.md) by N; "
                     "config-only, trained by the same fine-tune")
+    ap.add_argument("--anchor", type=float, default=0.0, metavar="W",
+                    help="L2-SP anchored recovery: add W * mean||theta - "
+                    "theta0||^2 to the loss (theta0 = the pre-fine-tune "
+                    "weights; freshly-grafted MTP params move freely). "
+                    "Bounds weight drift so recovered@fps1/dg1 stays near "
+                    "the base model and the quality gate measures the "
+                    "extension's cost, not drift "
+                    "(tools/calibrate_quality_gate.py). Holds a second "
+                    "copy of the params; full fine-tune only")
+    ap.add_argument("--distill", type=float, default=0.0, metavar="W",
+                    help="function-space anchored recovery: add W * "
+                    "KL(frozen pre-fine-tune model || student) on the "
+                    "sequential fps=1/dg=1 teacher-forced path (talker + "
+                    "code predictor). The distillation optimum keeps the "
+                    "base shape's logits — hence its greedy codes — "
+                    "exactly, while the decode extension learns through "
+                    "the primary CE; this is what makes recovered@base "
+                    "measurable against original in the offline quality "
+                    "gate (tools/calibrate_quality_gate.py). Costs two "
+                    "extra teacher-forced forwards per step; full "
+                    "fine-tune only")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-dir", default=None,
                     help="orbax checkpoint directory (enables save/resume)")
@@ -284,6 +305,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.lora and (args.pp > 1 or args.sequence_parallel):
         print("error: --pp/--sequence-parallel apply to the full fine-tune "
               "path only (LoRA's adapter-sized step has no layer pipeline)",
+              file=sys.stderr)
+        return 1
+    if args.lora and (args.anchor > 0.0 or args.distill > 0.0):
+        print("error: --anchor/--distill apply to the full fine-tune path "
+              "only (LoRA already anchors implicitly — the base is frozen)",
               file=sys.stderr)
         return 1
     if args.pp < 1:
@@ -393,10 +419,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.ckpt_dir:
             save(state)
     else:
+        anchor = distill = None
+        if args.anchor > 0.0 or args.distill > 0.0:
+            # fresh buffers: the train step donates state.params, so the
+            # frozen reference must not alias the initial param arrays
+            frozen = jax.tree.map(
+                jnp.array, (model.params, model.cp_params)
+            )
+            anchor = frozen if args.anchor > 0.0 else None
+            distill = frozen if args.distill > 0.0 else None
         state = init_train_state(model.params, model.cp_params, opt)
         step = make_train_step(
             cfg, opt, mesh=mesh, microbatches=microbatches,
             sequence_parallel=args.sequence_parallel,
+            anchor=anchor, anchor_weight=args.anchor,
+            distill=distill, distill_weight=args.distill,
         )
         if args.resume and args.ckpt_dir:
             path = latest_checkpoint(args.ckpt_dir)

@@ -41,6 +41,25 @@ import numpy as np
 
 Transcribe = Callable[[str], "str | None"]
 
+# Offline mel-DTW gate thresholds for decode-recovery fine-tunes,
+# calibrated on the anchored low-drift rig (VERDICT r4 #5;
+# tools/calibrate_quality_gate.py, PERF.md round 5). A recovery fine-tune
+# must satisfy BOTH:
+#   drift_db  = mel-DTW(recovered@base-shape, original)  <= MEL_DRIFT_MAX_DB
+#     (the fine-tune may adapt the extension, not re-train the model —
+#      past this, every comparison is drift-dominated and uninterpretable);
+#   total_db  = mel-DTW(recovered@trained-shape, original) <= MEL_GATE_MAX_DB
+#     (what the user hears after switching decode shape).
+# The determinism floor of the harness is ~0.01 dB; ASR-WER (when a
+# provider exists) remains the primary gate, these bound the ASR-less case.
+MEL_DRIFT_MAX_DB = 3.0
+MEL_GATE_MAX_DB = 6.0
+
+
+def mel_gate_passes(drift_db: float, total_db: float) -> bool:
+    """The calibrated offline pass rule (see constants above)."""
+    return drift_db <= MEL_DRIFT_MAX_DB and total_db <= MEL_GATE_MAX_DB
+
 DEFAULT_TEXTS = [
     "The quick brown fox jumps over the lazy dog.",
     "TPU inference keeps every decode shape static and bucketed.",

@@ -439,6 +439,55 @@ def code_predictor_loss(
     return _cross_entropy(logits, targets, mask)
 
 
+def _kl(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
+        mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean KL(teacher || student), nats, f32."""
+    ls = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
+    lt = jax.nn.log_softmax(teacher_logits.astype(jnp.float32), axis=-1)
+    kl = jnp.sum(jnp.exp(lt) * (lt - ls), axis=-1)
+    return jnp.sum(kl * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def sequential_distill_loss(
+    params: Any, cp_params: Any, teacher: tuple, cfg_base: ModelConfig,
+    batch: dict,
+) -> jnp.ndarray:
+    """Function-space anchor for decode-recovery fine-tunes (VERDICT r4
+    #5): KL(base model || student) on the SEQUENTIAL decode path
+    (``cfg_base``: fps=1, dg=1) for both the talker's cb0 logits and the
+    code predictor's per-depth logits, teacher-forced on the batch.
+
+    Why the weight-space anchor (train.anchor_penalty) is not enough: AR
+    decode turns on argmax, and grouped/MTP training actively reshapes
+    the SHARED weights — measured on the memorized tiny rig, a recovery
+    fine-tune whose largest base-weight move was ~1e-3 still flipped
+    greedy tokens and drifted ~31 dB mel-DTW
+    (tools/calibrate_quality_gate.py). This term pins the base shape's
+    FUNCTION instead: its optimum keeps sequential logits (hence greedy
+    codes) exactly at the base model's, while the grafted MTP chain and
+    the grouped conditioning learn through the primary CE."""
+    t_params, t_cp = teacher
+    sg = jax.lax.stop_gradient
+    h_s, lg_s = _talker_hidden_and_logits(params, cfg_base, batch,
+                                          cp_params=cp_params)
+    h_t, lg_t = _talker_hidden_and_logits(t_params, cfg_base, batch,
+                                          cp_params=t_cp)
+    kl_talker = _kl(lg_s, sg(lg_t), batch["frame_mask"])
+    B, Tf, D = h_s.shape
+    Q = batch["codes"].shape[1]
+    flat_codes = jnp.transpose(batch["codes"], (0, 2, 1)).reshape(B * Tf, Q)
+    cp_lg_s = code_predictor_teacher_logits(
+        cp_params, cfg_base, h_s.reshape(B * Tf, D), flat_codes
+    )
+    cp_lg_t = code_predictor_teacher_logits(
+        t_cp, cfg_base, sg(h_t).reshape(B * Tf, D), flat_codes
+    )
+    mask = jnp.broadcast_to(
+        batch["frame_mask"].reshape(B * Tf, 1), flat_codes[:, 1:].shape
+    )
+    return kl_talker + _kl(cp_lg_s, sg(cp_lg_t), mask)
+
+
 def joint_loss(
     params: Any, cp_params: Any, cfg: ModelConfig, batch: dict,
     *, cp_weight: float = 1.0, stack_fn: Any = None, act_constraint: Any = None,

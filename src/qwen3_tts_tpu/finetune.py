@@ -210,6 +210,18 @@ def main(argv: list[str] | None = None) -> int:
                     "extension's cost, not drift "
                     "(tools/calibrate_quality_gate.py). Holds a second "
                     "copy of the params; full fine-tune only")
+    ap.add_argument("--freeze-base", action="store_true",
+                    help="strict recovery: train ONLY the recovery "
+                    "parameters — the grafted MTP chain (--mtp-fps) and a "
+                    "grafted DRAFT copy of the code predictor that the "
+                    "grouped layout reads (--depth-group; "
+                    "models/code_predictor.py draft-adapter indirection). "
+                    "The base weights never move, so the exported model's "
+                    "fps=1/dg=1 decode — and the --spec verifier — stay "
+                    "BIT-IDENTICAL to the input checkpoint: --spec "
+                    "recovery becomes lossless against the raw import, "
+                    "not merely against the drifted fine-tune "
+                    "(tools/calibrate_quality_gate.py)")
     ap.add_argument("--distill", type=float, default=0.0, metavar="W",
                     help="function-space anchored recovery: add W * "
                     "KL(frozen pre-fine-tune model || student) on the "
@@ -295,6 +307,30 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
+    if args.freeze_base:
+        if args.lora:
+            print("error: --freeze-base is the full-fine-tune sibling of "
+                  "LoRA-style adaptation; use one or the other",
+                  file=sys.stderr)
+            return 1
+        if args.mtp_fps <= 1 and args.depth_group <= 1:
+            print("error: --freeze-base trains ONLY the recovery params "
+                  "(MTP chain / grouped draft) — it needs --mtp-fps N "
+                  "and/or --depth-group K", file=sys.stderr)
+            return 1
+        if args.depth_group > 1 and "draft" not in model.cp_params:
+            # graft the draft adapter: a full copy of the cp module that
+            # the grouped layout (and the spec draft) reads while the
+            # primary tree — sequential decode and the spec verifier —
+            # stays bit-identical to the raw import
+            model.cp_params = {
+                **model.cp_params,
+                "draft": jax.tree.map(
+                    jnp.array,
+                    {k: v for k, v in model.cp_params.items()
+                     if k != "draft"},
+                ),
+            }
     cfg = model.cfg
     if cfg.quant.enabled:
         print("error: fine-tuning needs an unquantized base "
@@ -374,6 +410,30 @@ def main(argv: list[str] | None = None) -> int:
           f"{'LoRA r=%d' % args.lora if args.lora else 'full'}")
 
     opt = default_optimizer(lr=args.lr)
+    if args.freeze_base:
+        import optax
+
+        def trainable(sub: str):
+            def leaf_mask(tree):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: sub in str(path).lower(), tree
+                )
+            return leaf_mask
+
+        # updates flow ONLY into the recovery subtrees. optax.masked
+        # passes NON-masked leaves' updates through UNTOUCHED (raw
+        # grads!), so the frozen complement must be explicitly zeroed.
+        def mask_fn(trees):
+            return (trainable("mtp")(trees[0]),
+                    trainable("draft")(trees[1]))
+
+        def frozen_fn(trees):
+            return jax.tree.map(lambda m: not m, mask_fn(trees))
+
+        opt = optax.chain(
+            optax.masked(opt, mask_fn),
+            optax.masked(optax.set_to_zero(), frozen_fn),
+        )
     t0 = time.perf_counter()
     losses: list[float] = []
     saved_at = -1

@@ -130,12 +130,22 @@ def predict_residuals(
 
     from ..ops.linear import linear
 
+    # Draft-adapter indirection (freeze-base recovery, finetune.py
+    # --freeze-base): when a grafted ``params["draft"]`` subtree (a full
+    # copy of the cp module) is present, the GROUPED computation reads the
+    # draft copy — the primary tree stays exactly the raw import's, so
+    # sequential (k=1) decode and the spec verifier below remain
+    # bit-identical to the untuned model while the draft trains freely.
+    # The talker's residual-sum feedback still embeds through the PRIMARY
+    # tables (mirrors teacher-forced training — training/loss.py).
+    dp = params["draft"] if (k > 1 and "draft" in params) else params
+
     cos_t, sin_t = rope_tables(depth_len, cp.head_dim, cp.rope_theta)
 
     hid = talker_hidden[:, None, :]
     if cp.input_proj:
-        hid = linear(hid, params["in_proj"])                       # [B,1,H]
-    cb0 = jnp.take(params["cb0_emb"], cb0_tokens, axis=0)[:, None, :]
+        hid = linear(hid, dp["in_proj"])                           # [B,1,H]
+    cb0 = jnp.take(dp["cb0_emb"], cb0_tokens, axis=0)[:, None, :]
     if hidden_token:
         x0 = jnp.concatenate([hid, cb0.astype(hid.dtype)], axis=1)  # [B,2,H]
     else:
@@ -164,8 +174,8 @@ def predict_residuals(
             )
             return out.x, (out.cache_k, out.cache_v)
 
-        x, (nk, nv) = jax.lax.scan(body, x, (params["blocks"], ck, cv))
-        return rmsnorm(x, params["ln_f"], cp.rms_eps), nk, nv
+        x, (nk, nv) = jax.lax.scan(body, x, (dp["blocks"], ck, cv))
+        return rmsnorm(x, dp["ln_f"], cp.rms_eps), nk, nv
 
     stochastic = (key is not None or row_keys is not None) and (
         cp.top_k > 0 or cp.top_p < 1.0 or cp.temperature != 1.0
@@ -213,8 +223,8 @@ def predict_residuals(
         categorical distribution each code was drawn from ([B, k, V]
         float32) — the proposal q of the speculative sampled decode."""
         heads = jax.lax.dynamic_slice(
-            params["heads"], (g * k, 0, 0),
-            (k, cc.residual_codebook_size, params["heads"].shape[2]),
+            dp["heads"], (g * k, 0, 0),
+            (k, cc.residual_codebook_size, dp["heads"].shape[2]),
         )
         logits = jnp.einsum(
             "bd,kvd->bkv", h_last, heads, preferred_element_type=jnp.float32
@@ -244,8 +254,8 @@ def predict_residuals(
     def next_input(codes_g, g):
         """Summed embedding of group ``g``'s codes ([B, k] -> [B, 1, H])."""
         tabs = jax.lax.dynamic_slice(
-            params["res_emb"], (g * k, 0, 0),
-            (k,) + params["res_emb"].shape[1:],
+            dp["res_emb"], (g * k, 0, 0),
+            (k,) + dp["res_emb"].shape[1:],
         )
         embs = jax.vmap(
             lambda tab, c: jnp.take(tab, c, axis=0), in_axes=(0, 1)

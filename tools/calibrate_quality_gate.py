@@ -5,15 +5,17 @@ Round 3's calibration was drift-dominated: the 200-step recovery
 fine-tune alone moved a memorized toy ~27 dB (mel-DTW) even when decoded
 at the ORIGINAL shape, so the absolute fps/dg deltas said nothing about
 the decode extensions themselves (PERF.md "Decode-recovery quality
-gate"). This rig fixes the calibration with FUNCTION-SPACE anchored
-recovery (``finetune.py --distill W``: KL to the frozen base model on
-the sequential fps=1/dg=1 path — loss.sequential_distill_loss) at a low
-learning rate. A weight-space L2-SP anchor (``--anchor``) is also
-available but measured insufficient alone: ~1e-3 weight moves still flip
-greedy tokens (AR chaos), drifting ~31 dB. Stages:
+gate"). This rig fixes the calibration with FREEZE-BASE recovery
+(``finetune.py --freeze-base``: only the grafted MTP chain and the cp's
+DRAFT adapter copy train — the base weights never move), which pins
+drift at the 0.011 dB determinism floor EXACTLY. Two softer arms were
+measured and rejected on the same rig: the weight-space L2-SP anchor
+(``--anchor``, ~1e-3 weight moves still flip greedy tokens → ~31 dB) and
+sequential-path distillation (``--distill`` at W=1, grouped CE fights
+the KL on the SHARED cp tables → 30–33 dB). Stages:
 
 1. train the tiny published-protocol model to memorization (the "base");
-2. run the documented recovery fine-tunes FROM it, anchored:
+2. run the documented recovery fine-tunes FROM it (default freeze-base):
    fps=2 / dg=3 / fps=2+dg=3 / dg=3+spec (tiny analogs of the flagship
    ladder — the tiny codec has 3 residual books);
 3. for every recovery export measure, over the training texts (a toy
@@ -23,12 +25,14 @@ greedy tokens (AR chaos), drifting ~31 dB. Stages:
    - TOTAL   = mel-DTW(original@base-shape, recovered@trained-shape)
      — what the user hears after switching the decode shape;
 4. test each ladder shape against the explicit gate thresholds
-   (quality.MEL_DRIFT_MAX_DB / MEL_GATE_MAX_DB) and print the table
+   (quality.MEL_DRIFT_MAX_DB / MEL_GATE_MAX_DB; ``total`` gates only
+   LOSSLESS claims — see the constants' comment) and print the table
    PERF.md quotes.
 
 Usage:
     python tools/calibrate_quality_gate.py [--steps1 600] [--steps2 300]
-        [--lr2 5e-5] [--anchor 30] [--keep DIR] [--shapes fps=2 dg=3 ...]
+        [--lr2 3e-4] [--full [--anchor W] [--distill W]] [--keep DIR]
+        [--shapes fps=2 dg=3 ...]
 
 Offline, CPU, tiny configs — no TPU, no weights, ~10-20 min.
 """
@@ -68,18 +72,23 @@ def main() -> None:
     ap.add_argument("--steps1", type=int, default=600)
     ap.add_argument("--steps2", type=int, default=300)
     ap.add_argument("--lr1", type=float, default=1e-3)
-    ap.add_argument("--lr2", type=float, default=5e-5,
-                    help="recovery lr — LOW: the recovery adapts the "
-                    "extension, it must not re-train the model")
+    ap.add_argument("--lr2", type=float, default=3e-4,
+                    help="recovery lr (with --freeze-base the base never "
+                    "moves, so the draft/MTP params can learn at a normal "
+                    "rate)")
     ap.add_argument("--anchor", type=float, default=0.0,
                     help="L2-SP (weight-space) anchor for the recovery "
                     "stage — measured insufficient alone: ~1e-3 weight "
-                    "moves still flip greedy tokens (AR chaos)")
-    ap.add_argument("--distill", type=float, default=1.0,
+                    "moves still flip greedy tokens (AR chaos, 31 dB)")
+    ap.add_argument("--distill", type=float, default=0.0,
                     help="function-space anchor weight (finetune.py "
-                    "--distill): KL to the frozen base on the sequential "
-                    "path — the lever that actually holds drift near the "
-                    "floor")
+                    "--distill) — measured insufficient alone at W=1: "
+                    "grouped CE fights sequential KL on the SHARED cp "
+                    "tables (30-33 dB drift)")
+    ap.add_argument("--full", action="store_true",
+                    help="full (shared-weight) recovery instead of the "
+                    "default --freeze-base strict recovery; combine with "
+                    "--anchor/--distill to measure those arms")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--texts", type=int, default=6)
     ap.add_argument("--max-frames", type=int, default=48)
@@ -97,6 +106,7 @@ def main() -> None:
     from qwen3_tts_tpu.quality import (
         MEL_DRIFT_MAX_DB,
         MEL_GATE_MAX_DB,
+        mel_gate_passes,
         parse_variant,
         variant_model,
     )
@@ -125,6 +135,7 @@ def main() -> None:
     report: dict = {
         "steps1": args.steps1, "steps2": args.steps2,
         "lr2": args.lr2, "anchor": args.anchor, "distill": args.distill,
+        "freeze_base": not args.full,
         "thresholds": {"drift_max_db": MEL_DRIFT_MAX_DB,
                        "gate_max_db": MEL_GATE_MAX_DB},
         "rows": [],
@@ -143,6 +154,8 @@ def main() -> None:
                "--lr", str(args.lr2), "--anchor", str(args.anchor),
                "--distill", str(args.distill),
                "--export", out_dir]
+        if not args.full:
+            cli.append("--freeze-base")
         if opts.get("fps", 1) > 1:
             cli += ["--mtp-fps", str(opts["fps"])]
         if opts.get("dg", 1) > 1:
@@ -164,14 +177,18 @@ def main() -> None:
                           max_frames=args.max_frames, sr=sr)
         total = _mel_pair(base, tuned, texts,
                           max_frames=args.max_frames, sr=sr)
+        lossless = bool(opts.get("spec"))
         row = {
             "shape": shape,
+            "lossless_claim": lossless,
             "drift_db": round(drift, 3),
             "total_db": round(total, 3),
-            "extension_db": round(total - drift, 3),
             "drift_ok": drift <= MEL_DRIFT_MAX_DB,
-            "gate_pass": (drift <= MEL_DRIFT_MAX_DB
-                          and total <= MEL_GATE_MAX_DB),
+            # lossy shapes produce DIFFERENT valid token streams — mel-DTW
+            # between different streams saturates (~30 dB) regardless of
+            # audible quality, so total gates only LOSSLESS claims; lossy
+            # fidelity rides the ASR-WER path (quality.py constants)
+            "gate_pass": mel_gate_passes(drift, total, lossless),
         }
         report["rows"].append(row)
         print(f"[{shape}: drift {drift:.3f} dB, total {total:.3f} dB, "

@@ -172,16 +172,20 @@ def group_quantized(*trees):
 def default_chunk_schedule(t) -> tuple:
     """The adaptive decode-chunk ladder: (8, 16, 32) everywhere EXCEPT the
     published protocol's raw-import shape (residual_sum feedback, one
-    frame per talker pass), which leads with a 4-frame chunk. There the
-    code predictor's 15 sequential depth passes ride INSIDE every decoded
+    frame per talker pass), which runs (4, 32). There the code
+    predictor's 15 sequential depth passes ride INSIDE every decoded
     frame, doubling the serial device time of the first chunk — the
     8-frame first chunk alone blew the 8-stream cold-start TTFA budget
-    (VERDICT r3 #4: p50 388 ms vs the 300 ms BASELINE target). A 4-frame
-    first chunk halves the pre-first-audio device time for one extra
-    dispatch (hidden by the pipelined loop) and one extra compile variant
-    per process."""
+    (VERDICT r3 #4: p50 388 ms vs the 300 ms BASELINE target), so a
+    4-frame chunk leads for TTFA. The mid-ramp (8, 16) was REMOVED in
+    round 5: measured on-device (tools/profile_feedback_decode.py,
+    interleaved arms), the ramp cost ~8-11% of single-stream steady state
+    — (4,8,16,32) 6.34x vs (4,32) 6.88x vs (32,)-only 7.03x — because
+    28 early frames decode at small-chunk efficiency on a shape whose
+    serial cp passes dominate; jumping straight to 32 keeps the ~100 ms
+    TTFA and nearly all of the steady-state rate."""
     if t.feedback == "residual_sum" and t.frames_per_step == 1:
-        return (4, 8, 16, 32)
+        return (4, 32)
     return (8, 16, 32)
 
 

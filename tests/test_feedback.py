@@ -549,14 +549,17 @@ def test_feedback_mtp_training_layout_matches_decode():
 # -- protocol-aware chunk schedule (VERDICT r3 #4) ---------------------------
 
 def test_feedback_fps1_leads_with_4frame_chunk():
-    """The raw-import shape (residual_sum, fps=1) halves its first decode
-    chunk: the cp-in-loop doubles per-frame serial cost, and the 8-frame
-    first chunk alone blew the 8-stream cold-start TTFA budget. Other
-    shapes keep (8, 16, 32); explicit schedules are never overridden."""
+    """The raw-import shape (residual_sum, fps=1) runs (4, 32): a 4-frame
+    first chunk for TTFA (the cp-in-loop doubles per-frame serial cost,
+    and the 8-frame first chunk alone blew the 8-stream cold-start TTFA
+    budget), then straight to the steady chunk — the (8, 16) mid-ramp
+    measured ~8-11% of single-stream steady state (PERF.md round 5).
+    Other shapes keep (8, 16, 32); explicit schedules are never
+    overridden."""
     m = _model()
-    assert m.generator.chunk_schedule == (4, 8, 16, 32)
+    assert m.generator.chunk_schedule == (4, 32)
     eng = ServingEngine(m, max_streams=2)
-    assert eng.chunk_schedule == (4, 8, 16, 32)
+    assert eng.chunk_schedule == (4, 32)
 
     # fps=2 (the recovered shape) keeps the standard ladder
     m2 = Qwen3TTSModel.synthetic(

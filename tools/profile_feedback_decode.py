@@ -73,7 +73,8 @@ def main() -> None:
 
     def gen_for(arm: str) -> Generator:
         sched = {"base": None, "d4": None,
-                 "steady32": (32,), "steady64": (64,)}[arm]
+                 "steady32": (32,), "steady64": (64,),
+                 "ramp432": (4, 32), "ramp832": (8, 32)}[arm]
         depth = 4 if arm == "d4" else 2
         return Generator(
             cfg=cfg, params=model.params, cp_params=model.cp_params,

@@ -153,6 +153,39 @@ def fuse_decode_params(cp_params: Any, codec_params: Any) -> tuple[Any, Any]:
     return cp_params, codec_params
 
 
+def fuse_talker_params(params: Any) -> Any:
+    """Opt-in (QWEN3_TTS_FUSE_TALKER=1) qkv/gate_up relayout for the
+    TALKER on single-device decode. Measured on the published fps=1 shape
+    (tools/profile_feedback_stages.py, round 5): 5.35 -> 5.04 ms/frame
+    (~+3% single-stream) by halving the per-layer matvec count — the
+    single-frame talker pass is launch/latency bound, not bytes bound.
+    Default OFF: the fused copy doubles resident talker bytes next to the
+    model's canonical split tree (~3.4 GB bf16 at flagship), and the
+    remote service frees dropped buffers lazily — a risk beside
+    capacity-edge serving engines (PERF.md round 5 fault bisect). Flip it
+    for single-stream-only deployments. No-op for tp-sharded or LoRA
+    trees; identical numerics (transformer_block dispatches on the fused
+    keys — parity in tests/test_fuse.py)."""
+    import os
+
+    if os.environ.get("QWEN3_TTS_FUSE_TALKER", "0") in ("0", ""):
+        return params
+    if os.environ.get("QWEN3_TTS_FUSE", "") == "0":
+        return params
+    from ..models.layers import fuse_block_projections
+
+    if (
+        "blocks" not in params
+        or "qkv" in params["blocks"].get("attn", {})
+        or _has_lora(params)
+        or _multi_device_tree(params)
+    ):
+        return params
+    params = dict(params)
+    params["blocks"] = fuse_block_projections(params["blocks"])
+    return params
+
+
 def group_quantized(*trees):
     """int8-resident decode: relayout every quantized linear into the
     grouped format for ops/grouped_qmv (policy: QWEN3_TTS_INT8_LAYOUT,
@@ -695,6 +728,7 @@ class Generator:
         self.cp_params, self.codec_params = fuse_decode_params(
             self.cp_params, self.codec_params
         )
+        self.params = fuse_talker_params(self.params)  # opt-in, see doc
         self.params, self.cp_params, self.codec_params = group_quantized(
             self.params, self.cp_params, self.codec_params
         )

@@ -164,3 +164,40 @@ def test_fuse_decode_params_idempotent(cfg):
     cp2, codec2 = fuse_decode_params(cp1, codec1)
     assert cp2["blocks"]["attn"] is cp1["blocks"]["attn"]
     assert codec2["dec"]["tf_blocks"] is codec1["dec"]["tf_blocks"]
+
+
+def test_talker_fusing_env_greedy_parity(monkeypatch):
+    """Opt-in talker fusing (QWEN3_TTS_FUSE_TALKER=1, the single-stream
+    launch-overhead lever — PERF.md round 5): greedy decode must be
+    bit-identical to the unfused default, and the flag must be a no-op
+    when unset."""
+    from qwen3_tts_tpu.engine.api import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+    from qwen3_tts_tpu.runtime.sampling import SamplingConfig
+
+    tcfg = configs.tiny_feedback("custom")
+    prompt = PromptSpec(
+        text_tokens=np.arange(8, dtype=np.int32) + 2, speaker_id=1
+    )
+    greedy = SamplingConfig(greedy=True)
+
+    def run():
+        m = Qwen3TTSModel.synthetic(tcfg, seed=4)
+        m.sampling = greedy
+        r = m.generator.synthesize(prompt, max_frames=6, seed=0,
+                                   collect_codes=True)
+        return m, r
+
+    monkeypatch.delenv("QWEN3_TTS_FUSE_TALKER", raising=False)
+    m_plain, r_plain = run()
+    assert "qkv" not in m_plain.generator.params["blocks"]["attn"]
+
+    monkeypatch.setenv("QWEN3_TTS_FUSE_TALKER", "1")
+    m_fused, r_fused = run()
+    assert "qkv" in m_fused.generator.params["blocks"]["attn"]
+    # the model keeps the canonical split tree
+    assert "qkv" not in m_fused.params["blocks"]["attn"]
+
+    assert r_plain.frames == r_fused.frames
+    np.testing.assert_array_equal(r_plain.codes, r_fused.codes)
+    np.testing.assert_array_equal(r_plain.wav, r_fused.wav)

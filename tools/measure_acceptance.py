@@ -176,6 +176,12 @@ def main() -> None:
     ap.add_argument("--lr2", type=float, default=3e-4,
                     help="stage-2 recovery lr")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--freeze-base", action="store_true",
+                    help="stage-2 recovery with finetune.py --freeze-base: "
+                    "the draft trains as an ADAPTER copy (base weights "
+                    "bit-identical; the spec verify chain stays the raw "
+                    "import's) — measures whether the adapter draft "
+                    "accepts as well as the shared-weight draft")
     ap.add_argument("--keep", default=None,
                     help="keep work dir here (default: temp, deleted)")
     args = ap.parse_args()
@@ -207,13 +213,16 @@ def main() -> None:
 
     print(f"[stage2: recovery fine-tune dg=3 --spec, {args.steps2} steps]",
           flush=True)
-    rc = finetune.main([
+    stage2_cli = [
         "--model", stage1, "--data", train_dir,
         "--steps", str(args.steps2), "--batch-size", str(args.batch_size),
         "--lr", str(args.lr2),
         "--depth-group", "3", "--spec",
         "--export", stage2,
-    ])
+    ]
+    if args.freeze_base:
+        stage2_cli.append("--freeze-base")
+    rc = finetune.main(stage2_cli)
     assert rc == 0, f"stage2 fine-tune failed rc={rc}"
 
     tuned = load_model(stage2)
@@ -223,7 +232,7 @@ def main() -> None:
     from qwen3_tts_tpu.finetune import load_pairs
 
     report: dict = {"steps1": args.steps1, "steps2": args.steps2,
-                    "depth_group": 3}
+                    "depth_group": 3, "freeze_base": args.freeze_base}
     for split, d in (("train", train_dir), ("heldout", held_dir)):
         h, c = _frame_inputs(tuned, load_pairs(d))
         report[split] = _acceptance(tuned, h, c)

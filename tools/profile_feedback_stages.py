@@ -158,10 +158,21 @@ def main() -> None:
             return fn(jnp.int32(salt[0]))
         return run
 
+    # fused-talker arm: qkv + gate_up relayout (the cp already runs
+    # fused; the talker historically didn't — tp-sharding rationale).
+    # Measures the op-count lever on the single-chip decode floor.
+    from qwen3_tts_tpu.models.layers import fuse_block_projections
+
+    fused_params = dict(params)
+    fused_params["blocks"] = fuse_block_projections(params["blocks"])
+
     chains = {
         "talker": (salted(lambda s_: talker_chain(params, emb0, cache,
                                                   cache, s_)),
                    iters),
+        "talker_fused": (salted(
+            lambda s_: talker_chain(fused_params, emb0, cache, cache, s_)),
+            iters),
         "cp": (salted(lambda s_: cp_chain(cp_params, cp_h0, s_)), iters),
         "codec": (salted(lambda s_: codec_chain(codec_params, codes0,
                                                 cstate0, s_)),
@@ -183,6 +194,9 @@ def main() -> None:
         print(f"{name}: {ms:.3f} ms/frame (min of {args.reps})", flush=True)
 
     out["serial_sum"] = round(out["talker"] + out["cp"] + out["codec"], 3)
+    if "talker_fused" in out:
+        out["serial_sum_fused"] = round(
+            out["talker_fused"] + out["cp"] + out["codec"], 3)
     print(json.dumps(out), flush=True)
 
 

@@ -161,3 +161,33 @@ def test_grouped_decode_reads_draft(recovery):
     s2 = seq2.generator.synthesize(p, max_frames=4, seed=0,
                                    collect_codes=True)
     np.testing.assert_array_equal(s1.codes, s2.codes)
+
+
+def test_serving_draft_model_matches_single_stream(recovery):
+    """An exported freeze-base model (draft subtree, dg=3+spec) must serve
+    token-identically to its own single-stream decode — the draft rides
+    the serving engine's fused cp relayout too."""
+    from qwen3_tts_tpu.runtime.serving import ServingEngine
+
+    _, rec_d = recovery
+    rec = load_model(rec_d)
+    rec.sampling = GREEDY
+    view = variant_model(rec, {"fps": 1})
+    view.sampling = GREEDY
+    prompts = [
+        PromptSpec(text_tokens=np.arange(8, dtype=np.int32) + s,
+                   speaker_id=s % 4)
+        for s in (2, 5)
+    ]
+    singles = [
+        view.generator.synthesize(p, max_frames=6, seed=0,
+                                  collect_codes=True)
+        for p in prompts
+    ]
+    eng = ServingEngine(view, max_streams=2, chunk=4, sampling=GREEDY)
+    served = eng.run(prompts, max_frames=6)
+    for r, (_, stream) in zip(singles, served):
+        assert stream.frames == r.frames
+        np.testing.assert_array_equal(
+            np.concatenate(stream.codes, axis=1)[:, : r.frames], r.codes
+        )

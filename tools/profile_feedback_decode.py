@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--arms", nargs="+",
                     default=["base", "steady32", "d4", "steady64"])
+    ap.add_argument("--protocol", default="feedback",
+                    choices=["feedback", "cb0"],
+                    help="feedback = raw-import published shape (fps=1); "
+                    "cb0 = the HEADLINE shape (MTP fps=2, code2wav)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
     if args.tiny:
@@ -62,9 +66,12 @@ def main() -> None:
 
     enable_compilation_cache()
     if args.tiny:
-        cfg = configs.tiny_feedback("custom")
-    else:
+        cfg = (configs.tiny_feedback("custom")
+               if args.protocol == "feedback" else configs.tiny("custom"))
+    elif args.protocol == "feedback":
         cfg = configs.flagship_feedback_code2wav("custom")
+    else:
+        cfg = configs.flagship_code2wav("custom", frames_per_step=2)
     t0 = time.perf_counter()
     model = Qwen3TTSModel.synthetic(cfg, seed=0, fast=True)
     print(f"[load {time.perf_counter() - t0:.0f}s]", flush=True)

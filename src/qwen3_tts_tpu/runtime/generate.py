@@ -203,23 +203,27 @@ def group_quantized(*trees):
 
 
 def default_chunk_schedule(t) -> tuple:
-    """The adaptive decode-chunk ladder: (8, 16, 32) everywhere EXCEPT the
-    published protocol's raw-import shape (residual_sum feedback, one
-    frame per talker pass), which runs (4, 32). There the code
-    predictor's 15 sequential depth passes ride INSIDE every decoded
-    frame, doubling the serial device time of the first chunk — the
-    8-frame first chunk alone blew the 8-stream cold-start TTFA budget
-    (VERDICT r3 #4: p50 388 ms vs the 300 ms BASELINE target), so a
-    4-frame chunk leads for TTFA. The mid-ramp (8, 16) was REMOVED in
-    round 5: measured on-device (tools/profile_feedback_decode.py,
-    interleaved arms), the ramp cost ~8-11% of single-stream steady state
-    — (4,8,16,32) 6.34x vs (4,32) 6.88x vs (32,)-only 7.03x — because
-    28 early frames decode at small-chunk efficiency on a shape whose
-    serial cp passes dominate; jumping straight to 32 keeps the ~100 ms
-    TTFA and nearly all of the steady-state rate."""
+    """The adaptive decode-chunk ladder: a small first chunk for TTFA,
+    then straight to the steady 32-frame chunk.
+
+    The mid-ramp (the old (…, 8, 16, 32) ladders) was REMOVED in round 5:
+    measured on-device with interleaved arms
+    (tools/profile_feedback_decode.py), the ramp cost 5-11% of
+    single-stream steady state — raw-import shape (4,8,16,32) 6.34x vs
+    (4,32) 6.88x vs (32,)-only 7.03x; headline cb0 fps=2 shape (8,16,32)
+    26.1x vs (8,32) 27.5x vs (32,)-only 28.6x — because early frames
+    decode at small-chunk efficiency while the first-chunk TTFA benefit
+    needs only ONE small chunk. (8,32)'s TTFA measured equal-or-better
+    than the full ramp's on the headline shape (71-77 ms vs 73-109 ms).
+
+    The raw-import shape (residual_sum feedback, one frame per talker
+    pass) leads with 4 instead of 8: its cp-in-loop doubles per-frame
+    serial cost, and the 8-frame first chunk alone blew the 8-stream
+    cold-start TTFA budget (VERDICT r3 #4: p50 388 ms vs the 300 ms
+    BASELINE target)."""
     if t.feedback == "residual_sum" and t.frames_per_step == 1:
         return (4, 32)
-    return (8, 16, 32)
+    return (8, 32)
 
 
 def align_chunk_schedule(schedule, fps: int) -> tuple:

@@ -565,11 +565,11 @@ def test_feedback_fps1_leads_with_4frame_chunk():
     m2 = Qwen3TTSModel.synthetic(
         configs.tiny_feedback("custom", frames_per_step=2), seed=0
     )
-    assert m2.generator.chunk_schedule == (8, 16, 32)
+    assert m2.generator.chunk_schedule == (8, 32)
 
-    # cb0 protocol unchanged
+    # cb0 protocol: same standard ladder
     m3 = Qwen3TTSModel.synthetic(configs.tiny("custom"), seed=0)
-    assert m3.generator.chunk_schedule == (8, 16, 32)
+    assert m3.generator.chunk_schedule == (8, 32)
 
     # explicit schedule wins
     eng2 = ServingEngine(m, max_streams=2, chunk_schedule=(8,))

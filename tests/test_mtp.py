@@ -102,9 +102,9 @@ def test_mtp_uses_half_the_positions(mtp_model):
 
 
 def test_fps3_default_schedule_aligns_and_stays_exact():
-    """frames_per_step=3 does not divide the default (8, 16, 32) chunk
+    """frames_per_step=3 does not divide the default (8, 32) chunk
     schedule; both runtimes must round chunks UP to whole MTP steps
-    (9, 18, 33) instead of crashing, and serving must still match the
+    (9, 33) instead of crashing, and serving must still match the
     single-stream pipeline token-for-token."""
     cfg = _mtp_cfg(3)
     m = Qwen3TTSModel.synthetic(cfg, seed=9)
@@ -112,7 +112,7 @@ def test_fps3_default_schedule_aligns_and_stays_exact():
         cfg=m.cfg, params=m.params, cp_params=m.cp_params,
         codec_params=m.codec_params, sampling=GREEDY,
     )  # default schedule
-    assert gen.chunk_schedule == (9, 18, 33)
+    assert gen.chunk_schedule == (9, 33)
     prompts = [_prompt(1), _prompt(2)]
     singles = [gen.synthesize(p, max_frames=10, seed=0) for p in prompts]
     assert all(r.frames > 0 for r in singles)

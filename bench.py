@@ -90,7 +90,8 @@ def _emit(doc: dict) -> None:
     print(json.dumps(d), flush=True)
 
 
-def _serving_metrics(model, n_streams: int = BASELINE_STREAMS) -> dict:
+def _serving_metrics(model, n_streams: int = BASELINE_STREAMS,
+                     frames_target: int = 120) -> dict:
     """Measure aggregate multi-stream throughput (BASELINE.md config 5) plus
     the TTFA of a stream JOINING under full load (chunked-prefill
     interleaving keeps live streams running through the join)."""
@@ -118,7 +119,6 @@ def _serving_metrics(model, n_streams: int = BASELINE_STREAMS) -> dict:
     engine.run(prompts(1), max_frames=warm_frames)
     engine.run(prompts(n_streams, base=29), max_frames=warm_frames)
 
-    frames_target = 120
     t0 = time.perf_counter()
     results = engine.run(prompts(n_streams), max_frames=frames_target)
     wall = time.perf_counter() - t0
@@ -317,7 +317,12 @@ def _spec_acceptance_bracket(model, orig_heads, default_acc: float,
     the lossless-recovery claim carries its uncertainty. The pinned heads
     are swapped into the LIVE generator's param dict (same shapes/dtypes →
     no recompile, values flow through the already-jitted decode fns); the
-    default pin is restored before the serving measurement."""
+    default pin is restored before the serving measurement.
+
+    ALL pins — including the default — are measured fresh here, arms
+    interleaved per rep (CLAUDE.md: interleave A/B arms in one process so
+    tunnel drift cancels; reusing the earlier single-stream number for
+    the default arm measured an inverted ordering on a drifting window)."""
     import numpy as np
 
     from qwen3_tts_tpu.runtime.prompts import PromptSpec
@@ -329,21 +334,23 @@ def _spec_acceptance_bracket(model, orig_heads, default_acc: float,
         text_tokens=np.arange(48, dtype=np.int32) % cfg.talker.vocab_size,
         speaker_id=0,
     )
-    out = {f"{default_acc:g}": default_rtf}
-    for acc in pins:
-        if abs(acc - default_acc) < 1e-9:
-            continue
-        heads, _ = _pinned_heads(orig_heads, acc, n_res)
-        gen.cp_params["heads"] = heads
-        rs = [gen.synthesize(prompt, max_frames=target_frames, seed=31 + i)
-              for i in range(reps)]
-        out[f"{acc:g}"] = round(max(r.rtf for r in rs), 3)
+    all_pins = sorted({round(float(p), 6) for p in pins}
+                      | {round(float(default_acc), 6)})
+    best: dict = {f"{a:g}": 0.0 for a in all_pins}
+    for i in range(reps):
+        for acc in all_pins:
+            heads, _ = _pinned_heads(orig_heads, acc, n_res)
+            gen.cp_params["heads"] = heads
+            r = gen.synthesize(prompt, max_frames=target_frames,
+                               seed=31 + i)
+            k = f"{acc:g}"
+            best[k] = round(max(best[k], r.rtf), 3)
     # restore the default pin (generator AND the model tree the serving
     # engine will be built from)
     heads, _ = _pinned_heads(orig_heads, default_acc, n_res)
     gen.cp_params["heads"] = heads
     model.cp_params = {**model.cp_params, "heads": heads}
-    return out
+    return best
 
 
 # the three decode shapes of the real-checkpoint audit (label, fps, dg, spec)

@@ -313,6 +313,15 @@ def main(argv: list[str] | None = None) -> int:
                   "LoRA-style adaptation; use one or the other",
                   file=sys.stderr)
             return 1
+        if args.anchor > 0.0 or args.distill > 0.0:
+            print("error: --anchor/--distill are pointless under "
+                  "--freeze-base — the base weights they anchor cannot "
+                  "move (their updates are masked to zero), so --distill "
+                  "only burns two teacher-forced forwards per step and "
+                  "--anchor actively penalises the draft's distance from "
+                  "its own grafted init (the one thing the mode trains)",
+                  file=sys.stderr)
+            return 1
         if args.mtp_fps <= 1 and args.depth_group <= 1:
             print("error: --freeze-base trains ONLY the recovery params "
                   "(MTP chain / grouped draft) — it needs --mtp-fps N "

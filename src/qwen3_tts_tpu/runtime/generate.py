@@ -857,6 +857,17 @@ class Generator:
         allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
         return allowed[-1] if allowed else max_prompt
 
+    def _pub_head_len(self, spk_kind: str) -> int:
+        """Row count of the published prompt head — text-INDEPENDENT
+        (text conditions through the trailing buffer). The single source
+        shared by fast_assembly_plan and _assemble_published_fast_fn:
+        their L/Lb/pad statics must never diverge (the serving engine
+        sizes KV scratch from the plan, the fn emits the rows)."""
+        t = self.cfg.talker
+        return 3 + len(t.codec_prompt_head) + (
+            1 if spk_kind != "none" else 0
+        ) + 2
+
     def fast_assembly_plan(self, prompt: PromptSpec) -> AssemblyPlan | None:
         """AssemblyPlan for the common one-dispatch prompt shapes, or None
         (clone conditioning / degenerate / truncating prompts keep the
@@ -890,11 +901,7 @@ class Generator:
                 spk_kind, spk_idx = "table", int(prompt.speaker_id)
             else:
                 spk_kind, spk_idx = "none", 0
-            # the prompt's row count is text-independent under this
-            # protocol (text conditions through the trailing buffer)
-            L = 3 + len(t.codec_prompt_head) + (
-                1 if spk_kind != "none" else 0
-            ) + 2
+            L = self._pub_head_len(spk_kind)
             proto = "pub"
         else:
             if toks_np.size < 1:
@@ -962,26 +969,37 @@ class Generator:
         trailing [N, Tb, D] | None). All plans must share (proto, Lb,
         spk_kind); tb_tok is lifted to the group max (the fast fns read
         token rows only below T, so extra zero padding is value-invariant
-        — same property the per-prompt bucketing relies on)."""
+        — same property the per-prompt bucketing relies on). The batch
+        dimension is padded to a power of two INTERNALLY (plan 0
+        replicated, outputs sliced back) so arbitrary subgroup sizes —
+        mixed speaker kinds, an eager clone prompt in the cold batch —
+        can't mint unbounded compile variants on a service whose compiles
+        cost minutes (CLAUDE.md)."""
         p0 = plans[0]
         assert all(
             (p.proto, p.Lb, p.spk_kind) == (p0.proto, p0.Lb, p0.spk_kind)
             for p in plans
         ), "assemble_plans_batched: mixed group"
         n = len(plans)
-        tb = max(p.tb_tok for p in plans)
-        toks = np.zeros((n, tb), np.int32)
-        for i, p in enumerate(plans):
+        nb = 1
+        while nb < n:
+            nb *= 2
+        padded_plans = list(plans) + [p0] * (nb - n)
+        tb = max(p.tb_tok for p in padded_plans)
+        toks = np.zeros((nb, tb), np.int32)
+        for i, p in enumerate(padded_plans):
             toks[i, : p.tb_tok] = p.toks
-        T = jnp.asarray([p.T for p in plans], jnp.int32)
-        spk = jnp.asarray([p.spk_idx for p in plans], jnp.int32)
+        T = jnp.asarray([p.T for p in padded_plans], jnp.int32)
+        spk = jnp.asarray([p.spk_idx for p in padded_plans], jnp.int32)
         if p0.proto == "pub":
-            bfn = self._assemble_published_fast_batch_fn(n, tb, p0.spk_kind)
+            bfn = self._assemble_published_fast_batch_fn(nb, tb,
+                                                         p0.spk_kind)
             emb, buf = bfn(self.params, jnp.asarray(toks), T, spk)
-            return emb, buf
-        pads = jnp.asarray([p.pad for p in plans], jnp.int32)
-        bfn = self._assemble_cb0_fast_batch_fn(n, tb, p0.Lb, p0.spk_kind)
-        return bfn(self.params, jnp.asarray(toks), T, pads, spk), None
+            return (emb, buf) if n == nb else (emb[:n], buf[:n])
+        pads = jnp.asarray([p.pad for p in padded_plans], jnp.int32)
+        bfn = self._assemble_cb0_fast_batch_fn(nb, tb, p0.Lb, p0.spk_kind)
+        emb = bfn(self.params, jnp.asarray(toks), T, pads, spk)
+        return (emb if n == nb else emb[:n]), None
 
     def _assemble_published_fast_batch_fn(self, n: int, tb_tok: int,
                                           spk_kind: str):
@@ -1037,15 +1055,9 @@ class Generator:
 
         t = self.cfg.talker
         head_toks = tuple(t.codec_prompt_head)
-        n_extra = (1 if spk_kind != "none" else 0)
-        L = 3 + len(head_toks) + n_extra + 2
-        max_prompt = max(
-            16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
-        )
-        allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
-        cap = allowed[-1] if allowed else max_prompt
-        Lb = min(bucket_len(L), cap)
-        assert L <= Lb, (L, Lb)
+        L = self._pub_head_len(spk_kind)
+        Lb = min(bucket_len(L), self._prompt_cap())
+        assert L <= Lb, (L, Lb)  # callers gate via fast_assembly_plan
         pad = Lb - L
         Tb = t.trailing_bucket
 
@@ -1222,12 +1234,7 @@ class Generator:
 
         # left-pad to a bucket (RoPE is relative; pad keys are masked)
         L = int(emb.shape[0])
-        max_prompt = max(
-            16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule)
-        )
-        allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
-        cap = allowed[-1] if allowed else max_prompt
-        Lb = min(bucket_len(L), cap)
+        Lb = min(bucket_len(L), self._prompt_cap())
         if L > Lb:  # over-long acoustic context: keep head + tail — the
             # head is the chatml text rows PLUS any speaker-vector row
             # prepended before them
@@ -1374,10 +1381,7 @@ class Generator:
 
         L = int(emb.shape[0])
         # clamp the bucket so decode keeps headroom inside max_seq_len
-        max_prompt = max(16, self.cfg.max_seq_len - 2 * max(self.chunk_schedule))
-        allowed = [b for b in PROMPT_BUCKETS if b <= max_prompt]
-        cap = allowed[-1] if allowed else max_prompt
-        Lb = min(bucket_len(L), cap)
+        Lb = min(bucket_len(L), self._prompt_cap())
         if L > Lb:  # over-long prompt: keep head conditioning + the tail
             # (BOS must survive; voice conditioning must survive)
             emb = jnp.concatenate(

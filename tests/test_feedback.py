@@ -554,7 +554,7 @@ def test_feedback_fps1_leads_with_4frame_chunk():
     and the 8-frame first chunk alone blew the 8-stream cold-start TTFA
     budget), then straight to the steady chunk — the (8, 16) mid-ramp
     measured ~8-11% of single-stream steady state (PERF.md round 5).
-    Other shapes keep (8, 16, 32); explicit schedules are never
+    Other shapes keep (8, 32); explicit schedules are never
     overridden."""
     m = _model()
     assert m.generator.chunk_schedule == (4, 32)

@@ -79,7 +79,7 @@ def child(slots: int, fps: int, dg: int, frames: int, kv: str,
     sys.path.insert(0, REPO)
     import bench
 
-    m = bench._serving_metrics(model, slots)
+    m = bench._serving_metrics(model, slots, frames_target=frames)
     m["frames_target"] = frames
     print(json.dumps({"slots": slots, "kv": kv, "load_s": round(load_s, 1),
                       **m}), flush=True)
@@ -165,7 +165,14 @@ def main() -> None:
     print(json.dumps({
         "summary": True,
         "fps": args.fps, "dg": args.dg,
-        "max_clean_slots": max((r["slots"] for r in ok), default=0),
+        # per-KV-format ceilings: the int8 mitigation arm must not be
+        # reported as the bf16 clean bound the bisect exists to find
+        "max_clean_slots_bf16": max(
+            (r["slots"] for r in ok if r.get("kv") == "bf16"), default=0
+        ),
+        "max_clean_slots_int8": max(
+            (r["slots"] for r in ok if r.get("kv") == "int8"), default=0
+        ),
         "clean": [{k: r.get(k) for k in ("slots", "kv", "agg_rtf",
                                          "ttfa_s_p50")} for r in ok],
         "failed": [{k: r.get(k) for k in ("slots", "kv", "error")}

@@ -7,8 +7,10 @@ separates the candidates ON the real shape (published residual_sum
 protocol, fps=1, dg=1, code2wav codec), all arms interleaved in ONE
 process so tunnel drift cancels:
 
-  base        default schedule (4, 8, 16, 32), pipeline depth 2 — the
-              bench configuration;
+  base        the DEFAULT schedule at pipeline depth 2 — the bench
+              configuration (round 5 onward that is (4, 32) / (8, 32);
+              the round-5 measurements below were taken against the old
+              (4, 8, 16, 32) default they retired);
   steady32    (32,)-only — does the adaptive ramp (extra compile
               variants, small early chunks) cost steady state?
   d4          default schedule at pipeline depth 4 — are chunk fetches

@@ -197,9 +197,12 @@ def longform_bench(chars: int = 2400) -> None:
     text = (sentence * (chars // len(sentence) + 1))[:chars]
     out = tempfile.mkdtemp(prefix="q3tts_bench_")
 
-    # warmup: compiles serving prefill bucket + serve step + codec buckets
-    generate_audio(model=model, text=text[:600] + ". " + text[:600],
-                   voice="ryan", output_path=out, max_frames=16)
+    # warmup: compiles the serving prefill bucket AT the measured batch
+    # shape (the batched cold-start prefill is keyed on (Lb, nb) — a
+    # 2-segment warmup would leave the 5-segment batch variant cold),
+    # the serve-step chunks, and the codec buckets
+    generate_audio(model=model, text=text, voice="ryan", output_path=out,
+                   max_frames=16)
 
     m = generate_audio(
         model=model, text=text, voice="ryan", output_path=out, max_frames=120

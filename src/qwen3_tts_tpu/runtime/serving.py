@@ -735,7 +735,16 @@ class ServingEngine:
         t = self.cfg.talker
         by_len: dict[int, list[_PendingPrefill]] = {}
         for pp in self._pending:
-            if pp.pos == 0 and pp.Lb <= self.prefill_chunk:
+            # ANY bucket length batches at cold start (round 5): with no
+            # live streams there is nothing for a whole-prompt prefill to
+            # stall, and the slice-per-step trickle serialized long-prompt
+            # groups so badly that longform's 5 concurrent ~256-token
+            # segments ran at ~2-stream effective concurrency (early
+            # streams finished before late ones activated). The chunked
+            # slice path remains for JOINS under load, where the stall
+            # bound matters. pos > 0 (a join that already started slicing)
+            # stays on the slice path.
+            if pp.pos == 0:
                 by_len.setdefault(pp.Lb, []).append(pp)
         for Lb, group in by_len.items():
             group = [

@@ -663,3 +663,39 @@ def test_accum_wav_deep_pipeline_keeps_tail_intact(model):
     out = engine.run(prompts, max_frames=24, pipeline_depth=8)
     for (wav, st), (rwav, _) in zip(out, ref):
         np.testing.assert_array_equal(wav, rwav)
+
+
+def test_cold_start_batches_multislice_prompts(model):
+    """Long prompts (bucket > prefill_chunk) must ALSO take the batched
+    cold-start prefill — with no live streams there is nothing to stall,
+    and the slice-per-step trickle serialized long-prompt groups (round 5:
+    longform segments ran at ~2-stream effective concurrency). Token
+    identity vs single-stream is preserved."""
+
+    def long_prompt(seed):
+        rng = np.random.default_rng(seed)
+        return PromptSpec(
+            text_tokens=rng.integers(0, 200, size=100).astype(np.int32),
+            speaker_id=int(seed % 4),
+        )
+
+    prompts = [long_prompt(61), long_prompt(62)]
+    max_frames = 10
+    singles = [_single_stream_chunks(model, p, max_frames) for p in prompts]
+
+    engine = ServingEngine(model, max_streams=2, chunk=8,
+                           prefill_chunk=64, sampling=GREEDY)
+    calls = []
+    orig = engine._prefill_batch_fn
+
+    def spy(Lb, nb):
+        calls.append((Lb, nb))
+        return orig(Lb, nb)
+
+    engine._prefill_batch_fn = spy
+    served = engine.run(prompts, max_frames=max_frames)
+    assert calls and all(Lb > 64 for Lb, _ in calls), calls
+    assert not engine._prefill_fns  # the sequential path never compiled
+    for (wav_single, res), (wav_served, stream) in zip(singles, served):
+        assert stream.done and stream.frames == res.frames
+        np.testing.assert_allclose(wav_served, wav_single, atol=1)

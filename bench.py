@@ -200,9 +200,15 @@ def longform_bench(chars: int = 2400) -> None:
     # warmup: compiles the serving prefill bucket AT the measured batch
     # shape (the batched cold-start prefill is keyed on (Lb, nb) — a
     # 2-segment warmup would leave the 5-segment batch variant cold),
-    # the serve-step chunks, and the codec buckets
-    generate_audio(model=model, text=text, voice="ryan", output_path=out,
-                   max_frames=16)
+    # the serve-step chunks, and the codec buckets. The warmup SENTENCE
+    # differs (same length → same segmentation/buckets) so the measured
+    # run's dispatches aren't value-identical replays the service could
+    # answer from its execution cache (CLAUDE.md trap 1)
+    warm_sentence = "A gray owl glides over the frozen lakes at dusk today. "
+    assert len(warm_sentence) == len(sentence)
+    warm_text = (warm_sentence * (chars // len(warm_sentence) + 1))[:chars]
+    generate_audio(model=model, text=warm_text, voice="ryan",
+                   output_path=out, max_frames=16)
 
     m = generate_audio(
         model=model, text=text, voice="ryan", output_path=out, max_frames=120
@@ -234,7 +240,12 @@ def _align_frames(schedule, target: int) -> int:
     whole chunks past the budget and clips the audio — an unaligned
     target (240 vs the (4,32) ladder's 260) pays up to a full steady
     chunk of wall with no audio credited, understating RTF by ~5-8%
-    purely as a measurement artifact."""
+    purely as a measurement artifact. Targets below the steady chunk
+    (tiny/CI smoke runs asking for 12 frames) are returned unchanged —
+    alignment would triple their decode work to fix a TPU-only
+    artifact."""
+    if not schedule or target < schedule[-1]:
+        return target
     total = 0
     for c in schedule[:-1]:
         if total >= target:

@@ -32,6 +32,7 @@ path (runtime.generate).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -724,26 +725,40 @@ class ServingEngine:
                 self._finish_prefill(pp)
                 self._pending.pop(0)
 
+    # Whole-prompt cold-batch bound, in scratch-cache ROWS (nb x Lb). Per
+    # row the batched prefill allocates n_layers x H_kv x hd x 2 (k+v)
+    # cache entries (~114 KB bf16 at flagship), so 8192 rows ~= 0.9 GB of
+    # transient scratch — safely inside HBM next to resident weights, and
+    # it also bounds the (Lb, nb) jit-variant set (2048-token prompts
+    # batch at nb <= 4; longer groups fall back to the slice path). The
+    # remote service HANGS silently on HBM over-subscription (CLAUDE.md),
+    # so the cap errs low; QWEN3_TTS_COLD_BATCH_ROWS overrides.
+    _COLD_BATCH_MAX_ROWS = 8192
+
     def _batch_cold_prefills(self) -> None:
-        """Cold start (no live streams): prefill all pending SINGLE-SLICE
-        prompts of the same bucket length in one batched dispatch instead of
-        one dispatch each, then activate them together — N simultaneous
-        submissions reach their first decode step after ~1 prefill's
-        latency, not N. Batch sizes are padded to power-of-two buckets to
-        bound compile variants. Multi-slice (long) prompts keep the
-        slice-per-step path."""
+        """Cold start (no live streams): prefill all pending prompts of
+        the same bucket length in one batched whole-prompt dispatch
+        instead of one dispatch (or one slice-per-step trickle) each, then
+        activate them together — N simultaneous submissions reach their
+        first decode step after ~1 prefill's latency, not N. Batch sizes
+        are padded to power-of-two buckets to bound compile variants.
+
+        ANY bucket length batches here since round 5: with no live
+        streams there is nothing for a whole-prompt prefill to stall, and
+        the old slice-per-step trickle (which only single-slice prompts
+        escaped) serialized long-prompt groups so badly that longform's 5
+        concurrent ~256-token segments ran at ~2-stream effective
+        concurrency. Two bounds remain: the chunked slice path still
+        serves JOINS under load (where the stall bound matters), and
+        groups whose scratch would exceed ``_COLD_BATCH_MAX_ROWS`` rows
+        fall back to the slice path (HBM + compile-variant bound — see
+        the constant's comment)."""
         t = self.cfg.talker
+        max_rows = int(os.environ.get("QWEN3_TTS_COLD_BATCH_ROWS",
+                                      self._COLD_BATCH_MAX_ROWS))
         by_len: dict[int, list[_PendingPrefill]] = {}
         for pp in self._pending:
-            # ANY bucket length batches at cold start (round 5): with no
-            # live streams there is nothing for a whole-prompt prefill to
-            # stall, and the slice-per-step trickle serialized long-prompt
-            # groups so badly that longform's 5 concurrent ~256-token
-            # segments ran at ~2-stream effective concurrency (early
-            # streams finished before late ones activated). The chunked
-            # slice path remains for JOINS under load, where the stall
-            # bound matters. pos > 0 (a join that already started slicing)
-            # stays on the slice path.
+            # pos > 0 (a join that already started slicing) stays sliced
             if pp.pos == 0:
                 by_len.setdefault(pp.Lb, []).append(pp)
         for Lb, group in by_len.items():
@@ -757,6 +772,8 @@ class ServingEngine:
             nb = 2
             while nb < len(group):
                 nb *= 2
+            if nb * Lb > max_rows:
+                continue  # scratch too large for one dispatch: slice path
             # pad the batch by replicating one entry (duplicate slot writes
             # carry identical values — see _prefill_batch_fn)
             fill = nb - len(group)

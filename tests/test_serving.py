@@ -699,3 +699,68 @@ def test_cold_start_batches_multislice_prompts(model):
     for (wav_single, res), (wav_served, stream) in zip(singles, served):
         assert stream.done and stream.frames == res.frames
         np.testing.assert_allclose(wav_served, wav_single, atol=1)
+
+
+def test_cold_start_batches_multislice_feedback_prompts():
+    """The whole-prompt cold batch must hold token identity on the
+    FEEDBACK protocol too (trailing-buffer concat, trail/res_sum slot
+    state at large Lb) — the longform fast path serves real imported
+    checkpoints through exactly this code."""
+    fb_model = Qwen3TTSModel.synthetic(configs.tiny_feedback("custom"),
+                                       seed=5)
+
+    def long_prompt(seed):
+        rng = np.random.default_rng(seed)
+        return PromptSpec(
+            text_tokens=rng.integers(0, 200, size=40).astype(np.int32),
+            speaker_id=int(seed % 4),
+        )
+
+    prompts = [long_prompt(71), long_prompt(72)]
+    max_frames = 8
+    fb_model.sampling = GREEDY
+    singles = [
+        fb_model.generator.synthesize(p, max_frames=max_frames, seed=0,
+                                      collect_codes=True)
+        for p in prompts
+    ]
+
+    engine = ServingEngine(fb_model, max_streams=2, chunk=4,
+                           prefill_chunk=32, sampling=GREEDY)
+    calls = []
+    orig = engine._prefill_batch_fn_fb
+
+    def spy(Lb, nb):
+        calls.append((Lb, nb))
+        return orig(Lb, nb)
+
+    engine._prefill_batch_fn_fb = spy
+    served = engine.run(prompts, max_frames=max_frames)
+    assert calls and all(Lb > 32 for Lb, _ in calls), calls
+    for r, (_, stream) in zip(singles, served):
+        assert stream.done and stream.frames == r.frames
+        np.testing.assert_array_equal(
+            np.concatenate(stream.codes, axis=1)[:, : r.frames], r.codes
+        )
+
+
+def test_cold_batch_row_cap_falls_back_to_slice_path(model, monkeypatch):
+    """Groups whose scratch would exceed the cold-batch row cap must keep
+    the slice-per-step path (HBM bound — the remote service hangs on
+    over-subscription) and still finish correctly."""
+    monkeypatch.setenv("QWEN3_TTS_COLD_BATCH_ROWS", "64")  # 2 x 64 > 64
+
+    prompts = [_prompt(81), _prompt(82)]
+    engine = ServingEngine(model, max_streams=2, chunk=8, sampling=GREEDY)
+    calls = []
+    orig = engine._prefill_batch_fn
+
+    def spy(Lb, nb):
+        calls.append((Lb, nb))
+        return orig(Lb, nb)
+
+    engine._prefill_batch_fn = spy
+    served = engine.run(prompts, max_frames=6)
+    assert not calls  # capped: batched path skipped
+    for wav, stream in served:
+        assert stream.done and stream.frames == 6
